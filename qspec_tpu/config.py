@@ -1,0 +1,160 @@
+"""Configuration dataclasses (TPU-native analogue of vllm/config.py).
+
+The reference composes ModelConfig / CacheConfig / ParallelConfig /
+SchedulerConfig / SpeculativeConfig into one VllmConfig threaded everywhere
+(/root/reference/vllm/config.py:83,950,1219,1366,1567,2959). We keep the same
+taxonomy with TPU-first fields: page counts instead of GPU blocks, mesh axes
+instead of world sizes, and padding buckets instead of CUDA-graph batch sizes
+(XLA recompiles per shape, so the bucketing policy is a first-class config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for one model."""
+
+    arch: str = "llama"               # "llama" | "qwen2"
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    qkv_bias: bool = False            # qwen2-style attention bias
+    # quantization scheme of the stored checkpoint
+    quant: str = "w4"                 # "w4" (packed int4 + scales) | "none" (bf16)
+    # QuaRot models fold RMSNorm gammas into the rotated weights offline, so
+    # the live norms are weightless (reference quarot_nn/normalization.py:5).
+    weightless_norm: bool = True
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_out(self) -> int:
+        return self.q_size + 2 * self.kv_size
+
+    @staticmethod
+    def llama3_8b(**over) -> "ModelConfig":
+        return ModelConfig(**over)
+
+    @staticmethod
+    def llama3_70b(**over) -> "ModelConfig":
+        d = dict(hidden_size=8192, intermediate_size=28672, num_layers=80,
+                 num_heads=64, num_kv_heads=8)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen2_7b(**over) -> "ModelConfig":
+        d = dict(arch="qwen2", vocab_size=152064, hidden_size=3584,
+                 intermediate_size=18944, num_layers=28, num_heads=28,
+                 num_kv_heads=4, rope_theta=1000000.0, qkv_bias=True,
+                 max_position_embeddings=32768)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def tiny(**over) -> "ModelConfig":
+        """Small config for tests: real structure, CPU-sized."""
+        d = dict(vocab_size=512, hidden_size=256, intermediate_size=448,
+                 num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+                 rope_theta=10000.0, max_position_embeddings=512)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def from_hf_config(hf: dict) -> "ModelConfig":
+        """Build from a HuggingFace config.json dict."""
+        arch = "qwen2" if "qwen2" in hf.get("model_type", "") else "llama"
+        nh = hf["num_attention_heads"]
+        return ModelConfig(
+            arch=arch,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=nh,
+            num_kv_heads=hf.get("num_key_value_heads", nh),
+            head_dim=hf.get("head_dim", hf["hidden_size"] // nh),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rope_scaling=hf.get("rope_scaling"),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            max_position_embeddings=hf.get("max_position_embeddings", 8192),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            qkv_bias=arch == "qwen2",
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache sizing (reference: vllm/config.py:950 CacheConfig)."""
+
+    page_size: int = 16
+    num_pages: Optional[int] = None      # None -> derive from memory fraction
+    kv_cache_dtype: str = "bfloat16"     # "bfloat16" | "int8"
+    gpu_memory_utilization: float = 0.9  # kept name-compatible; means HBM here
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching knobs (reference: vllm/config.py:1366)."""
+
+    max_num_seqs: int = 8
+    max_num_batched_tokens: int = 2048
+    max_model_len: int = 4096
+    enable_chunked_prefill: bool = True
+    prefill_chunk_size: int = 512
+    # static-shape buckets for the jitted step fns (TPU-specific)
+    decode_batch_buckets: tuple = (1, 2, 4, 8, 16, 32)
+    prefill_token_buckets: tuple = (128, 256, 512, 1024, 2048)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh shape (replaces reference TP/PP worker fan-out, config.py:1219)."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeculativeConfig:
+    """QSpec speculative decoding (reference: vllm/config.py:1567)."""
+
+    num_speculative_tokens: int = 3
+    # draft scheme; verify is always w4a16. "w4a4" is the QSpec method.
+    draft_scheme: str = "w4a4"
+    # disable speculation above this batch size (reference
+    # speculative_disable_by_batch_size)
+    disable_by_batch_size: Optional[int] = None
+    method: str = "qspec"  # "qspec" | "ngram"
+    ngram_prompt_lookup_max: int = 4
+    ngram_prompt_lookup_min: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Composed config (reference VllmConfig, config.py:2959)."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    speculative: Optional[SpeculativeConfig] = None

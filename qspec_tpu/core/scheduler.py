@@ -1,0 +1,140 @@
+"""Iteration-level continuous-batching scheduler.
+
+TPU-native analogue of the reference Scheduler (vllm/core/scheduler.py:322):
+same queues (waiting / running / preempted-to-recompute), chunked prefill
+(_schedule_chunked_prefill:1151), and lookahead slots for speculative decode
+(lookahead = k + 1 pages headroom per decode step). The TPU twist: every
+batch it emits is a *static-shape rectangle* (B sequences x Q tokens) chosen
+from the config's bucket ladder, because each distinct shape costs an XLA
+compile. Prefill chunks are scheduled one sequence at a time (B=1, Q=chunk
+bucket); decode/spec steps batch all running sequences padded up to a batch
+bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from qspec_tpu.config import SchedulerConfig
+from qspec_tpu.core.block_manager import BlockManager
+from qspec_tpu.core.sequence import Sequence, SequenceStatus
+
+
+@dataclass
+class PrefillChunk:
+    seq: Sequence
+    start: int  # token index into the prompt
+    end: int
+
+
+@dataclass
+class ScheduledBatch:
+    kind: str  # "prefill" | "decode"
+    seqs: List[Sequence] = field(default_factory=list)
+    chunk: Optional[PrefillChunk] = None
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.seqs and self.chunk is None
+
+
+class Scheduler:
+    def __init__(self, cfg: SchedulerConfig, block_manager: BlockManager,
+                 lookahead: int = 1):
+        self.cfg = cfg
+        self.bm = block_manager
+        self.lookahead = lookahead  # k+1 for spec decode, 1 otherwise
+        self.waiting: List[Sequence] = []
+        self.running: List[Sequence] = []
+        # sequences rejected before ever running (e.g. prompt too long);
+        # drained by the engine so the client still gets a final output
+        self.rejected: List[Sequence] = []
+
+    # ------------------------------------------------------------------
+    def add_seq(self, seq: Sequence) -> None:
+        self.waiting.append(seq)
+
+    def abort_seq(self, seq_id: int) -> None:
+        for q in (self.waiting, self.running):
+            for s in q:
+                if s.seq_id == seq_id:
+                    s.status = SequenceStatus.FINISHED_ABORTED
+                    s.finish_reason = "abort"
+                    if q is self.running:
+                        self.bm.free(s)
+                    q.remove(s)
+                    return
+
+    @property
+    def num_unfinished(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    def has_unfinished(self) -> bool:
+        return self.num_unfinished > 0
+
+    # ------------------------------------------------------------------
+    def free_finished(self) -> List[Sequence]:
+        done = [s for s in self.running if s.is_finished]
+        for s in done:
+            self.bm.free(s)
+        self.running = [s for s in self.running if not s.is_finished]
+        return done
+
+    def _admit(self) -> None:
+        """Move waiting -> running while pages + batch slots allow."""
+        while self.waiting and len(self.running) < self.cfg.max_num_seqs:
+            seq = self.waiting[0]
+            if seq.prompt_len > self.cfg.max_model_len:
+                seq.status = SequenceStatus.FINISHED_ABORTED
+                seq.finish_reason = "prompt_too_long"
+                self.waiting.pop(0)
+                self.rejected.append(seq)
+                continue
+            if not self.bm.can_allocate(seq, lookahead=self.lookahead):
+                break
+            self.waiting.pop(0)
+            cached = self.bm.allocate_prompt(seq, lookahead=self.lookahead)
+            seq.num_computed_tokens = cached
+            seq.status = SequenceStatus.RUNNING
+            self.running.append(seq)
+
+    def _preempt_one(self) -> bool:
+        """Preempt the most recent sequence (recompute mode, reference
+        PreemptionMode.RECOMPUTE, core/scheduler.py:31)."""
+        for s in reversed(self.running):
+            if s.num_computed_tokens >= s.prompt_len:  # prefer decode-phase victims
+                self.running.remove(s)
+                self.bm.free(s)
+                s.status = SequenceStatus.WAITING
+                s.num_computed_tokens = 0
+                s.output_token_ids = []
+                self.waiting.insert(0, s)
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def schedule(self) -> ScheduledBatch:
+        self._admit()
+
+        # prefill first: any running seq with unprefilled prompt tokens
+        prefilling = [s for s in self.running if s.num_computed_tokens < s.prompt_len]
+        if prefilling:
+            seq = prefilling[0]
+            budget = self.cfg.prefill_chunk_size if self.cfg.enable_chunked_prefill \
+                else self.cfg.max_num_batched_tokens
+            start = seq.num_computed_tokens
+            end = min(seq.prompt_len, start + budget)
+            return ScheduledBatch(kind="prefill", seqs=[seq],
+                                  chunk=PrefillChunk(seq, start, end))
+
+        # decode: all running seqs; ensure lookahead slots, preempting if needed
+        decode_seqs: List[Sequence] = []
+        for s in list(self.running):
+            while not self.bm.append_slots(s, lookahead=self.lookahead):
+                if not self._preempt_one() or s not in self.running:
+                    break
+            if s in self.running and s.status == SequenceStatus.RUNNING:
+                decode_seqs.append(s)
+        decode_seqs = decode_seqs[:self.cfg.max_num_seqs]
+        return ScheduledBatch(kind="decode", seqs=decode_seqs)

@@ -1,0 +1,105 @@
+"""Request / sequence state machine (engine <-> runner contract).
+
+Slimmed TPU-native analogue of the reference's vllm/sequence.py (Sequence:386,
+SequenceGroup:624, SequenceGroupMetadata:898, ExecuteModelRequest:1267). We
+serve one sequence per request (no beam search fan-out in round 1), so the
+Sequence *is* the group. The reference's `w4a4` request flag
+(sequence.py:1301) maps to the runner's static scheme choice instead — the
+scheduler never needs to thread it through metadata.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from qspec_tpu.sampling_params import SamplingParams
+
+
+class SequenceStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    PREEMPTED = enum.auto()
+    FINISHED_STOPPED = enum.auto()
+    FINISHED_LENGTH = enum.auto()
+    FINISHED_ABORTED = enum.auto()
+
+    @property
+    def is_finished(self) -> bool:
+        return self in (SequenceStatus.FINISHED_STOPPED, SequenceStatus.FINISHED_LENGTH,
+                        SequenceStatus.FINISHED_ABORTED)
+
+
+@dataclass
+class Sequence:
+    seq_id: int
+    prompt_token_ids: List[int]
+    sampling_params: SamplingParams
+    arrival_time: float = field(default_factory=time.monotonic)
+    output_token_ids: List[int] = field(default_factory=list)
+    status: SequenceStatus = SequenceStatus.WAITING
+    # paged-KV bookkeeping
+    page_ids: List[int] = field(default_factory=list)
+    # tokens whose KV has been computed (prefill progress / decode watermark)
+    num_computed_tokens: int = 0
+    finish_reason: Optional[str] = None
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.prompt_token_ids) + len(self.output_token_ids)
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status.is_finished
+
+    def last_token(self) -> int:
+        return self.token_ids[-1]
+
+    def append_token(self, token_id: int) -> None:
+        self.output_token_ids.append(token_id)
+
+    def check_stop(self, eos_token_id: Optional[int]) -> None:
+        sp = self.sampling_params
+        if len(self.output_token_ids) >= sp.max_tokens:
+            self.status = SequenceStatus.FINISHED_LENGTH
+            self.finish_reason = "length"
+            return
+        if not self.output_token_ids:
+            return
+        last = self.output_token_ids[-1]
+        if not sp.ignore_eos and eos_token_id is not None and last == eos_token_id:
+            self.status = SequenceStatus.FINISHED_STOPPED
+            self.finish_reason = "stop"
+            return
+        if sp.stop_token_ids and last in sp.stop_token_ids:
+            self.status = SequenceStatus.FINISHED_STOPPED
+            self.finish_reason = "stop"
+
+    def truncate_stop_overshoot(self, eos_token_id: Optional[int]) -> None:
+        """After a speculative round appended several tokens, cut anything
+        past the first stop condition (the reference handles this in
+        _process_model_outputs / stop checking, llm_engine.py:975)."""
+        sp = self.sampling_params
+        stop_set = set(sp.stop_token_ids or ())
+        if not sp.ignore_eos and eos_token_id is not None:
+            stop_set.add(eos_token_id)
+        for i, tok in enumerate(self.output_token_ids):
+            if tok in stop_set:
+                self.output_token_ids = self.output_token_ids[:i + 1]
+                self.status = SequenceStatus.FINISHED_STOPPED
+                self.finish_reason = "stop"
+                return
+        if len(self.output_token_ids) >= sp.max_tokens:
+            self.output_token_ids = self.output_token_ids[:sp.max_tokens]
+            self.status = SequenceStatus.FINISHED_LENGTH
+            self.finish_reason = "length"

@@ -1,0 +1,179 @@
+"""LLMEngine: request lifecycle + continuous-batching event loop.
+
+TPU-native analogue of the reference LLMEngine (vllm/engine/llm_engine.py:120
+— add_request:638, step:1239, _process_model_outputs:975) with the
+SpecDecodeWorker's speculative round (spec_decode_worker.py:757) folded into
+`step` as the decode phase when speculation is configured. One engine serves
+both modes: `speculative=None` gives plain W4A16 (or bf16) autoregressive
+continuous batching; a SpeculativeConfig turns every decode step into a
+draft(w4a4)+verify(w4a16) round over shared weights and per-phase caches.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from qspec_tpu.config import EngineConfig
+from qspec_tpu.core.block_manager import BlockManager
+from qspec_tpu.core.scheduler import ScheduledBatch, Scheduler
+from qspec_tpu.core.sequence import Sequence, SequenceStatus
+from qspec_tpu.engine.model_runner import (ModelRunner, make_sampling_tensors)
+from qspec_tpu.sampling_params import SamplingParams
+from qspec_tpu.spec_decode.metrics import SpecDecodeMetrics
+
+
+@dataclass
+class RequestOutput:
+    request_id: int
+    prompt_token_ids: List[int]
+    output_token_ids: List[int]
+    finished: bool
+    finish_reason: Optional[str] = None
+    text: str = ""
+    metrics: dict = field(default_factory=dict)
+
+
+class LLMEngine:
+    def __init__(self, config: EngineConfig, params, num_pages: Optional[int] = None,
+                 eos_token_id: Optional[int] = None, tokenizer=None):
+        self.config = config
+        self.eos_token_id = eos_token_id
+        self.tokenizer = tokenizer
+        self.spec = config.speculative
+        lookahead = (self.spec.num_speculative_tokens + 1) if self.spec else 1
+
+        if num_pages is None:
+            num_pages = self._derive_num_pages()
+        self.runner = ModelRunner(config, params, num_pages,
+                                  need_draft_cache=self.spec is not None)
+        self.block_manager = BlockManager(num_pages, config.cache.page_size)
+        self.scheduler = Scheduler(config.scheduler, self.block_manager,
+                                   lookahead=lookahead)
+        self._next_id = 0
+        self._outputs: Dict[int, RequestOutput] = {}
+        self.spec_metrics = SpecDecodeMetrics()
+        self._pending_first_logits = {}
+
+    def _derive_num_pages(self) -> int:
+        """Size the cache from configured HBM budget (reference
+        determine_num_available_blocks, worker/worker.py:176)."""
+        cc = self.config.cache
+        if cc.num_pages is not None:
+            return cc.num_pages
+        sched = self.config.scheduler
+        return sched.max_num_seqs * (-(-sched.max_model_len // cc.page_size)) + 8
+
+    # ------------------------------------------------------------------
+    def add_request(self, prompt_token_ids: List[int],
+                    sampling_params: Optional[SamplingParams] = None,
+                    request_id: Optional[int] = None) -> int:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        rid = request_id if request_id is not None else self._next_id
+        self._next_id = max(self._next_id, rid + 1)
+        seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
+                       sampling_params=sampling_params)
+        self.scheduler.add_seq(seq)
+        return rid
+
+    def abort_request(self, request_id: int) -> None:
+        self.scheduler.abort_seq(request_id)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # ------------------------------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        batch = self.scheduler.schedule()
+        rejected = [self._to_output(s) for s in self.scheduler.rejected]
+        self.scheduler.rejected = []
+        if batch.is_empty:
+            return rejected
+        if batch.kind == "prefill":
+            self._run_prefill(batch)
+        else:
+            if self.spec is not None and not self._spec_disabled(len(batch.seqs)):
+                self._run_spec_decode(batch.seqs)
+            else:
+                self._run_decode(batch.seqs)
+
+        outputs = rejected
+        for s in list(self.scheduler.running):
+            if s.num_computed_tokens >= s.prompt_len:
+                s.check_stop(self.eos_token_id)
+        for s in self.scheduler.free_finished():
+            outputs.append(self._to_output(s))
+        return outputs
+
+    def _spec_disabled(self, batch_size: int) -> bool:
+        dbs = self.spec.disable_by_batch_size
+        return dbs is not None and batch_size >= dbs
+
+    # ------------------------------------------------------------------
+    def _run_prefill(self, batch: ScheduledBatch) -> None:
+        chunk = batch.chunk
+        seq = chunk.seq
+        logits = self.runner.run_prefill_chunk(seq, chunk.start, chunk.end)
+        if self.spec is not None:
+            # the draft path keeps its own (w4a4-computed) KV of the prompt,
+            # exactly as the reference proposer worker prefills separately
+            self.runner.run_prefill_chunk(seq, chunk.start, chunk.end, draft=True)
+        seq.num_computed_tokens = chunk.end
+        if logits is not None:
+            st = make_sampling_tensors([seq])
+            first = self.runner.sample_first_token(logits, _to_device_st(st))
+            seq.append_token(first)
+
+    def _run_decode(self, seqs: List[Sequence]) -> None:
+        if not seqs:
+            return
+        st = make_sampling_tensors(seqs)
+        next_tokens = self.runner.run_decode(seqs, st)
+        for s, t in zip(seqs, next_tokens):
+            s.num_computed_tokens = s.num_tokens
+            s.append_token(int(t))
+
+    def _run_spec_decode(self, seqs: List[Sequence]) -> None:
+        if not seqs:
+            return
+        k = self.spec.num_speculative_tokens
+        st = make_sampling_tensors(seqs)
+        t0 = time.perf_counter()
+        tokens, accepted_len, n_draft_acc = self.runner.run_spec_round(seqs, st, k)
+        dt = time.perf_counter() - t0
+        for i, s in enumerate(seqs):
+            n = int(accepted_len[i])
+            for j in range(n):
+                s.append_token(int(tokens[i, j]))
+            s.num_computed_tokens = s.num_tokens - 1
+            s.truncate_stop_overshoot(self.eos_token_id)
+        self.spec_metrics.record(num_seqs=len(seqs), k=k,
+                                 draft_accepted=int(n_draft_acc.sum()),
+                                 emitted=int(accepted_len.sum()), wall_s=dt)
+
+    # ------------------------------------------------------------------
+    def _to_output(self, seq: Sequence) -> RequestOutput:
+        text = ""
+        if self.tokenizer is not None:
+            try:
+                text = self.tokenizer.decode(seq.output_token_ids)
+            except Exception:
+                text = ""
+        return RequestOutput(
+            request_id=seq.seq_id,
+            prompt_token_ids=seq.prompt_token_ids,
+            output_token_ids=list(seq.output_token_ids),
+            finished=True,
+            finish_reason=seq.finish_reason,
+            text=text,
+        )
+
+
+def _to_device_st(st):
+    import jax.numpy as jnp
+    from qspec_tpu.ops.sampling import SamplingTensors
+    return SamplingTensors(*(jnp.asarray(t) for t in st))

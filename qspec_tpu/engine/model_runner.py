@@ -1,0 +1,289 @@
+"""Model runner: builds and caches the jitted TPU step functions.
+
+TPU-native analogue of the reference's GPUModelRunner + CUDAGraphRunner +
+TP1DraftModelRunner (vllm/worker/model_runner.py:990,2012;
+vllm/spec_decode/draft_model_runner.py). Where the reference captures CUDA
+graphs per batch size, we compile one XLA executable per (phase, batch
+bucket) — jit *is* the graph capture. The QSpec scheme switch
+(spec_decode_worker.py:795-812) appears here as two step functions closed
+over the *same* params pytree: `draft_steps` (scheme=w4a4, scans k draft
+tokens fully on-device — replacing the csrc advance_step kernel) and
+`verify_step` (scheme=w4a16 + fused rejection sampling).
+
+All functions take/return the paged caches functionally with donation, so
+XLA updates the KV pages in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qspec_tpu.config import EngineConfig
+from qspec_tpu.models.llama import AttentionBatch, model_forward
+from qspec_tpu.ops import kv_cache as kvc
+from qspec_tpu.ops.sampling import (RejectionResult, SamplingTensors,
+                                    rejection_sample, sample, sampling_probs)
+
+
+def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp.ndarray:
+    """Flat kv slot for absolute positions. block_tables [B, P], pos [B, Q]."""
+    page_idx = pos // page_size
+    page_id = jnp.take_along_axis(block_tables, page_idx, axis=1)
+    return page_id * page_size + pos % page_size
+
+
+# ---------------------------------------------------------------------------
+# jitted step functions (pure; closed over static cfg/scheme)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+                   donate_argnames=("cache",))
+def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
+                 *, cfg, scheme, axis_name=None):
+    """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
+    the final valid position ([1, V]) and the updated cache.
+
+    `ctx_len` [1] counts tokens including this chunk; padded tail positions
+    (>= ctx_len) write to the null page and are masked out of attention by
+    the kernel's causal/length mask.
+    """
+    page_size = cache.page_size
+    Q = token_ids.shape[1]
+    valid = positions < ctx_len[:, None]
+    slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
+    batch = AttentionBatch(positions=positions, slot_mapping=slot,
+                           block_tables=block_tables, ctx_lens=ctx_len)
+    logits, cache = model_forward(params, cfg, token_ids, cache, batch,
+                                  scheme=scheme, axis_name=axis_name)
+    last_idx = jnp.clip(ctx_len[0] - 1 - positions[0, 0], 0, Q - 1)
+    return logits[:, last_idx], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+                   donate_argnames=("cache",))
+def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
+                *, cfg, scheme, axis_name=None):
+    """Autoregressive decode: one token per sequence.
+
+    last_tokens [B] (not yet processed), start_pos [B] = their positions.
+    Returns (next_tokens [B], cache).
+    """
+    page_size = cache.page_size
+    pos = start_pos[:, None]
+    slot = _slot_of(block_tables, pos, page_size)
+    batch = AttentionBatch(positions=pos, slot_mapping=slot,
+                           block_tables=block_tables, ctx_lens=start_pos + 1)
+    logits, cache = model_forward(params, cfg, last_tokens[:, None], cache, batch,
+                                  scheme=scheme, axis_name=axis_name)
+    next_tokens = sample(logits[:, 0], st, key)
+    return next_tokens, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "k", "axis_name"),
+                   donate_argnames=("cache",))
+def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
+                *, cfg, scheme, k, axis_name=None):
+    """k sequential draft steps fully on-device (lax.scan).
+
+    Replaces the reference's TP1DraftModelRunner python loop + advance_step
+    CUDA kernel (draft_model_runner.py:280-341, csrc/prepare_inputs/
+    advance_step.cu). Returns (draft_tokens [B, k], draft_probs [B, k, V],
+    cache).
+    """
+    page_size = cache.page_size
+
+    def body(carry, step_key):
+        cache, tok, pos = carry
+        p = pos[:, None]
+        slot = _slot_of(block_tables, p, page_size)
+        batch = AttentionBatch(positions=p, slot_mapping=slot,
+                               block_tables=block_tables, ctx_lens=pos + 1)
+        logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
+                                      scheme=scheme, axis_name=axis_name)
+        probs = sampling_probs(logits[:, 0], st)
+        nxt = sample(logits[:, 0], st, step_key)
+        return (cache, nxt, pos + 1), (nxt, probs)
+
+    keys = jax.random.split(key, k)
+    (cache, _, _), (toks, probs) = jax.lax.scan(
+        body, (cache, last_tokens, start_pos), keys)
+    return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(probs, 0, 1), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+                   donate_argnames=("cache",))
+def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
+                block_tables, st, key, *, cfg, scheme, axis_name=None):
+    """Score k+1 positions in one pass and rejection-sample.
+
+    The MQA-scorer idea (vllm/spec_decode/mqa_scorer.py:10): the whole
+    [last, d_1..d_k] window is one attention call per sequence, so the target
+    weights stream once for k+1 tokens. Fuses the RejectionSampler
+    (layers/rejection_sampler.py:60) into the same executable.
+    """
+    page_size = cache.page_size
+    B, k = draft_tokens.shape
+    tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
+    positions = start_pos[:, None] + jnp.arange(k + 1)[None, :]
+    slot = _slot_of(block_tables, positions, page_size)
+    batch = AttentionBatch(positions=positions, slot_mapping=slot,
+                           block_tables=block_tables, ctx_lens=start_pos + k + 1)
+    logits, cache = model_forward(params, cfg, tokens, cache, batch,
+                                  scheme=scheme, axis_name=axis_name)  # [B, k+1, V]
+    V = logits.shape[-1]
+    st_rep = SamplingTensors(*(jnp.repeat(t, k + 1) for t in st))
+    target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
+    target_probs = target_probs.reshape(B, k + 1, V)
+    result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
+    return result, cache
+
+
+# ---------------------------------------------------------------------------
+# Runner: host-side padding/bucketing + cache ownership
+# ---------------------------------------------------------------------------
+
+
+class ModelRunner:
+    """Owns params + paged caches and dispatches bucketed jitted steps."""
+
+    def __init__(self, config: EngineConfig, params, num_pages: int,
+                 need_draft_cache: bool = False):
+        self.config = config
+        self.cfg = config.model
+        self.params = params
+        page_size = config.cache.page_size
+        kv_cfg = kvc.KVCacheConfig(
+            num_layers=self.cfg.num_layers, num_kv_heads=self.cfg.num_kv_heads,
+            head_dim=self.cfg.head_dim, num_pages=num_pages, page_size=page_size,
+            dtype=config.cache.kv_cache_dtype)
+        self.cache = kvc.allocate(kv_cfg)
+        self.draft_cache = kvc.allocate(kv_cfg) if need_draft_cache else None
+        self.page_size = page_size
+        self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
+        self.key = jax.random.PRNGKey(0)
+        self._verify_scheme = "w4a16" if self.cfg.quant == "w4" else "bf16"
+
+    # -- helpers ----------------------------------------------------------
+    def _bucket_batch(self, b: int) -> int:
+        for cand in self.config.scheduler.decode_batch_buckets:
+            if b <= cand:
+                return cand
+        return self.config.scheduler.decode_batch_buckets[-1]
+
+    def _bucket_tokens(self, t: int) -> int:
+        for cand in self.config.scheduler.prefill_token_buckets:
+            if t <= cand:
+                return cand
+        return self.config.scheduler.prefill_token_buckets[-1]
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _pad_block_tables(self, tables: list) -> np.ndarray:
+        out = np.zeros((len(tables), self.max_pages_per_seq), np.int32)
+        for i, t in enumerate(tables):
+            n = min(len(t), self.max_pages_per_seq)
+            out[i, :n] = t[:n]
+        return out
+
+    # -- phases -----------------------------------------------------------
+    def run_prefill_chunk(self, seq, start: int, end: int, *, draft: bool = False):
+        """Returns final-position logits (np [V]) when the chunk completes the
+        prompt, else None."""
+        Q = self._bucket_tokens(end - start)
+        toks = np.zeros((1, Q), np.int32)
+        chunk = seq.prompt_token_ids[start:end]
+        toks[0, :len(chunk)] = chunk
+        positions = np.arange(start, start + Q, dtype=np.int32)[None, :]
+        tables = self._pad_block_tables([seq.page_ids])
+        ctx = np.array([end], np.int32)
+        scheme = "w4a4" if draft else self._verify_scheme
+        cache = self.draft_cache if draft else self.cache
+        logits, new_cache = prefill_step(
+            self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
+            jnp.asarray(tables), jnp.asarray(ctx), cfg=self.cfg, scheme=scheme)
+        if draft:
+            self.draft_cache = new_cache
+        else:
+            self.cache = new_cache
+        if end == seq.prompt_len:
+            return logits
+        return None
+
+    def sample_first_token(self, logits, st_row: SamplingTensors) -> int:
+        tok = sample(logits, st_row, self._next_key())
+        return int(jax.device_get(tok)[0])
+
+    def run_decode(self, seqs, sampling: SamplingTensors) -> np.ndarray:
+        """Plain autoregressive decode for `seqs`; returns [B] next tokens."""
+        B = self._bucket_batch(len(seqs))
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        next_tokens, self.cache = decode_step(
+            self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
+            jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
+            cfg=self.cfg, scheme=self._verify_scheme)
+        return np.asarray(jax.device_get(next_tokens))[:len(seqs)]
+
+    def run_spec_round(self, seqs, sampling: SamplingTensors, k: int):
+        """QSpec draft(w4a4) + verify(w4a16) round. Returns (tokens [B, k+1],
+        accepted_len [B], num_draft_accepted [B]) as numpy."""
+        B = self._bucket_batch(len(seqs))
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        tables_j = jnp.asarray(self._pad_block_tables(tables))
+        last_j, pos_j = jnp.asarray(last), jnp.asarray(pos)
+
+        draft_scheme = self.config.speculative.draft_scheme if self.config.speculative else "w4a4"
+        d_toks, d_probs, self.draft_cache = draft_steps(
+            self.params, self.draft_cache, last_j, pos_j, tables_j, st,
+            self._next_key(), cfg=self.cfg, scheme=draft_scheme, k=k)
+        result, self.cache = verify_step(
+            self.params, self.cache, last_j, d_toks, d_probs, pos_j, tables_j,
+            st, self._next_key(), cfg=self.cfg, scheme=self._verify_scheme)
+        res = jax.device_get(result)
+        n = len(seqs)
+        return (np.asarray(res.tokens)[:n], np.asarray(res.accepted_len)[:n],
+                np.asarray(res.num_draft_accepted)[:n])
+
+
+def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
+    def pad(x, fill):
+        arr = np.asarray(x, np.float32 if x.dtype != np.int32 else np.int32)
+        out = np.full(bucket, fill, arr.dtype)
+        out[:n] = arr[:n]
+        return jnp.asarray(out)
+    return SamplingTensors(
+        temperature=pad(np.asarray(st.temperature), 0.0),
+        top_k=pad(np.asarray(st.top_k, np.int32), 0),
+        top_p=pad(np.asarray(st.top_p), 1.0),
+        min_p=pad(np.asarray(st.min_p), 0.0),
+    )
+
+
+def make_sampling_tensors(seqs) -> SamplingTensors:
+    return SamplingTensors(
+        temperature=np.array([s.sampling_params.temperature for s in seqs], np.float32),
+        top_k=np.array([s.sampling_params.top_k for s in seqs], np.int32),
+        top_p=np.array([s.sampling_params.top_p for s in seqs], np.float32),
+        min_p=np.array([s.sampling_params.min_p for s in seqs], np.float32),
+    )

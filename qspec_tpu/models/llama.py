@@ -1,0 +1,317 @@
+"""Dual-scheme Llama for TPU: one packed-int4 param pytree, three forwards.
+
+TPU-native reimplementation of the reference's QuaRot Llama
+(/root/reference/vllm/model_executor/models/quarot_llama.py) and, with
+``quant="none"``, of its standard Llama. The QSpec property — W4A4 draft and
+W4A16 verify sharing the *same* weight buffers with "nearly cost-free"
+switching (spec_decode_worker.py:795-812) — maps here to a static ``scheme``
+argument: two jitted step functions closed over one param pytree. Switching
+schemes is literally calling the other compiled executable on the same
+buffers; nothing is copied.
+
+Structure per layer (quarot checkpoints; reference quarot_llama.py:319-433):
+
+    x ─ rmsnorm[+int4 quant] ─ qkv(w4) ─ rope ─ paged KV write ─ attention
+      ─ head-Hadamard(H_heads) ─ [quant] ─ o(w4) ─ +residual
+      ─ rmsnorm[+quant] ─ gate_up(w4) ─ silu*up ─ Hadamard(H_I) ─ [quant]
+      ─ down(w4) ─ +residual
+
+Norms are weightless for quant="w4" (gammas folded offline, see
+rmsnorm_quant.py); standard models use gamma norms and skip the Hadamards.
+
+All functions take *local* (per-shard) params and activations and are meant
+to run either directly (single chip) or inside ``shard_map`` with
+``axis_name`` set, in which case the row-parallel projections psum and the
+Hadamard mixes run on gathered activations (see parallel/tp.py for the
+sharding rules).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qspec_tpu.config import ModelConfig
+from qspec_tpu.ops import kv_cache as kvc
+from qspec_tpu.ops.attention import paged_attention
+from qspec_tpu.ops.hadamard import hadamard_matrix
+from qspec_tpu.ops.linear_kernels import (matmul_w4a4, matmul_w4a4_ref, matmul_w4a16,
+                                          matmul_w4a16_ref)
+from qspec_tpu.ops.packing import quantize_weight_int4
+from qspec_tpu.ops.quant import sym_quant_int4
+from qspec_tpu.ops.rmsnorm_quant import rmsnorm, rmsnorm_quant
+from qspec_tpu.ops.rotary import apply_rope, make_rope_cache
+from qspec_tpu.ops._kernel_utils import backend_is_tpu
+
+SCHEMES = ("w4a4", "w4a16", "bf16")
+
+
+class AttentionBatch(NamedTuple):
+    """Static-shape attention metadata for one (B, Q) token block.
+
+    The TPU analogue of the reference's AttentionMetadata
+    (vllm/attention/backends/abstract.py:242): positions/slots are
+    precomputed host-side by the scheduler, ctx_lens include the Q new
+    tokens, and padded slots carry ctx_len 0 and slot 0 (the reserved null
+    page).
+    """
+
+    positions: jnp.ndarray     # [B, Q] int32
+    slot_mapping: jnp.ndarray  # [B, Q] int32 flat kv slots
+    block_tables: jnp.ndarray  # [B, max_pages] int32
+    ctx_lens: jnp.ndarray      # [B] int32, includes the Q new tokens
+
+
+def _linear(x, w, scheme, xq=None):
+    """Dispatch one projection by scheme. w: dict with keys per scheme."""
+    if scheme == "bf16":
+        out = jnp.dot(x, w["w"], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    elif scheme == "w4a16":
+        fn = matmul_w4a16 if backend_is_tpu() else matmul_w4a16_ref
+        out = fn(x, w["qw"], w["qs"])
+    else:  # w4a4
+        fn = matmul_w4a4 if backend_is_tpu() else matmul_w4a4_ref
+        out = fn(xq.values, xq.scales, w["qw"], w["qs"])
+    if "b" in w:
+        out = out + w["b"].astype(out.dtype)[None, :]
+    return out
+
+
+def _norm_maybe_quant(x, gamma, eps, scheme):
+    """Returns (normed bf16 or None, quantized or None)."""
+    if scheme == "w4a4":
+        if gamma is None:
+            return None, rmsnorm_quant(x, eps=eps)
+        from qspec_tpu.ops.rmsnorm_quant import rmsnorm_quant_ref
+        return None, rmsnorm_quant_ref(x, gamma, eps=eps)
+    return rmsnorm(x, gamma, eps=eps), None
+
+
+def _head_hadamard(attn, h_heads):
+    """Mix across the head axis: reference applies H_{num_heads}/sqrt(nh) to
+    [.., heads] slices (quarot_llama.py:230-233, hadamard_dim=num_heads)."""
+    nh = attn.shape[1]
+    out = jnp.einsum("jh,thd->tjd", h_heads, attn.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return (out * (1.0 / math.sqrt(nh))).astype(attn.dtype)
+
+
+def _mlp_hadamard(x, hK, hP):
+    """H_K (x) H_P over the intermediate dim (see ops/hadamard.py)."""
+    n = x.shape[-1]
+    K = hK.shape[0]
+    P = n // K
+    xf = x.astype(jnp.float32).reshape(x.shape[0], K, P)
+    xf = jnp.einsum("tkp,pq->tkq", xf, hP, preferred_element_type=jnp.float32)
+    if K > 1:
+        xf = jnp.einsum("jk,tkp->tjp", hK, xf, preferred_element_type=jnp.float32)
+    return (xf.reshape(x.shape) * (1.0 / math.sqrt(n))).astype(x.dtype)
+
+
+def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
+                  rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None):
+    """One decoder layer. x: [T, H_local? no: hidden] bf16 (replicated across
+    the model axis); caches: (k_pages, v_pages) for this layer, local kv heads.
+
+    Returns (x_out, (k_pages, v_pages)).
+    """
+    B, Q = batch.positions.shape
+    T = B * Q
+    quarot = cfg.quant == "w4"
+    gamma_in = None if quarot else layer["input_norm"]
+    gamma_post = None if quarot else layer["post_norm"]
+
+    ntp = 1 if axis_name is None else jax.lax.axis_size(axis_name)
+    heads_l = cfg.num_heads // ntp
+    kv_heads_l = cfg.num_kv_heads // ntp
+    q_size_l = heads_l * cfg.head_dim
+    kv_size_l = kv_heads_l * cfg.head_dim
+
+    # --- attention block ---
+    xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme)
+    qkv = _linear(xn, layer["qkv"], scheme, xq)  # [T, (q+2kv) local]
+    q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
+    q = q.reshape(T, heads_l, cfg.head_dim)
+    k = k.reshape(T, kv_heads_l, cfg.head_dim)
+    v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
+    q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache)
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+
+    k_pages, v_pages = caches
+    cache1 = kvc.PagedKVCache(k_pages[None], v_pages[None])
+    cache1 = kvc.update_layer(cache1, 0, k, v, batch.slot_mapping.reshape(-1))
+    scale = cfg.head_dim ** -0.5
+    attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache1, 0,
+                           batch.block_tables, batch.ctx_lens, scale)
+    attn = attn.reshape(T, heads_l, cfg.head_dim)
+
+    if quarot:
+        if axis_name is not None and ntp > 1:
+            # H_heads mixes across ALL heads: gather them, rotate, then keep
+            # the local slice this shard's o_proj rows consume.
+            attn = jax.lax.all_gather(attn, axis_name, axis=1, tiled=True)
+            attn = _head_hadamard(attn, hadamards["heads"])
+            attn_flat = attn.reshape(T, cfg.num_heads * cfg.head_dim)
+            if scheme == "w4a4":
+                aq = sym_quant_int4(attn_flat)  # scale over the full row
+                idx = jax.lax.axis_index(axis_name)
+                vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * q_size_l, q_size_l, 1)
+                aq = aq._replace(values=vals)
+                o = _linear(None, layer["o"], scheme, aq)
+            else:
+                idx = jax.lax.axis_index(axis_name)
+                loc = jax.lax.dynamic_slice_in_dim(attn_flat, idx * q_size_l, q_size_l, 1)
+                o = _linear(loc, layer["o"], scheme)
+        else:
+            attn = _head_hadamard(attn, hadamards["heads"])
+            attn_flat = attn.reshape(T, q_size_l)
+            if scheme == "w4a4":
+                o = _linear(None, layer["o"], scheme, sym_quant_int4(attn_flat))
+            else:
+                o = _linear(attn_flat, layer["o"], scheme)
+    else:
+        o = _linear(attn.reshape(T, q_size_l), layer["o"], scheme)
+    if axis_name is not None:
+        o = jax.lax.psum(o, axis_name)
+    x = x + o.astype(x.dtype)
+
+    # --- mlp block ---
+    xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme)
+    gate_up = _linear(xn, layer["gate_up"], scheme, xq)  # [T, 2*I/ntp]
+    i_local = gate_up.shape[-1] // 2
+    gate, up = gate_up[:, :i_local], gate_up[:, i_local:]
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    if quarot:
+        if axis_name is not None and ntp > 1:
+            act = jax.lax.all_gather(act, axis_name, axis=1, tiled=True)
+        act = _mlp_hadamard(act, hadamards["mlp_K"], hadamards["mlp_P"])
+        if axis_name is not None and ntp > 1:
+            idx = jax.lax.axis_index(axis_name)
+            if scheme == "w4a4":
+                aq = sym_quant_int4(act)
+                vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * i_local, i_local, 1)
+                down = _linear(None, layer["down"], scheme, aq._replace(values=vals))
+            else:
+                loc = jax.lax.dynamic_slice_in_dim(act, idx * i_local, i_local, 1)
+                down = _linear(loc, layer["down"], scheme)
+        else:
+            if scheme == "w4a4":
+                down = _linear(None, layer["down"], scheme, sym_quant_int4(act))
+            else:
+                down = _linear(act, layer["down"], scheme)
+    else:
+        down = _linear(act, layer["down"], scheme)
+    if axis_name is not None:
+        down = jax.lax.psum(down, axis_name)
+    x = x + down.astype(x.dtype)
+    return x, (cache1.k_pages[0], cache1.v_pages[0])
+
+
+def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
+                  cache: kvc.PagedKVCache, batch: AttentionBatch, *,
+                  scheme: str = "w4a16", axis_name: Optional[str] = None):
+    """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
+
+    Mirrors the reference call path LlamaModel.forward -> compute_logits
+    (quarot_llama.py:436-619) as a single jittable function.
+    """
+    assert scheme in SCHEMES
+    if scheme != "bf16" and cfg.quant != "w4":
+        raise ValueError("quantized scheme on an unquantized checkpoint")
+    B, Q = token_ids.shape
+    x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
+
+    rope_cache = params["rope_cache"]
+    hadamards = params.get("hadamards")
+
+    def body(x, layer_and_cache):
+        layer, k_pages, v_pages = layer_and_cache
+        x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
+                                      rope_cache, hadamards, scheme, axis_name)
+        return x, new_caches
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k_pages, cache.v_pages))
+    cache = cache._replace(k_pages=new_k, v_pages=new_v)
+
+    gamma = None if cfg.quant == "w4" else params["final_norm"]
+    x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
+    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
+    return logits.reshape(B, Q, -1), cache
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def make_hadamards(cfg: ModelConfig):
+    """Constant Hadamard factor matrices as f32 arrays (see ops/hadamard.py)."""
+    if cfg.quant != "w4":
+        return None
+    from qspec_tpu.ops.hadamard import decompose_dim
+    K, P = decompose_dim(cfg.intermediate_size)
+    return {
+        "heads": jnp.asarray(hadamard_matrix(cfg.num_heads), jnp.float32),
+        "mlp_K": jnp.asarray(hadamard_matrix(K), jnp.float32),
+        "mlp_P": jnp.asarray(hadamard_matrix(P), jnp.float32),
+    }
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
+    """Random-init a full param pytree (QSpec-shaped when cfg.quant == 'w4').
+
+    Used for tests and synthetic benchmarks; real checkpoints come from
+    model_loader (safetensors ingestion / from_float quantization).
+    """
+    rng = np.random.default_rng(seed)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+
+    def dense(i, o, scale=0.02):
+        return (rng.standard_normal((i, o), dtype=np.float32) * scale).astype(np.float32)
+
+    def make_proj(i, o, bias=False):
+        w = dense(i, o)
+        if cfg.quant == "w4":
+            qw, qs = quantize_weight_int4(w)
+            d = {"qw": jnp.asarray(qw), "qs": jnp.asarray(qs)}
+        else:
+            d = {"w": jnp.asarray(w, dtype)}
+        if bias:
+            d["b"] = jnp.asarray(rng.standard_normal(o).astype(np.float32) * 0.01, dtype)
+        return d
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = {
+            "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias),
+            "o": make_proj(cfg.q_size, H),
+            "gate_up": make_proj(H, 2 * I),
+            "down": make_proj(I, H),
+        }
+        if cfg.quant != "w4":
+            layer["input_norm"] = jnp.ones((H,), dtype)
+            layer["post_norm"] = jnp.ones((H,), dtype)
+        layers.append(layer)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    params = {
+        "embed": jnp.asarray(dense(cfg.vocab_size, H), dtype),
+        "lm_head": jnp.asarray(dense(H, cfg.vocab_size), dtype),
+        "layers": stacked,
+        "rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
+                                      cfg.rope_theta, rope_scaling=cfg.rope_scaling),
+    }
+    if cfg.quant == "w4":
+        params["hadamards"] = make_hadamards(cfg)
+    else:
+        params["final_norm"] = jnp.ones((H,), dtype)
+    return params

@@ -1,0 +1,85 @@
+"""Attention over the paged KV cache.
+
+TPU-native replacement for the reference's attention subsystem
+(vllm/attention/backends/flash_attn.py, csrc/attention/paged_attention_v*.cu,
+and the MQA scorer concept in vllm/spec_decode/mqa_scorer.py:10). One
+*chunked* formulation serves all three phases with static shapes:
+
+* decode:  Q = 1 new token per sequence
+* verify:  Q = k + 1 speculative positions per sequence (the MQA-style
+           scorer — all positions scored in one pass over the cache)
+* prefill: Q = chunk of the prompt (chunked prefill)
+
+``paged_attention`` is the semantic reference (gather pages -> dense masked
+attention); `paged_attention_kernel` is the Pallas flash-style kernel used on
+TPU (see attention_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from qspec_tpu.ops.kv_cache import PagedKVCache, gather_layer
+
+NEG_INF = -1e30
+
+
+def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
+                        block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
+                        scale: float) -> jnp.ndarray:
+    """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the Q new ones.
+
+    Query i of sequence b sits at absolute position ctx_lens[b] - Q + i and
+    attends to kv positions <= its own.
+    """
+    B, Q, Hq, D = q.shape
+    k, v = gather_layer(cache, layer, block_tables)  # [B, Hkv, C, D]
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+
+    qf = q.astype(jnp.float32) * scale
+    qf = qf.reshape(B, Q, Hkv, group, D)
+    scores = jnp.einsum("bqhgd,bhcd->bhgqc", qf, k.astype(jnp.float32))
+
+    C = k.shape[2]
+    kv_pos = jnp.arange(C)[None, :]                       # [1, C]
+    q_pos = (ctx_lens[:, None] - Q) + jnp.arange(Q)[None, :]  # [B, Q]
+    mask = kv_pos[None] <= q_pos[:, :, None]              # [B, Q, C]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqc,bhcd->bqhgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, Q, Hq, D).astype(q.dtype)
+
+
+def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          scale: float, valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Dense causal self-attention for one padded sequence.
+
+    q: [T, Hq, D], k/v: [T, Hkv, D]. valid_len masks padding tokens.
+    """
+    T, Hq, D = q.shape
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    qf = (q.astype(jnp.float32) * scale).reshape(T, Hkv, group, D)
+    scores = jnp.einsum("qhgd,chd->hgqc", qf, k.astype(jnp.float32))
+    causal = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]
+    if valid_len is not None:
+        causal = causal & (jnp.arange(T)[None, :] < valid_len)
+    scores = jnp.where(causal[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgqc,chd->qhgd", probs, v.astype(jnp.float32))
+    return out.reshape(T, Hq, D).astype(q.dtype)
+
+
+def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
+                    block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
+    from qspec_tpu.ops._kernel_utils import backend_is_tpu
+    if backend_is_tpu() and cache.k_scales is None:
+        from qspec_tpu.ops.attention_pallas import paged_attention_pallas
+        return paged_attention_pallas(q, cache.k_pages[layer], cache.v_pages[layer],
+                                      block_tables, ctx_lens, scale)
+    return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale)

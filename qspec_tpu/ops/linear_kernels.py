@@ -1,0 +1,204 @@
+"""Quantized matmul kernels: the two hot GEMMs of QSpec, as Pallas MXU kernels.
+
+One packed-int4 weight buffer (see packing.py) serves both:
+
+* ``matmul_w4a16`` — verify path: on-the-fly dequant int4 -> bf16 fused into
+  a bf16 MXU matmul. TPU-native replacement for the reference's BitBLAS
+  dequant GEMM (quarot_nn/linear.py:102-124 `forward_w4a16`).
+* ``matmul_w4a4`` — draft path: int4-range int8 activations x int4 weights on
+  the MXU int8 pipe with int32 accumulation and a rowwise (per-token) x
+  columnwise (per-out-channel) scale epilogue. Replacement for the CUTLASS
+  ``rowwise_scaled_linear_cutlass_s4s4_unified`` GEMM
+  (quarot_nn/linear.py:67-84; third-party/ao .../rowwise_scaled_linear_cutlass).
+
+Kernel structure (shared): grid (N/bn, K/bk) with the contraction dim
+innermost; an f32/int32 VMEM accumulator is zeroed at k==0 and the scale
+epilogue runs at the last k step. The packed weight block [bk//2, bn] is
+unpacked into its low- and high-nibble planes which multiply the first and
+second half of the activation's contraction dim respectively (halves pairing
+— no sublane interleave needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qspec_tpu.ops._kernel_utils import cdiv, interpret_mode, pad_dim, round_up
+from qspec_tpu.ops.packing import unpack_int4, unpack_int4_high, unpack_int4_low
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations (ground truth for tests; CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def matmul_w4a16_ref(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dequantize-to-bf16 matmul: x [M,K] bf16, w_packed [K//2,N], scales [N]."""
+    w = unpack_int4(w_packed).astype(jnp.bfloat16)
+    out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    out = out * w_scales.astype(jnp.float32)[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(jnp.bfloat16)
+
+
+def matmul_w4a4_ref(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
+                    w_scales: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Int4 x int4 matmul with rowwise x columnwise rescale.
+
+    x_q [M,K] int8 (int4 range), x_scales [M] or [M,1], w_packed [K//2,N],
+    w_scales [N]. Output bf16 [M,N].
+    """
+    w = unpack_int4(w_packed)
+    acc = jax.lax.dot_general(x_q, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * x_scales.reshape(-1, 1).astype(jnp.float32)
+    out = out * w_scales.astype(jnp.float32)[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_lo = unpack_int4_low(w_ref[:]).astype(jnp.bfloat16)
+    w_hi = unpack_int4_high(w_ref[:]).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _w4a4_kernel(x_lo_ref, x_hi_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_lo = unpack_int4_low(w_ref[:])
+    w_hi = unpack_int4_high(w_ref[:])
+    acc_ref[:] += jax.lax.dot_general(x_lo_ref[:], w_lo, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot_general(x_hi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32)
+        out = out * sx_ref[:].astype(jnp.float32)          # [M, 1] per-token
+        out = out * sw_ref[:].astype(jnp.float32)          # [1, bn] per-channel
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _choose_blocks(m: int, k_half: int, n: int, x_bytes: int):
+    """Block sizes: keep VMEM under ~8MB while maximizing the weight block."""
+    bn = min(n, 512)
+    # weight block bytes = bk_half * bn; activation block = m * 2*bk_half * x_bytes
+    bk_half = min(k_half, 1024)
+    while bk_half * bn + 2 * m * bk_half * x_bytes > 6 * 1024 * 1024 and bk_half > 128:
+        bk_half //= 2
+    return bk_half, bn
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None, *, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [M, K] bf16 @ packed-int4 w [K//2, N] -> [M, N] out_dtype.
+
+    M is padded to the sublane multiple internally; K and N must be multiples
+    of 256 and 128 respectively (true for all supported model dims).
+    """
+    m, k = x.shape
+    k_half, n = w_packed.shape
+    assert k == 2 * k_half, (x.shape, w_packed.shape)
+
+    m_pad = round_up(max(m, 16), 16)
+    x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
+    bk_half, bn = _choose_blocks(m_pad, k_half, n, 2)
+    grid = (cdiv(n, bn), cdiv(k_half, bk_half))
+
+    out = pl.pallas_call(
+        _w4a16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk_half, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=k_half * n + m_pad * k * 2 + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(x, x, w_packed, w_scales.reshape(1, -1))
+    out = out[:m]
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
+                w_scales: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                *, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantized activations [M, K] int8 x packed-int4 w [K//2, N] -> [M, N]."""
+    m, k = x_q.shape
+    k_half, n = w_packed.shape
+    assert k == 2 * k_half, (x_q.shape, w_packed.shape)
+
+    m_pad = round_up(max(m, 32), 32)  # int8 sublane multiple
+    x_q = pad_dim(x_q, 0, m_pad)
+    x_scales = pad_dim(x_scales.reshape(-1, 1).astype(jnp.float32), 0, m_pad)
+    bk_half, bn = _choose_blocks(m_pad, k_half, n, 1)
+    grid = (cdiv(n, bn), cdiv(k_half, bk_half))
+
+    out = pl.pallas_call(
+        _w4a4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk_half, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=k_half * n + m_pad * k + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(x_q, x_q, w_packed, x_scales, w_scales.reshape(1, -1))
+    out = out[:m]
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out

@@ -1,0 +1,71 @@
+"""Rotary position embedding (neox style), XLA-fused.
+
+Replaces the reference's `ops.rotary_embedding` CUDA kernel and the
+`ERotaryEmbedding` cos/sin cache (csrc/pos_encoding_kernels.cu;
+vllm/model_executor/layers/rotary_embedding.py:77). On TPU the rotation is a
+handful of elementwise ops that XLA fuses into the surrounding kernels, so
+no Pallas is needed — we just precompute the cos/sin cache once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _cos_sin_cache(head_dim: int, max_positions: int, base: float,
+                   scaling_factor: Optional[float]) -> np.ndarray:
+    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    t = np.arange(max_positions, dtype=np.float64)
+    if scaling_factor is not None:
+        t = t / scaling_factor
+    freqs = np.outer(t, inv_freq)
+    return np.stack([np.cos(freqs), np.sin(freqs)], axis=0).astype(np.float32)
+
+
+def make_rope_cache(head_dim: int, max_positions: int = 8192, base: float = 500000.0,
+                    scaling_factor: Optional[float] = None,
+                    rope_scaling: Optional[dict] = None) -> jnp.ndarray:
+    """[2, max_positions, head_dim//2] float32 (cos, sin).
+
+    Supports llama3-style rope scaling (low/high freq factor), matching the HF
+    convention used by the reference's rope variants
+    (vllm/model_executor/layers/rotary_embedding.py, Llama3RotaryEmbedding).
+    """
+    cache = _cos_sin_cache(head_dim, max_positions, base, scaling_factor).copy()
+    if rope_scaling and rope_scaling.get("rope_type", rope_scaling.get("type")) == "llama3":
+        factor = rope_scaling["factor"]
+        low = rope_scaling["low_freq_factor"]
+        high = rope_scaling["high_freq_factor"]
+        orig_ctx = rope_scaling["original_max_position_embeddings"]
+        inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+        wavelen = 2 * np.pi / inv_freq
+        new_inv = np.where(wavelen > orig_ctx / low, inv_freq / factor, inv_freq)
+        smooth = (orig_ctx / wavelen - low) / (high - low)
+        mid = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        is_mid = (wavelen <= orig_ctx / low) & (wavelen >= orig_ctx / high)
+        new_inv = np.where(is_mid, mid, new_inv)
+        t = np.arange(max_positions, dtype=np.float64)
+        freqs = np.outer(t, new_inv)
+        cache = np.stack([np.cos(freqs), np.sin(freqs)], axis=0).astype(np.float32)
+    return jnp.asarray(cache)
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
+               cache: jnp.ndarray):
+    """Neox-style rotation. q: [T, Hq, D], k: [T, Hk, D], positions: [T]."""
+    cos = cache[0][positions][:, None, :]  # [T, 1, D/2]
+    sin = cache[1][positions][:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)

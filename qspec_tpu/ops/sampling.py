@@ -1,0 +1,150 @@
+"""On-device sampling: top-k/p/min-p, seeded PRNG, and the speculative
+rejection sampler.
+
+TPU-native analogue of the reference's Sampler
+(vllm/model_executor/layers/sampler.py:160) and RejectionSampler
+(vllm/model_executor/layers/rejection_sampler.py:28,60). Everything is
+jittable with static shapes: per-sequence temperatures/top-k/top-p arrive as
+batched vectors so one compiled sampler serves mixed-parameter batches, and
+the rejection sampler returns a fixed [B, k+1] token rectangle plus an
+accepted-length vector instead of ragged outputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class SamplingTensors(NamedTuple):
+    """Per-sequence sampling knobs, padded to the batch bucket."""
+
+    temperature: jnp.ndarray  # [B] f32; 0 => greedy
+    top_k: jnp.ndarray        # [B] int32; <= 0 => disabled
+    top_p: jnp.ndarray        # [B] f32; 1.0 => disabled
+    min_p: jnp.ndarray        # [B] f32; 0 => disabled
+
+    @staticmethod
+    def greedy(batch: int) -> "SamplingTensors":
+        return SamplingTensors(jnp.zeros(batch), jnp.zeros(batch, jnp.int32),
+                               jnp.ones(batch), jnp.zeros(batch))
+
+
+def _apply_top_k(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
+    vocab = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # descending
+    k = jnp.clip(top_k, 1, vocab)
+    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)
+    keep = logits >= kth
+    keep = jnp.where((top_k > 0)[:, None], keep, True)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def _apply_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep the smallest prefix with cumulative mass >= top_p
+    cutoff_mask = cum - probs < top_p[:, None]
+    kth = jnp.max(jnp.where(cutoff_mask, sorted_logits, NEG_INF), axis=-1, keepdims=True)
+    keep = logits >= kth
+    keep = jnp.where((top_p < 1.0)[:, None], keep, True)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def _apply_min_p(logits: jnp.ndarray, min_p: jnp.ndarray) -> jnp.ndarray:
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    keep = probs >= pmax * min_p[:, None]
+    keep = jnp.where((min_p > 0)[:, None], keep, True)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
+    """logits [B, V] -> post-filter sampling distribution [B, V] (f32).
+
+    Greedy rows (temperature 0) produce a one-hot argmax distribution, which
+    makes rejection sampling reduce exactly to 'accept iff argmax matches' —
+    the invariant behind the greedy spec == greedy AR test.
+    """
+    lf = logits.astype(jnp.float32)
+    temp = jnp.where(st.temperature > 0, st.temperature, 1.0)
+    lf = lf / temp[:, None]
+    lf = _apply_top_k(lf, st.top_k)
+    lf = _apply_top_p(lf, st.top_p)
+    lf = _apply_min_p(lf, st.min_p)
+    probs = jax.nn.softmax(lf, axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32)
+    return jnp.where((st.temperature == 0)[:, None], onehot, probs)
+
+
+def sample(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array) -> jnp.ndarray:
+    """Sample one token per row. [B, V] -> [B] int32."""
+    probs = sampling_probs(logits, st)
+    sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
+
+
+class RejectionResult(NamedTuple):
+    tokens: jnp.ndarray        # [B, k+1] int32, -1 past accepted_len
+    accepted_len: jnp.ndarray  # [B] int32 in [1, k+1]: accepted draft + 1
+    num_draft_accepted: jnp.ndarray  # [B] int32 in [0, k]
+
+
+def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
+                     target_probs: jnp.ndarray, key: jax.Array) -> RejectionResult:
+    """Lossless speculative verification (reference rejection_sampler.py:60).
+
+    draft_tokens: [B, k]; draft_probs: [B, k, V] (draft sampling dist q);
+    target_probs: [B, k+1, V] (target dist p at each position). Per sequence:
+    accept d_i with prob min(1, p_i(d_i)/q_i(d_i)); at the first rejection
+    emit a recovery token from norm(max(p_i - q_i, 0)); if all k accepted,
+    emit a bonus token from p_k. Output distribution provably equals the
+    target's — verified in tests against autoregressive decoding.
+    """
+    B, k = draft_tokens.shape
+    u_key, rec_key, bonus_key = jax.random.split(key, 3)
+
+    p_at_d = jnp.take_along_axis(target_probs[:, :k], draft_tokens[..., None],
+                                 axis=-1).squeeze(-1)  # [B, k]
+    q_at_d = jnp.take_along_axis(draft_probs, draft_tokens[..., None],
+                                 axis=-1).squeeze(-1)
+    u = jax.random.uniform(u_key, (B, k))
+    accept = u < jnp.minimum(1.0, p_at_d / jnp.maximum(q_at_d, 1e-30))
+
+    # number of leading accepts
+    rejected = ~accept
+    first_rej = jnp.where(jnp.any(rejected, axis=1),
+                          jnp.argmax(rejected, axis=1), k)  # [B] in [0, k]
+    n_acc = first_rej
+
+    # recovery distribution at the first rejected position
+    pos = jnp.minimum(n_acc, k - 1)
+    p_rej = jnp.take_along_axis(target_probs, pos[:, None, None], axis=1)[:, 0]  # [B, V]
+    q_rej = jnp.take_along_axis(draft_probs, pos[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_rej - q_rej, 0.0)
+    resid_sum = jnp.sum(resid, axis=-1, keepdims=True)
+    # degenerate case (q covers p exactly): fall back to p
+    resid = jnp.where(resid_sum > 1e-9, resid, p_rej)
+    recovery = jax.random.categorical(
+        rec_key, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1).astype(jnp.int32)
+
+    bonus = jax.random.categorical(
+        bonus_key, jnp.log(jnp.maximum(target_probs[:, k], 1e-30)), axis=-1
+    ).astype(jnp.int32)
+
+    all_accepted = n_acc == k
+    final_tok = jnp.where(all_accepted, bonus, recovery)  # token at slot n_acc
+    accepted_len = n_acc + 1
+
+    slots = jnp.arange(k + 1)[None, :]
+    out = jnp.where(slots < n_acc[:, None],
+                    jnp.pad(draft_tokens, ((0, 0), (0, 1))), -1)
+    out = jnp.where(slots == n_acc[:, None], final_tok[:, None], out)
+    return RejectionResult(out.astype(jnp.int32), accepted_len.astype(jnp.int32),
+                           n_acc.astype(jnp.int32))

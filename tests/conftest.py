@@ -1,0 +1,21 @@
+"""Test env: force CPU with 8 virtual devices (multi-chip sharding tests).
+
+Must set env vars before jax initializes — mirrors the reference's
+containers-on-one-host multi-GPU simulation strategy
+(/root/reference/.buildkite/run-multi-node-test.sh).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

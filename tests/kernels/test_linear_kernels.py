@@ -1,0 +1,60 @@
+"""Quantized matmul kernels vs jnp references (interpret mode on CPU).
+
+Mirrors /root/reference/tests/kernels/test_marlin_gemm.py-style sweeps.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qspec_tpu.ops.linear_kernels import (matmul_w4a4, matmul_w4a4_ref,
+                                          matmul_w4a16, matmul_w4a16_ref)
+from qspec_tpu.ops.packing import quantize_weight_int4
+from qspec_tpu.ops.quant import sym_quant_int4, sym_quant_int8, sym_dequant
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 128), (7, 512, 256), (16, 1024, 384)])
+def test_w4a16_matches_ref(rng, m, k, n):
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int4(w)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16)
+    out = matmul_w4a16(x, jnp.asarray(qw), jnp.asarray(qs))
+    ref = matmul_w4a16_ref(x, jnp.asarray(qw), jnp.asarray(qs))
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 128), (5, 512, 256), (32, 1024, 384)])
+def test_w4a4_matches_ref(rng, m, k, n):
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int4(w)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16)
+    xq = sym_quant_int4(x)
+    out = matmul_w4a4(xq.values, xq.scales, jnp.asarray(qw), jnp.asarray(qs))
+    ref = matmul_w4a4_ref(xq.values, xq.scales, jnp.asarray(qw), jnp.asarray(qs))
+    # int32 accumulation is exact; only the f32->bf16 epilogue rounds
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_w4a16_dequant_accuracy(rng):
+    """The kernel must be faithful to symmetric per-channel dequant semantics
+    (the 'verify path lossless' requirement, BASELINE.md)."""
+    k, n = 512, 256
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int4(w)
+    x = jnp.asarray(np.eye(k, dtype=np.float32)[:8], jnp.bfloat16)  # picks out rows
+    out = np.asarray(matmul_w4a16(x, jnp.asarray(qw), jnp.asarray(qs)), np.float32)
+    from qspec_tpu.ops.packing import unpack_int4_np
+    wd = unpack_int4_np(qw).astype(np.float32) * qs[None, :]
+    np.testing.assert_allclose(out, wd[:8], rtol=1e-2, atol=1e-3)
+
+
+def test_sym_quant_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    for fn, bits in [(sym_quant_int4, 4), (sym_quant_int8, 8)]:
+        q = fn(x)
+        deq = np.asarray(sym_dequant(q, jnp.float32))
+        step = np.asarray(q.scales)
+        assert np.all(np.abs(deq - np.asarray(x)) <= 0.51 * step + 1e-6)
