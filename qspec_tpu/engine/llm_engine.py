@@ -39,7 +39,7 @@ class RequestOutput:
 
 class LLMEngine:
     def __init__(self, config: EngineConfig, params, num_pages: Optional[int] = None,
-                 eos_token_id: Optional[int] = None, tokenizer=None):
+                 eos_token_id: Optional[int] = None, tokenizer=None, mesh=None):
         self.config = config
         self.eos_token_id = eos_token_id
         self.tokenizer = tokenizer
@@ -49,7 +49,8 @@ class LLMEngine:
         if num_pages is None:
             num_pages = self._derive_num_pages()
         self.runner = ModelRunner(config, params, num_pages,
-                                  need_draft_cache=self.spec is not None)
+                                  need_draft_cache=self.spec is not None,
+                                  mesh=mesh)
         self.block_manager = BlockManager(num_pages, config.cache.page_size)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)

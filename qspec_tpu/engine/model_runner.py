@@ -153,10 +153,11 @@ class ModelRunner:
     """Owns params + paged caches and dispatches bucketed jitted steps."""
 
     def __init__(self, config: EngineConfig, params, num_pages: int,
-                 need_draft_cache: bool = False):
+                 need_draft_cache: bool = False, mesh=None):
         self.config = config
         self.cfg = config.model
         self.params = params
+        self.mesh = mesh
         page_size = config.cache.page_size
         kv_cfg = kvc.KVCacheConfig(
             num_layers=self.cfg.num_layers, num_kv_heads=self.cfg.num_kv_heads,
@@ -168,6 +169,31 @@ class ModelRunner:
         self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
         self.key = jax.random.PRNGKey(0)
         self._verify_scheme = "w4a16" if self.cfg.quant == "w4" else "bf16"
+        k = config.speculative.num_speculative_tokens if config.speculative else 1
+        draft_scheme = (config.speculative.draft_scheme if config.speculative
+                        else "w4a4")
+        if mesh is not None:
+            from qspec_tpu.parallel.tp import (make_tp_step_fns, shard_cache,
+                                               shard_params)
+            self.params = shard_params(params, self.cfg, mesh)
+            self.cache = shard_cache(self.cache, mesh)
+            if self.draft_cache is not None:
+                self.draft_cache = shard_cache(self.draft_cache, mesh)
+            self.fns = make_tp_step_fns(mesh, self.cfg, self.params,
+                                        self._verify_scheme, draft_scheme, k)
+        else:
+            self.fns = {
+                "prefill": functools.partial(prefill_step, cfg=self.cfg,
+                                             scheme=self._verify_scheme),
+                "prefill_draft": functools.partial(prefill_step, cfg=self.cfg,
+                                                   scheme=draft_scheme),
+                "decode": functools.partial(decode_step, cfg=self.cfg,
+                                            scheme=self._verify_scheme),
+                "draft": functools.partial(draft_steps, cfg=self.cfg,
+                                           scheme=draft_scheme, k=k),
+                "verify": functools.partial(verify_step, cfg=self.cfg,
+                                            scheme=self._verify_scheme),
+            }
 
     # -- helpers ----------------------------------------------------------
     def _bucket_batch(self, b: int) -> int:
@@ -204,11 +230,11 @@ class ModelRunner:
         positions = np.arange(start, start + Q, dtype=np.int32)[None, :]
         tables = self._pad_block_tables([seq.page_ids])
         ctx = np.array([end], np.int32)
-        scheme = "w4a4" if draft else self._verify_scheme
+        fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
         cache = self.draft_cache if draft else self.cache
-        logits, new_cache = prefill_step(
+        logits, new_cache = fn(
             self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(tables), jnp.asarray(ctx), cfg=self.cfg, scheme=scheme)
+            jnp.asarray(tables), jnp.asarray(ctx))
         if draft:
             self.draft_cache = new_cache
         else:
@@ -232,10 +258,9 @@ class ModelRunner:
             pos[i] = s.num_tokens - 1
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
-        next_tokens, self.cache = decode_step(
+        next_tokens, self.cache = self.fns["decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
-            jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
-            cfg=self.cfg, scheme=self._verify_scheme)
+            jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
         return np.asarray(jax.device_get(next_tokens))[:len(seqs)]
 
     def run_spec_round(self, seqs, sampling: SamplingTensors, k: int):
@@ -253,13 +278,12 @@ class ModelRunner:
         tables_j = jnp.asarray(self._pad_block_tables(tables))
         last_j, pos_j = jnp.asarray(last), jnp.asarray(pos)
 
-        draft_scheme = self.config.speculative.draft_scheme if self.config.speculative else "w4a4"
-        d_toks, d_probs, self.draft_cache = draft_steps(
+        d_toks, d_probs, self.draft_cache = self.fns["draft"](
             self.params, self.draft_cache, last_j, pos_j, tables_j, st,
-            self._next_key(), cfg=self.cfg, scheme=draft_scheme, k=k)
-        result, self.cache = verify_step(
+            self._next_key())
+        result, self.cache = self.fns["verify"](
             self.params, self.cache, last_j, d_toks, d_probs, pos_j, tables_j,
-            st, self._next_key(), cfg=self.cfg, scheme=self._verify_scheme)
+            st, self._next_key())
         res = jax.device_get(result)
         n = len(seqs)
         return (np.asarray(res.tokens)[:n], np.asarray(res.accepted_len)[:n],

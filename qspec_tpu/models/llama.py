@@ -266,7 +266,62 @@ def make_hadamards(cfg: ModelConfig):
     }
 
 
-def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
+def pack_proj_weight(w: np.ndarray, cfg_quant: str, *, shard_in: bool = False,
+                     col_blocks=None, tp_size: int = 1, bias: Optional[np.ndarray] = None,
+                     dtype=jnp.bfloat16) -> dict:
+    """Build one projection's param dict with TP-aware layout.
+
+    w: [in, out] float. Two TP-driven layout rules (see parallel/tp.py):
+
+    * ``shard_in`` (row-parallel: o_proj, down_proj): the packed-int4 halves
+      pairing must stay *within* each shard's contiguous row chunk, so each
+      of the tp_size chunks is packed independently and the packed rows
+      concatenated — shard r of the global packed array then unpacks exactly
+      its local activation slice.
+    * ``col_blocks`` (column-parallel with heterogeneous outputs: qkv's
+      (q, k, v), gate_up's (gate, up)): the output columns are re-arranged
+      into tp_size blocks of (part0/tp, part1/tp, ...) so a contiguous shard
+      of the out axis carries its slice of *every* part, matching the layer
+      code's local splits.
+    """
+    if col_blocks and tp_size > 1:
+        parts = np.split(w, np.cumsum(col_blocks)[:-1], axis=1)
+        chunks = []
+        for r in range(tp_size):
+            for p in parts:
+                psz = p.shape[1] // tp_size
+                chunks.append(p[:, r * psz:(r + 1) * psz])
+        w = np.concatenate(chunks, axis=1)
+        if bias is not None:
+            bparts = np.split(bias, np.cumsum(col_blocks)[:-1])
+            bias = np.concatenate([bp[r * (len(bp) // tp_size):(r + 1) * (len(bp) // tp_size)]
+                                   for r in range(tp_size) for bp in bparts])
+    if cfg_quant == "w4":
+        if shard_in and tp_size > 1:
+            rows = np.split(w, tp_size, axis=0)
+            packed = []
+            scales = None
+            # one scale set per out channel; absmax over the FULL row so all
+            # shards agree (quantization is per-out-channel globally)
+            absmax = np.abs(w).max(axis=0, keepdims=True)
+            scale = np.maximum(absmax, 1e-8) / 7.0
+            for rw in rows:
+                q = np.clip(np.rint(rw / scale), -8, 7).astype(np.int8)
+                from qspec_tpu.ops.packing import pack_int4_np
+                packed.append(pack_int4_np(q))
+            d = {"qw": jnp.asarray(np.concatenate(packed, axis=0)),
+                 "qs": jnp.asarray(scale.squeeze(0).astype(np.float32))}
+        else:
+            qw, qs = quantize_weight_int4(w)
+            d = {"qw": jnp.asarray(qw), "qs": jnp.asarray(qs)}
+    else:
+        d = {"w": jnp.asarray(w, dtype)}
+    if bias is not None:
+        d["b"] = jnp.asarray(bias, dtype)
+    return d
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: int = 1):
     """Random-init a full param pytree (QSpec-shaped when cfg.quant == 'w4').
 
     Used for tests and synthetic benchmarks; real checkpoints come from
@@ -278,24 +333,20 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
     def dense(i, o, scale=0.02):
         return (rng.standard_normal((i, o), dtype=np.float32) * scale).astype(np.float32)
 
-    def make_proj(i, o, bias=False):
-        w = dense(i, o)
-        if cfg.quant == "w4":
-            qw, qs = quantize_weight_int4(w)
-            d = {"qw": jnp.asarray(qw), "qs": jnp.asarray(qs)}
-        else:
-            d = {"w": jnp.asarray(w, dtype)}
-        if bias:
-            d["b"] = jnp.asarray(rng.standard_normal(o).astype(np.float32) * 0.01, dtype)
-        return d
+    def make_proj(i, o, bias=False, *, shard_in=False, col_blocks=None):
+        b = (rng.standard_normal(o).astype(np.float32) * 0.01) if bias else None
+        return pack_proj_weight(dense(i, o), cfg.quant, shard_in=shard_in,
+                                col_blocks=col_blocks, tp_size=tp_size, bias=b,
+                                dtype=dtype)
 
     layers = []
     for _ in range(cfg.num_layers):
         layer = {
-            "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias),
-            "o": make_proj(cfg.q_size, H),
-            "gate_up": make_proj(H, 2 * I),
-            "down": make_proj(I, H),
+            "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias,
+                             col_blocks=(cfg.q_size, cfg.kv_size, cfg.kv_size)),
+            "o": make_proj(cfg.q_size, H, shard_in=True),
+            "gate_up": make_proj(H, 2 * I, col_blocks=(I, I)),
+            "down": make_proj(I, H, shard_in=True),
         }
         if cfg.quant != "w4":
             layer["input_norm"] = jnp.ones((H,), dtype)

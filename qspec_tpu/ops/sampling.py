@@ -74,9 +74,17 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
     lf = logits.astype(jnp.float32)
     temp = jnp.where(st.temperature > 0, st.temperature, 1.0)
     lf = lf / temp[:, None]
-    lf = _apply_top_k(lf, st.top_k)
-    lf = _apply_top_p(lf, st.top_p)
-    lf = _apply_min_p(lf, st.min_p)
+
+    def filtered(x):
+        x = _apply_top_k(x, st.top_k)
+        x = _apply_top_p(x, st.top_p)
+        return _apply_min_p(x, st.min_p)
+
+    # the top-k/p/min-p filters need full-vocab sorts; skip them at runtime
+    # when no row asks for them (the common greedy/plain-temperature case)
+    needs_filter = (jnp.any(st.top_k > 0) | jnp.any(st.top_p < 1.0)
+                    | jnp.any(st.min_p > 0.0))
+    lf = jax.lax.cond(needs_filter, filtered, lambda x: x, lf)
     probs = jax.nn.softmax(lf, axis=-1)
     onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32)
     return jnp.where((st.temperature == 0)[:, None], onehot, probs)

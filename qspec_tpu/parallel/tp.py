@@ -1,0 +1,163 @@
+"""Tensor-parallel execution over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's distributed stack
+(vllm/distributed/parallel_state.py GroupCoordinator, PyNCCL, custom
+all-reduce, shm broadcast — none of which is needed as code on TPU): the
+mesh + shard_map express megatron-style TP and XLA emits the ICI collectives.
+
+Sharding rules (axis name "model"):
+  qkv / gate_up  : column-parallel (out axis sharded; columns pre-arranged
+                   into per-shard (q,k,v)/(gate,up) blocks, see
+                   models/llama.py pack_proj_weight)
+  o / down       : row-parallel (packed in axis sharded; per-shard halves
+                   pairing) + psum
+  lm_head        : vocab-sharded + all-gather of logits
+  kv cache       : kv-head sharded
+  QuaRot extras  : head-Hadamard and MLP-Hadamard need the full activation,
+                   so the layer all-gathers before rotating (the QuaRot TP
+                   tax; volume = one activation per layer, rides ICI)
+
+The step functions in engine/model_runner.py take `axis_name`; here we wrap
+them in shard_map over the mesh and jit the result.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qspec_tpu.config import ModelConfig
+
+
+def make_mesh(tp_size: int, dp_size: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = tp_size * dp_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
+    return Mesh(arr, ("data", "model"))
+
+
+def param_pspecs(cfg: ModelConfig, params) -> dict:
+    """PartitionSpec pytree matching a params pytree from init_params."""
+    quant = cfg.quant == "w4"
+
+    def proj_col(p):  # shard out axis
+        if quant:
+            d = {"qw": P(None, None, "model"), "qs": P(None, "model")}
+        else:
+            d = {"w": P(None, None, "model")}
+        if "b" in p:
+            d["b"] = P(None, "model")
+        return d
+
+    def proj_row(p):  # shard (packed) in axis
+        if quant:
+            return {"qw": P(None, "model", None), "qs": P(None, None)}
+        return {"w": P(None, "model", None)}
+
+    layer_p = params["layers"]
+    specs = {
+        "embed": P(None, None),
+        "lm_head": P(None, "model"),
+        "rope_cache": P(None, None, None),
+        "layers": {
+            "qkv": proj_col(layer_p["qkv"]),
+            "o": proj_row(layer_p["o"]),
+            "gate_up": proj_col(layer_p["gate_up"]),
+            "down": proj_row(layer_p["down"]),
+        },
+    }
+    if quant:
+        specs["hadamards"] = {"heads": P(None, None), "mlp_K": P(None, None),
+                              "mlp_P": P(None, None)}
+    else:
+        specs["final_norm"] = P(None)
+        specs["layers"]["input_norm"] = P(None, None)
+        specs["layers"]["post_norm"] = P(None, None)
+    return specs
+
+
+def cache_pspec():
+    from qspec_tpu.ops.kv_cache import PagedKVCache
+    return PagedKVCache(
+        k_pages=P(None, "model", None, None, None),
+        v_pages=P(None, "model", None, None, None),
+        k_scales=None, v_scales=None)
+
+
+def shard_params(params, cfg: ModelConfig, mesh: Mesh):
+    specs = param_pspecs(cfg, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: x is None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    spec = cache_pspec()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None,
+        cache, spec, is_leaf=lambda x: x is None)
+
+
+def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_specs,
+          donate_cache_index: int, **static):
+    """shard_map a step impl over the mesh. Cache arg is sharded; everything
+    else (tokens, tables, sampling, keys) is replicated."""
+    from jax.experimental.shard_map import shard_map
+
+    pspecs = param_pspecs(cfg, params)
+    cspec = cache_pspec()
+    in_specs = (pspecs, cspec) + extra_in_specs
+
+    inner = functools.partial(fn_impl, cfg=cfg, axis_name="model", **static)
+    mapped = shard_map(inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_rep=False)
+    return jax.jit(mapped, donate_argnums=(donate_cache_index,))
+
+
+def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
+                     draft_scheme: str = "w4a4", k: int = 3):
+    """Build shard_mapped analogues of the model_runner step functions.
+
+    Returns dict with keys prefill / decode / draft / verify whose call
+    signatures match the single-chip jitted versions (minus the static
+    kwargs, already bound).
+    """
+    from qspec_tpu.engine import model_runner as mr
+
+    R = P()  # replicated
+    cspec = cache_pspec()
+
+    fns = {}
+    fns["prefill"] = _wrap(
+        mr.prefill_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R), (P(), cspec), 1, scheme=scheme)
+    fns["prefill_draft"] = _wrap(
+        mr.prefill_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+    fns["decode"] = _wrap(
+        mr.decode_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme)
+    fns["draft"] = _wrap(
+        mr.draft_steps.__wrapped__, mesh, cfg, params,
+        (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,
+        scheme=draft_scheme, k=k)
+    fns["verify"] = _wrap(
+        mr.verify_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)
+    return fns
+
+
+def mr_st_spec():
+    from qspec_tpu.ops.sampling import SamplingTensors
+    return SamplingTensors(P(), P(), P(), P())
+
+
+def rr_spec():
+    from qspec_tpu.ops.sampling import RejectionResult
+    return RejectionResult(P(), P(), P())
