@@ -53,6 +53,8 @@ class PageAllocator:
     def _pop_free(self) -> int:
         if self._free:
             return self._free.pop()
+        if not self._evictable:
+            raise RuntimeError("page pool exhausted (caller must check num_free)")
         # evict LRU reusable page
         page_id, _ = self._evictable.popitem(last=False)
         meta = self._meta[page_id]

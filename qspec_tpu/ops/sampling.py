@@ -48,9 +48,10 @@ def _apply_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
     sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # keep the smallest prefix with cumulative mass >= top_p
+    # keep the smallest prefix with cumulative mass >= top_p; threshold is
+    # the lowest logit inside that prefix
     cutoff_mask = cum - probs < top_p[:, None]
-    kth = jnp.max(jnp.where(cutoff_mask, sorted_logits, NEG_INF), axis=-1, keepdims=True)
+    kth = jnp.min(jnp.where(cutoff_mask, sorted_logits, -NEG_INF), axis=-1, keepdims=True)
     keep = logits >= kth
     keep = jnp.where((top_p < 1.0)[:, None], keep, True)
     return jnp.where(keep, logits, NEG_INF)
