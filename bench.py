@@ -109,9 +109,11 @@ def main():
           f"max_tokens={max_tokens} platform={jax.default_backend()}",
           file=sys.stderr, flush=True)
 
-    from qspec_tpu.models.llama import init_params
+    from qspec_tpu.models.llama import init_params_device
     t0 = time.perf_counter()
-    params = init_params(cfg, seed=0)
+    params = init_params_device(cfg, seed=0)
+    import jax as _jax
+    _jax.block_until_ready(params)
     print(f"# params built in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)

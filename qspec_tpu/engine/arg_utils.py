@@ -1,0 +1,93 @@
+"""EngineArgs: flat CLI-style arguments -> composed EngineConfig.
+
+TPU-native analogue of the reference's EngineArgs / AsyncEngineArgs
+(vllm/engine/arg_utils.py) with the flags that matter here; names are kept
+compatible with the reference's CLI where the concept carries over
+(--num-speculative-tokens, --max-num-seqs, --enforce-eager has no meaning
+under XLA and is accepted-but-ignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              ParallelConfig, SchedulerConfig, SpeculativeConfig)
+
+
+@dataclasses.dataclass
+class EngineArgs:
+    model: str = ""                      # HF dir / qspec checkpoint dir / preset name
+    tokenizer: Optional[str] = None
+    quantization: Optional[str] = "qspec"  # "qspec" | None (bf16)
+    max_model_len: int = 4096
+    max_num_seqs: int = 8
+    max_num_batched_tokens: int = 2048
+    block_size: int = 16
+    kv_cache_dtype: str = "bfloat16"
+    gpu_memory_utilization: float = 0.9
+    enable_chunked_prefill: bool = True
+    enable_prefix_caching: bool = True
+    tensor_parallel_size: int = 1
+    num_speculative_tokens: Optional[int] = None
+    speculative_draft_scheme: str = "w4a4"
+    speculative_disable_by_batch_size: Optional[int] = None
+    seed: int = 0
+    enforce_eager: bool = False          # accepted for reference CLI compat; no-op on XLA
+    trust_remote_code: bool = False      # idem
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        for f in dataclasses.fields(EngineArgs):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(name, action="store_true", default=f.default)
+            else:
+                typ = int if isinstance(f.default, int) and f.default is not None else \
+                    float if isinstance(f.default, float) else str
+                parser.add_argument(name, type=typ, default=f.default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+    def model_config(self) -> ModelConfig:
+        presets = {
+            "llama3-8b": ModelConfig.llama3_8b,
+            "llama3-70b": ModelConfig.llama3_70b,
+            "qwen2-7b": ModelConfig.qwen2_7b,
+            "tiny": ModelConfig.tiny,
+        }
+        quant = "w4" if self.quantization in ("qspec", "w4", "int4") else "none"
+        if self.model in presets:
+            return presets[self.model](quant=quant)
+        if self.model:
+            from qspec_tpu.model_loader.loader import config_from_hf_dir
+            cfg = config_from_hf_dir(self.model)
+            return ModelConfig(**{**cfg.__dict__, "quant": quant})
+        return ModelConfig.tiny(quant=quant)
+
+    def create_engine_config(self) -> EngineConfig:
+        spec = None
+        if self.num_speculative_tokens:
+            spec = SpeculativeConfig(
+                num_speculative_tokens=self.num_speculative_tokens,
+                draft_scheme=self.speculative_draft_scheme,
+                disable_by_batch_size=self.speculative_disable_by_batch_size)
+        return EngineConfig(
+            model=self.model_config(),
+            cache=CacheConfig(page_size=self.block_size,
+                              kv_cache_dtype=self.kv_cache_dtype,
+                              gpu_memory_utilization=self.gpu_memory_utilization),
+            scheduler=SchedulerConfig(
+                max_num_seqs=self.max_num_seqs,
+                max_num_batched_tokens=self.max_num_batched_tokens,
+                max_model_len=self.max_model_len,
+                enable_chunked_prefill=self.enable_chunked_prefill),
+            parallel=ParallelConfig(tensor_parallel_size=self.tensor_parallel_size),
+            speculative=spec,
+        )

@@ -103,11 +103,18 @@ class LLMEngine:
                 self._run_decode(batch.seqs)
 
         outputs = rejected
+        touched = (batch.seqs if batch.kind == "decode" else
+                   ([batch.chunk.seq] if batch.chunk.seq.num_computed_tokens
+                    >= batch.chunk.seq.prompt_len else []))
         for s in list(self.scheduler.running):
             if s.num_computed_tokens >= s.prompt_len:
                 s.check_stop(self.eos_token_id)
-        for s in self.scheduler.free_finished():
+        finished = self.scheduler.free_finished()
+        for s in finished:
             outputs.append(self._to_output(s))
+        for s in touched:
+            if not s.is_finished:
+                outputs.append(self._to_output(s, finished=False))
         return outputs
 
     def _spec_disabled(self, batch_size: int) -> bool:
@@ -157,9 +164,9 @@ class LLMEngine:
                                  emitted=int(accepted_len.sum()), wall_s=dt)
 
     # ------------------------------------------------------------------
-    def _to_output(self, seq: Sequence) -> RequestOutput:
+    def _to_output(self, seq: Sequence, finished: bool = True) -> RequestOutput:
         text = ""
-        if self.tokenizer is not None:
+        if self.tokenizer is not None and finished:
             try:
                 text = self.tokenizer.decode(seq.output_token_ids)
             except Exception:
@@ -168,7 +175,7 @@ class LLMEngine:
             request_id=seq.seq_id,
             prompt_token_ids=seq.prompt_token_ids,
             output_token_ids=list(seq.output_token_ids),
-            finished=True,
+            finished=finished,
             finish_reason=seq.finish_reason,
             text=text,
         )

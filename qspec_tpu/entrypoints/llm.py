@@ -1,0 +1,95 @@
+"""Offline inference API (reference: vllm/entrypoints/llm.py:49 `LLM`).
+
+    from qspec_tpu import LLM, SamplingParams
+    llm = LLM(model="llama3-8b", num_speculative_tokens=3)
+    outs = llm.generate(["Hello"], SamplingParams(max_tokens=64))
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from qspec_tpu.engine.arg_utils import EngineArgs
+from qspec_tpu.engine.llm_engine import LLMEngine, RequestOutput
+from qspec_tpu.sampling_params import SamplingParams
+
+
+class LLM:
+    def __init__(self, model: str = "tiny", params=None, mesh=None,
+                 tokenizer=None, seed: int = 0, **engine_kwargs):
+        args = EngineArgs(model=model, **engine_kwargs)
+        self.engine_config = args.create_engine_config()
+        cfg = self.engine_config.model
+
+        self.tokenizer = tokenizer
+        eos = None
+        if tokenizer is None and model not in ("tiny", "llama3-8b", "llama3-70b",
+                                               "qwen2-7b", ""):
+            try:
+                import transformers
+                self.tokenizer = transformers.AutoTokenizer.from_pretrained(model)
+            except Exception:
+                self.tokenizer = None
+        if self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+
+        if params is None:
+            import os
+            if os.path.isdir(model):
+                from qspec_tpu.model_loader.loader import (load_hf_float,
+                                                           load_qspec, quantize_float)
+                if cfg.quant == "w4":
+                    try:
+                        params, cfg = load_qspec(model, cfg)
+                    except KeyError:  # float checkpoint: quantize offline
+                        params, cfg = quantize_float(model, cfg)
+                else:
+                    params, cfg = load_hf_float(model, cfg)
+                self.engine_config = self.engine_config.__class__(
+                    **{**self.engine_config.__dict__, "model": cfg})
+            else:
+                from qspec_tpu.models.llama import init_params_device
+                params = init_params_device(cfg, seed=seed)
+
+        self.llm_engine = LLMEngine(self.engine_config, params, eos_token_id=eos,
+                                    tokenizer=self.tokenizer, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def _encode(self, prompt: Union[str, List[int]]) -> List[int]:
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string prompts need a tokenizer")
+            return self.tokenizer.encode(prompt)
+        return list(prompt)
+
+    def generate(self, prompts: Sequence[Union[str, List[int]]],
+                 sampling_params: Optional[Union[SamplingParams,
+                                                 List[SamplingParams]]] = None,
+                 ) -> List[RequestOutput]:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * len(prompts)
+        ids = [self.llm_engine.add_request(self._encode(p), sp)
+               for p, sp in zip(prompts, sampling_params)]
+        results = {}
+        while self.llm_engine.has_unfinished_requests():
+            for out in self.llm_engine.step():
+                if out.finished:
+                    results[out.request_id] = out
+        return [results[i] for i in ids]
+
+    def chat(self, messages, sampling_params: Optional[SamplingParams] = None,
+             chat_template=None) -> List[RequestOutput]:
+        """messages: list of conversations (each a list of {role, content})."""
+        if self.tokenizer is None:
+            raise ValueError("chat needs a tokenizer")
+        if messages and isinstance(messages[0], dict):
+            messages = [messages]
+        prompts = [self.tokenizer.apply_chat_template(
+            m, tokenize=True, add_generation_prompt=True) for m in messages]
+        return self.generate(prompts, sampling_params)
+
+    @property
+    def spec_metrics(self):
+        return self.llm_engine.spec_metrics

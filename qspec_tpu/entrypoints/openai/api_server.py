@@ -1,0 +1,200 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+TPU-native analogue of the reference's FastAPI server
+(vllm/entrypoints/openai/api_server.py): /v1/models, /v1/completions,
+/v1/chat/completions (both streaming SSE and non-streaming), /health,
+/metrics (Prometheus), /tokenize, /detokenize. fastapi/uvicorn are not in
+this image, so the stack is aiohttp; the wire format matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from qspec_tpu.engine.arg_utils import EngineArgs
+from qspec_tpu.engine.async_engine import AsyncLLMEngine
+from qspec_tpu.sampling_params import SamplingParams
+
+
+def _now() -> int:
+    return int(time.time())
+
+
+class OpenAIServer:
+    def __init__(self, async_engine: AsyncLLMEngine, model_name: str, tokenizer):
+        self.engine = async_engine
+        self.model_name = model_name
+        self.tokenizer = tokenizer
+        self._request_counter = iter(range(1 << 31))
+
+    # ------------------------------------------------------------------
+    def app(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_get("/metrics", self.metrics)
+        return app
+
+    async def health(self, request):
+        if not self.engine.is_running():
+            return web.Response(status=500, text="engine dead")
+        return web.Response(text="ok")
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": _now(), "owned_by": "qspec_tpu"}],
+        })
+
+    async def metrics(self, request):
+        try:
+            from prometheus_client import generate_latest
+            return web.Response(body=generate_latest(),
+                                content_type="text/plain")
+        except ImportError:
+            return web.Response(status=501, text="prometheus_client missing")
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self.tokenizer.encode(body["prompt"])
+        return web.json_response({"tokens": ids, "count": len(ids)})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        return web.json_response({"prompt": self.tokenizer.decode(body["tokens"])})
+
+    # ------------------------------------------------------------------
+    def _sampling(self, body: dict) -> SamplingParams:
+        return SamplingParams(
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", -1)),
+            max_tokens=int(body.get("max_tokens", body.get("max_completion_tokens", 128))),
+            ignore_eos=bool(body.get("ignore_eos", False)),
+            seed=body.get("seed"),
+        )
+
+    def _encode_prompt(self, body: dict):
+        prompt = body.get("prompt")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            return prompt
+        if isinstance(prompt, list):
+            prompt = prompt[0]
+        return self.tokenizer.encode(prompt)
+
+    async def completions(self, request):
+        body = await request.json()
+        token_ids = self._encode_prompt(body)
+        sp = self._sampling(body)
+        rid = next(self._request_counter)
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        if body.get("stream"):
+            return await self._stream(request, token_ids, sp, rid, cid, chat=False)
+
+        final = None
+        async for out in self.engine.generate(token_ids, sp, request_id=rid):
+            final = out
+        text = self.tokenizer.decode(final.output_token_ids) if self.tokenizer else ""
+        return web.json_response({
+            "id": cid, "object": "text_completion", "created": _now(),
+            "model": self.model_name,
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": final.finish_reason}],
+            "usage": {"prompt_tokens": len(token_ids),
+                      "completion_tokens": len(final.output_token_ids),
+                      "total_tokens": len(token_ids) + len(final.output_token_ids)},
+        })
+
+    async def chat_completions(self, request):
+        body = await request.json()
+        token_ids = self.tokenizer.apply_chat_template(
+            body["messages"], tokenize=True, add_generation_prompt=True)
+        sp = self._sampling(body)
+        rid = next(self._request_counter)
+        cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+
+        if body.get("stream"):
+            return await self._stream(request, token_ids, sp, rid, cid, chat=True)
+
+        final = None
+        async for out in self.engine.generate(token_ids, sp, request_id=rid):
+            final = out
+        text = self.tokenizer.decode(final.output_token_ids)
+        return web.json_response({
+            "id": cid, "object": "chat.completion", "created": _now(),
+            "model": self.model_name,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": final.finish_reason}],
+            "usage": {"prompt_tokens": len(token_ids),
+                      "completion_tokens": len(final.output_token_ids),
+                      "total_tokens": len(token_ids) + len(final.output_token_ids)},
+        })
+
+    async def _stream(self, request, token_ids, sp, rid, cid, chat: bool):
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
+                                           "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        sent = 0
+        async for out in self.engine.generate(token_ids, sp, request_id=rid):
+            new = out.output_token_ids[sent:]
+            sent = len(out.output_token_ids)
+            if not new and not out.finished:
+                continue
+            delta_text = self.tokenizer.decode(new) if self.tokenizer else ""
+            if chat:
+                payload = {"id": cid, "object": "chat.completion.chunk",
+                           "created": _now(), "model": self.model_name,
+                           "choices": [{"index": 0,
+                                        "delta": {"content": delta_text},
+                                        "finish_reason": out.finish_reason
+                                        if out.finished else None}]}
+            else:
+                payload = {"id": cid, "object": "text_completion",
+                           "created": _now(), "model": self.model_name,
+                           "choices": [{"index": 0, "text": delta_text,
+                                        "finish_reason": out.finish_reason
+                                        if out.finished else None}]}
+            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def build_server(args: EngineArgs, model_name: Optional[str] = None,
+                 params=None, tokenizer=None):
+    from qspec_tpu.entrypoints.llm import LLM
+
+    llm = LLM(model=args.model or "tiny", params=params, tokenizer=tokenizer,
+              quantization=args.quantization,
+              max_model_len=args.max_model_len, max_num_seqs=args.max_num_seqs,
+              num_speculative_tokens=args.num_speculative_tokens)
+    async_engine = AsyncLLMEngine(llm.llm_engine)
+    return OpenAIServer(async_engine, model_name or args.model or "qspec-tpu",
+                        llm.tokenizer)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("qspec_tpu OpenAI-compatible server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    EngineArgs.add_cli_args(parser)
+    args = parser.parse_args(argv)
+    server = build_server(EngineArgs.from_cli_args(args))
+    web.run_app(server.app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

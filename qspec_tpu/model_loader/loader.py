@@ -1,0 +1,282 @@
+"""Checkpoint ingestion: HF safetensors (float or QSpec-quantized) -> params.
+
+TPU-native analogue of the reference's model loader + QSpec's hand-rolled
+checkpoint path (vllm/model_executor/model_loader/loader.py:149;
+vllm/worker/model_runner.py:1096-1190, which builds Quarot models directly
+from safetensors with key remapping `o_proj.1.->o_proj.`,
+`down_proj.0.->online_hadamard.` and fuses qkv / gate_up).
+
+Three sources:
+  * `load_hf_float`   — a standard HF Llama/Qwen2 float checkpoint ->
+                        bf16 params (quant="none").
+  * `quantize_float`  — same checkpoint -> QuaRot-rotated + int4-quantized
+                        params (offline from_float path: fold norm gammas
+                        into adjacent projections, apply the random Hadamard
+                        basis rotation, per-channel symmetric quant). This is
+                        what third-party/QuaRot's rotation + quarot_nn
+                        from_float do offline for the reference.
+  * `load_qspec`      — a reference-format QSpec safetensors checkpoint
+                        (packed uint8 [out, in//2] + weight_scales) ->
+                        repacked into our TPU layout.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qspec_tpu.config import ModelConfig
+from qspec_tpu.models.llama import make_hadamards, pack_proj_weight
+from qspec_tpu.ops.hadamard import random_hadamard_matrix
+from qspec_tpu.ops.packing import repack_from_reference
+from qspec_tpu.ops.rotary import make_rope_cache
+
+
+def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a file or a directory of *.safetensors."""
+    try:
+        from safetensors.numpy import load_file
+    except ImportError:  # torch-only wheels: go through torch
+        from safetensors.torch import load_file as _lf
+
+        def load_file(p):
+            return {k: v.float().numpy() for k, v in _lf(p).items()}
+
+    tensors = {}
+    if os.path.isdir(path):
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".safetensors"):
+                tensors.update(load_file(os.path.join(path, fn)))
+    else:
+        tensors.update(load_file(path))
+    return tensors
+
+
+def config_from_hf_dir(path: str) -> ModelConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        return ModelConfig.from_hf_config(json.load(f))
+
+
+def _common(cfg: ModelConfig, dtype=jnp.bfloat16):
+    return {"rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
+                                          cfg.rope_theta, rope_scaling=cfg.rope_scaling)}
+
+
+def load_hf_float(path: str, cfg: Optional[ModelConfig] = None,
+                  dtype=jnp.bfloat16):
+    """Standard float checkpoint -> bf16 params (quant='none')."""
+    if cfg is None:
+        cfg = config_from_hf_dir(path)
+    cfg = ModelConfig(**{**cfg.__dict__, "quant": "none", "weightless_norm": False})
+    sd = _read_safetensors(path)
+
+    def t(name):
+        return np.asarray(sd[name], np.float32).T
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        qkv = np.concatenate([t(p + "self_attn.q_proj.weight"),
+                              t(p + "self_attn.k_proj.weight"),
+                              t(p + "self_attn.v_proj.weight")], axis=1)
+        gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
+                                  t(p + "mlp.up_proj.weight")], axis=1)
+        layer = {
+            "qkv": {"w": jnp.asarray(qkv, dtype)},
+            "o": {"w": jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)},
+            "gate_up": {"w": jnp.asarray(gate_up, dtype)},
+            "down": {"w": jnp.asarray(t(p + "mlp.down_proj.weight"), dtype)},
+            "input_norm": jnp.asarray(sd[p + "input_layernorm.weight"], dtype),
+            "post_norm": jnp.asarray(sd[p + "post_attention_layernorm.weight"], dtype),
+        }
+        if cfg.qkv_bias:
+            b = np.concatenate([sd[p + "self_attn.q_proj.bias"],
+                                sd[p + "self_attn.k_proj.bias"],
+                                sd[p + "self_attn.v_proj.bias"]])
+            layer["qkv"]["b"] = jnp.asarray(b, dtype)
+        layers.append(layer)
+
+    lm_head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"], dtype),
+        "lm_head": jnp.asarray(np.asarray(lm_head, np.float32).T, dtype),
+        "final_norm": jnp.asarray(sd["model.norm.weight"], dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        **_common(cfg),
+    }
+    return params, cfg
+
+
+def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
+                   tp_size: int = 1, seed: int = 0, dtype=jnp.bfloat16,
+                   bits: Optional[int] = 4):
+    """Offline QuaRot rotation + int4 quantization of a float checkpoint.
+
+    Reproduces the reference's offline pipeline (third-party/QuaRot
+    rotation_utils: fuse layernorms into adjacent weights, rotate the
+    residual stream by a random orthonormal Hadamard Q, rotate o_proj rows /
+    v weights by per-head and mlp Hadamards) so the *online* Hadamards in the
+    model undo them around the quantized activations.
+
+    Rotations applied (residual basis Q = random_hadamard(H)):
+      embed       <- embed @ Q
+      qkv         <- (gamma_in * W_qkv) rows rotated: Q^T @ W
+      o_proj      <- Q-out: W_o @ Q, and H_heads-in on its input
+      gate/up     <- Q^T @ (gamma_post * W)
+      down        <- (H_I^T @ W_down) @ Q
+      lm_head     <- Q^T @ (gamma_final * W_lm)
+    """
+    if isinstance(path_or_sd, dict):
+        sd = path_or_sd
+        assert cfg is not None
+    else:
+        if cfg is None:
+            cfg = config_from_hf_dir(path_or_sd)
+        sd = _read_safetensors(path_or_sd)
+    cfg = ModelConfig(**{**cfg.__dict__, "quant": "w4", "weightless_norm": True})
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    Q = random_hadamard_matrix(H, seed=seed).astype(np.float32)
+    H_heads = (np.asarray(__import__("qspec_tpu.ops.hadamard", fromlist=["hadamard_matrix"])
+                          .hadamard_matrix(cfg.num_heads), np.float32)
+               / math.sqrt(cfg.num_heads))
+    from qspec_tpu.ops.hadamard import decompose_dim, hadamard_matrix
+    K_f, P_f = decompose_dim(I)
+    H_I = np.kron(hadamard_matrix(K_f), hadamard_matrix(P_f)).astype(np.float32) / math.sqrt(I)
+
+    def t(name):
+        return np.asarray(sd[name], np.float32).T  # [in, out]
+
+    def g(name):
+        return np.asarray(sd[name], np.float32)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        gin = g(p + "input_layernorm.weight")
+        gpost = g(p + "post_attention_layernorm.weight")
+
+        # fold gamma into the input side, rotate input basis by Q
+        q_w = Q.T @ (gin[:, None] * t(p + "self_attn.q_proj.weight"))
+        k_w = Q.T @ (gin[:, None] * t(p + "self_attn.k_proj.weight"))
+        v_w = Q.T @ (gin[:, None] * t(p + "self_attn.v_proj.weight"))
+        qkv = np.concatenate([q_w, k_w, v_w], axis=1)
+
+        # o_proj: input side per-head Hadamard (the online head rotation is
+        # H_heads applied across heads for each dim slot); output side Q
+        o_w = t(p + "self_attn.o_proj.weight")  # [Hq*D, H]
+        o_w = o_w.reshape(cfg.num_heads, cfg.head_dim, H)
+        o_w = np.einsum("jh,hdk->jdk", H_heads, o_w)  # undo online H_heads
+        o_w = o_w.reshape(cfg.num_heads * cfg.head_dim, H) @ Q
+
+        gate = Q.T @ (gpost[:, None] * t(p + "mlp.gate_proj.weight"))
+        up = Q.T @ (gpost[:, None] * t(p + "mlp.up_proj.weight"))
+        gate_up = np.concatenate([gate, up], axis=1)
+
+        # online transform acts as y_row = a_row @ H_I^T, so the weight gets
+        # the un-transposed H_I (matters for non-symmetric Paley factors,
+        # e.g. H_28 in llama's 14336 = 28 * 512)
+        down = (H_I @ t(p + "mlp.down_proj.weight")) @ Q
+
+        quant_kind = "w4" if bits == 4 else "none"
+        layer = {
+            "qkv": pack_proj_weight(qkv, quant_kind, col_blocks=(cfg.q_size, cfg.kv_size,
+                                                                 cfg.kv_size),
+                                    tp_size=tp_size, dtype=dtype,
+                                    bias=None if not cfg.qkv_bias else
+                                    np.concatenate([g(p + "self_attn.q_proj.bias"),
+                                                    g(p + "self_attn.k_proj.bias"),
+                                                    g(p + "self_attn.v_proj.bias")])),
+            "o": pack_proj_weight(o_w, quant_kind, shard_in=True, tp_size=tp_size, dtype=dtype),
+            "gate_up": pack_proj_weight(gate_up, quant_kind, col_blocks=(I, I),
+                                        tp_size=tp_size, dtype=dtype),
+            "down": pack_proj_weight(down, quant_kind, shard_in=True, tp_size=tp_size,
+                                     dtype=dtype),
+        }
+        layers.append(layer)
+
+    gfin = g("model.norm.weight")
+    lm = np.asarray(sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+                    np.float32).T  # [H, V]
+    params = {
+        "embed": jnp.asarray(np.asarray(sd["model.embed_tokens.weight"],
+                                        np.float32) @ Q, dtype),
+        "lm_head": jnp.asarray(Q.T @ (gfin[:, None] * lm), dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "hadamards": make_hadamards(cfg),
+        **_common(cfg),
+    }
+    return params, cfg
+
+
+def load_qspec(path: str, cfg: Optional[ModelConfig] = None, tp_size: int = 1,
+               dtype=jnp.bfloat16):
+    """Reference-format QSpec checkpoint (packed int4 + scales) -> our layout.
+
+    Handles the reference's key remapping (worker/model_runner.py:1139,1181):
+    `o_proj.1.` -> o_proj (Sequential[quantizer, linear]), `down_proj.0.` ->
+    online hadamard (dropped — our hadamards are constructed).
+    """
+    if cfg is None:
+        cfg = config_from_hf_dir(path)
+    cfg = ModelConfig(**{**cfg.__dict__, "quant": "w4", "weightless_norm": True})
+    sd = _read_safetensors(path)
+
+    def remap(key):
+        return key.replace("o_proj.1.", "o_proj.").replace("down_proj.1.", "down_proj.")
+
+    sd = {remap(k): v for k, v in sd.items()}
+
+    def qproj(prefix, col_blocks=None, shard_in=False):
+        w = np.asarray(sd[prefix + ".weight"], np.uint8)       # [out, in//2]
+        scales = np.asarray(sd[prefix + ".weight_scales"], np.float32).reshape(-1)
+        packed = repack_from_reference(w)                      # our [in//2, out]
+        if tp_size > 1:
+            # repack respecting TP layout rules via unpack->pack_proj path
+            from qspec_tpu.ops.packing import unpack_int4_np
+            wf = unpack_int4_np(packed).astype(np.float32) * scales[None, :]
+            return pack_proj_weight(wf, "w4", shard_in=shard_in,
+                                    col_blocks=col_blocks, tp_size=tp_size,
+                                    dtype=dtype)
+        return {"qw": jnp.asarray(packed), "qs": jnp.asarray(scales)}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        if p + "self_attn.qkv_proj.weight" in sd:
+            qkv = qproj(p + "self_attn.qkv_proj",
+                        col_blocks=(cfg.q_size, cfg.kv_size, cfg.kv_size))
+        else:
+            parts = [qproj(p + f"self_attn.{n}_proj") for n in ("q", "k", "v")]
+            qkv = {"qw": jnp.concatenate([x["qw"] for x in parts], axis=1),
+                   "qs": jnp.concatenate([x["qs"] for x in parts])}
+        layer = {
+            "qkv": qkv,
+            "o": qproj(p + "self_attn.o_proj", shard_in=True),
+            "gate_up": (qproj(p + "mlp.gate_up_proj", col_blocks=(cfg.intermediate_size,
+                                                                  cfg.intermediate_size))
+                        if p + "mlp.gate_up_proj.weight" in sd else
+                        {"qw": jnp.concatenate([qproj(p + "mlp.gate_proj")["qw"],
+                                                qproj(p + "mlp.up_proj")["qw"]], axis=1),
+                         "qs": jnp.concatenate([qproj(p + "mlp.gate_proj")["qs"],
+                                                qproj(p + "mlp.up_proj")["qs"]])}),
+            "down": qproj(p + "mlp.down_proj", shard_in=True),
+        }
+        layers.append(layer)
+
+    lm = np.asarray(sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+                    np.float32).T
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"], dtype),
+        "lm_head": jnp.asarray(lm, dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "hadamards": make_hadamards(cfg),
+        **_common(cfg),
+    }
+    return params, cfg

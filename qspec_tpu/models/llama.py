@@ -28,6 +28,7 @@ sharding rules).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -68,7 +69,11 @@ class AttentionBatch(NamedTuple):
 
 def _linear(x, w, scheme, xq=None):
     """Dispatch one projection by scheme. w: dict with keys per scheme."""
-    if scheme == "bf16":
+    if scheme == "bf16" or (scheme == "w4a16" and "qw" not in w):
+        # second case: rotated-but-unquantized params (algebra testing)
+        if x is None:
+            from qspec_tpu.ops.quant import sym_dequant
+            x = sym_dequant(xq)
         out = jnp.dot(x, w["w"], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     elif scheme == "w4a16":
         fn = matmul_w4a16 if backend_is_tpu() else matmul_w4a16_ref
@@ -319,6 +324,70 @@ def pack_proj_weight(w: np.ndarray, cfg_quant: str, *, shard_in: bool = False,
     if bias is not None:
         d["b"] = jnp.asarray(bias, dtype)
     return d
+
+
+def init_params_device(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
+    """Random params generated ON DEVICE (jax.random) — no host transfer.
+
+    Used for synthetic benchmarks: uploading multi-GB random weights through
+    a slow host link is pointless when the device can generate them. Layout
+    matches init_params with tp_size=1.
+    """
+    key = jax.random.PRNGKey(seed)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+
+    def next_key():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def make_quant(k, i, o):
+        w = jax.random.normal(k, (i, o), jnp.float32) * 0.02
+        absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(jnp.round(w / scale), -8, 7).astype(jnp.int8)
+        from qspec_tpu.ops.packing import pack_int4
+        return pack_int4(q), scale[0]
+
+    def make_proj(i, o, bias=False):
+        if cfg.quant == "w4":
+            qw, qs = make_quant(next_key(), i, o)
+            d = {"qw": qw, "qs": qs}
+        else:
+            d = {"w": (jax.random.normal(next_key(), (i, o), jnp.float32) * 0.02).astype(dtype)}
+        if bias:
+            d["b"] = jnp.zeros((o,), dtype)
+        return d
+
+    def stack_layers(n, builder):
+        outs = [builder() for _ in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    def one_layer():
+        layer = {
+            "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias),
+            "o": make_proj(cfg.q_size, H),
+            "gate_up": make_proj(H, 2 * I),
+            "down": make_proj(I, H),
+        }
+        if cfg.quant != "w4":
+            layer["input_norm"] = jnp.ones((H,), dtype)
+            layer["post_norm"] = jnp.ones((H,), dtype)
+        return layer
+
+    params = {
+        "embed": (jax.random.normal(next_key(), (cfg.vocab_size, H), jnp.float32) * 0.02).astype(dtype),
+        "lm_head": (jax.random.normal(next_key(), (H, cfg.vocab_size), jnp.float32) * 0.02).astype(dtype),
+        "layers": stack_layers(cfg.num_layers, one_layer),
+        "rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
+                                      cfg.rope_theta, rope_scaling=cfg.rope_scaling),
+    }
+    if cfg.quant == "w4":
+        params["hadamards"] = make_hadamards(cfg)
+    else:
+        params["final_norm"] = jnp.ones((H,), dtype)
+    return params
 
 
 def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: int = 1):

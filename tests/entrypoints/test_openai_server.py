@@ -1,0 +1,125 @@
+"""OpenAI server tests over real HTTP (aiohttp test client), tiny model.
+
+Mirrors the reference's tests/entrypoints/openai/ pattern (RemoteOpenAIServer
+spinning a real server and exercising the HTTP API). pytest-asyncio is not in
+the image, so each test drives its own event loop.
+"""
+
+import asyncio
+import json
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+
+class FakeTokenizer:
+    eos_token_id = 0
+
+    def encode(self, s):
+        return [ord(c) % 250 + 1 for c in s][:32]
+
+    def decode(self, ids):
+        return "".join(chr(96 + (i % 26)) for i in ids)
+
+    def apply_chat_template(self, messages, tokenize=True, add_generation_prompt=True):
+        text = " ".join(m["content"] for m in messages)
+        return self.encode(text)
+
+
+@pytest.fixture
+def server():
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from qspec_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(quant="w4")
+    params = init_params(cfg, seed=0)
+    args = EngineArgs(model="tiny", max_model_len=256, max_num_seqs=4,
+                      num_speculative_tokens=2)
+    return build_server(args, model_name="tiny-test", params=params,
+                        tokenizer=FakeTokenizer())
+
+
+def _run(server, coro_fn):
+    async def runner():
+        client = TestClient(TestServer(server.app()))
+        await client.start_server()
+        try:
+            await coro_fn(client)
+        finally:
+            await client.close()
+
+    asyncio.run(runner())
+
+
+def test_health_and_models(server):
+    async def body(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "tiny-test"
+
+    _run(server, body)
+
+
+def test_completions(server):
+    async def body(client):
+        r = await client.post("/v1/completions", json={
+            "model": "tiny-test", "prompt": "hello world", "max_tokens": 8,
+            "temperature": 0.0})
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert data["usage"]["completion_tokens"] == 8
+        assert len(data["choices"][0]["text"]) > 0
+
+    _run(server, body)
+
+
+def test_concurrent_requests(server):
+    async def body(client):
+        async def one(i):
+            r = await client.post("/v1/completions", json={
+                "prompt": f"request {i}", "max_tokens": 6, "temperature": 0.0})
+            assert r.status == 200
+            return (await r.json())["choices"][0]["text"]
+
+        texts = await asyncio.gather(*(one(i) for i in range(6)))
+        assert all(len(t) > 0 for t in texts)
+
+    _run(server, body)
+
+
+def test_chat_streaming(server):
+    async def body(client):
+        r = await client.post("/v1/chat/completions", json={
+            "model": "tiny-test",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 6, "temperature": 0.0, "stream": True})
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+        assert chunks, "no SSE chunks"
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+        total = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+        assert len(total) > 0
+
+    _run(server, body)
+
+
+def test_tokenize_roundtrip(server):
+    async def body(client):
+        r = await client.post("/tokenize", json={"prompt": "abc"})
+        toks = (await r.json())["tokens"]
+        assert len(toks) == 3
+        r = await client.post("/detokenize", json={"tokens": toks})
+        assert len((await r.json())["prompt"]) == 3
+
+    _run(server, body)
