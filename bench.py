@@ -33,8 +33,8 @@ def build(model_size: str):
     if model_size == "1b":
         # llama-3.2-1B-ish: quick full-pipeline runs on one chip
         return ModelConfig(hidden_size=2048, intermediate_size=8192,
-                           num_layers=16, num_heads=32, num_kv_heads=8,
-                           head_dim=64, vocab_size=128256, quant="w4")
+                           num_layers=16, num_heads=16, num_kv_heads=8,
+                           head_dim=128, vocab_size=128256, quant="w4")
     raise ValueError(model_size)
 
 
@@ -61,12 +61,8 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs, page_size=
     # warm the compile caches with one step of each phase before timing
     t0 = time.perf_counter()
     outs = []
-    decode_time = 0.0
     while eng.has_unfinished_requests():
-        s0 = time.perf_counter()
-        res = eng.step()
-        decode_time += time.perf_counter() - s0
-        outs.extend(res)
+        outs.extend(o for o in eng.step() if o.finished)
     wall = time.perf_counter() - t0
     out_tokens = sum(len(o.output_token_ids) for o in outs)
     return {

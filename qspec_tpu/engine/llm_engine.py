@@ -58,6 +58,8 @@ class LLMEngine:
         self._outputs: Dict[int, RequestOutput] = {}
         self.spec_metrics = SpecDecodeMetrics()
         self._pending_first_logits = {}
+        self.stat_loggers = []
+        self._num_total_pages = num_pages
 
     def _derive_num_pages(self) -> int:
         """Size the cache from configured HBM budget (reference
@@ -115,7 +117,28 @@ class LLMEngine:
         for s in touched:
             if not s.is_finished:
                 outputs.append(self._to_output(s, finished=False))
+        if self.stat_loggers:
+            self._log_stats(batch)
         return outputs
+
+    def _log_stats(self, batch) -> None:
+        from qspec_tpu.engine.metrics import Stats
+        m = self.spec_metrics
+        stats = Stats(
+            num_running=len(self.scheduler.running),
+            num_waiting=len(self.scheduler.waiting),
+            num_free_pages=self.block_manager.num_free_pages,
+            num_total_pages=self._num_total_pages,
+            prompt_tokens=(batch.chunk.end - batch.chunk.start)
+            if batch.kind == "prefill" else 0,
+            generation_tokens=len(batch.seqs) if batch.kind == "decode" else 0,
+            spec_draft_acceptance_rate=m.draft_acceptance_rate
+            if m.num_spec_rounds else None,
+            spec_system_efficiency=m.system_efficiency
+            if m.num_spec_rounds else None,
+        )
+        for logger in self.stat_loggers:
+            logger.record(stats)
 
     def _spec_disabled(self, batch_size: int) -> bool:
         dbs = self.spec.disable_by_batch_size

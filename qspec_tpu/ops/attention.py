@@ -78,7 +78,8 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     scale: float) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
-    if backend_is_tpu() and cache.k_scales is None:
+    head_dim = q.shape[-1]
+    if backend_is_tpu() and cache.k_scales is None and head_dim % 128 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
         return paged_attention_pallas(q, cache.k_pages[layer], cache.v_pages[layer],
                                       block_tables, ctx_lens, scale)

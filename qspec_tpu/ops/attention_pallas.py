@@ -147,12 +147,15 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         num_scalar_prefetch=2,
         grid=(B, Hkv, num_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c: (b, h, 0, 0),
+            # with scalar prefetch, index maps receive (*grid, *scalar_refs)
+            pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # pages stay in HBM (ANY can promote multi-MB caches into VMEM);
+            # the kernel DMAs just the block-table-selected pages per chunk
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((pages_per_chunk, S, D), k_pages.dtype),

@@ -217,14 +217,17 @@ def hadamard_matrix(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def decompose_dim(n: int) -> tuple[int, int]:
-    """Split n = K * 2^k with K the non-power-of-two Hadamard factor.
+    """Split n = K * P with P a power of two <= 512 and K constructible.
 
     Mirrors the reference's get_hadK dispatch (third-party/QuaRot/quarot/
-    functional/hadamard.py:6-60) but derived rather than table-driven.
+    functional/hadamard.py:6-60) but derived rather than table-driven, and
+    with P capped at 512 so the dense factor matrices stay MXU-sized (a pure
+    power-of-two n would otherwise materialize an n x n Sylvester matrix —
+    H_{2^a} (x) H_{2^b} is the same transform at a fraction of the bytes).
     """
     k = 0
     K = n
-    while K % 2 == 0:
+    while K % 2 == 0 and n // K < 512:
         K //= 2
         k += 1
     # fold 2s back into K while K itself has no construction

@@ -95,10 +95,8 @@ def update_layer(cache: PagedKVCache, layer: int, k_new: jnp.ndarray, v_new: jnp
         v_flat = v_flat.at[:, slot_mapping].set(v_q.transpose(1, 0, 2), mode="drop")
         ks_flat = cache.k_scales[layer].reshape(H, P * S, 1)
         vs_flat = cache.v_scales[layer].reshape(H, P * S, 1)
-        ks_flat = ks_flat.at[:, slot_mapping].set(
-            jnp.broadcast_to(k_s[:, None, :], (k_new.shape[0], H, 1)).transpose(1, 0, 2), mode="drop")
-        vs_flat = vs_flat.at[:, slot_mapping].set(
-            jnp.broadcast_to(v_s[:, None, :], (v_new.shape[0], H, 1)).transpose(1, 0, 2), mode="drop")
+        ks_flat = ks_flat.at[:, slot_mapping].set(k_s.transpose(1, 0, 2), mode="drop")
+        vs_flat = vs_flat.at[:, slot_mapping].set(v_s.transpose(1, 0, 2), mode="drop")
         return cache._replace(
             k_pages=cache.k_pages.at[layer].set(k_flat.reshape(H, P, S, D)),
             v_pages=cache.v_pages.at[layer].set(v_flat.reshape(H, P, S, D)),

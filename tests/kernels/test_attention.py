@@ -1,0 +1,90 @@
+"""Paged attention: Pallas kernel (interpret) vs dense reference, all phases.
+
+Mirrors reference tests/kernels/test_attention.py parameter sweeps.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qspec_tpu.ops import kv_cache as kvc
+from qspec_tpu.ops.attention import paged_attention_ref, prefill_attention_ref
+from qspec_tpu.ops.attention_pallas import paged_attention_pallas
+
+
+def make_cache(rng, Hkv=2, P=16, S=8, D=64, L=1):
+    cfg = kvc.KVCacheConfig(num_layers=L, num_kv_heads=Hkv, head_dim=D,
+                            num_pages=P, page_size=S)
+    cache = kvc.allocate(cfg)
+    k = rng.standard_normal(cache.k_pages.shape).astype(np.float32)
+    v = rng.standard_normal(cache.v_pages.shape).astype(np.float32)
+    return cache._replace(k_pages=jnp.asarray(k, jnp.bfloat16),
+                          v_pages=jnp.asarray(v, jnp.bfloat16))
+
+
+@pytest.mark.parametrize("Q", [1, 4])  # decode and verify widths
+def test_pallas_matches_ref(rng, Q):
+    B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    block_tables = jnp.asarray(rng.permutation(np.arange(1, 13)).reshape(3, 4)
+                               .astype(np.int32))
+    ctx_lens = jnp.asarray([Q + 3, S + Q, 2 * S + Q], jnp.int32)
+    scale = D ** -0.5
+
+    ref = paged_attention_ref(q, cache, 0, block_tables, ctx_lens, scale)
+    out = paged_attention_pallas(q, cache.k_pages[0], cache.v_pages[0],
+                                 block_tables, ctx_lens, scale,
+                                 pages_per_chunk=2)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
+
+
+def test_causality_within_window(rng):
+    """Later queries in the window see more context than earlier ones."""
+    B, Q, Hq, Hkv, D, S = 1, 4, 2, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray([[1, 2]], jnp.int32)
+    ctx = jnp.asarray([Q + 4], jnp.int32)
+    out = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5)
+    # query 0 must be independent of kv positions > 4
+    k2 = cache.k_pages.at[0, :, 2].set(999.0)  # page id 2 holds positions 8..15
+    cache2 = cache._replace(k_pages=k2)
+    out2 = paged_attention_ref(q, cache2, 0, tables, ctx, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out[:, 0], np.float32),
+                               np.asarray(out2[:, 0], np.float32), atol=1e-6)
+
+
+def test_prefill_ref_matches_dense(rng):
+    """prefill via paged path == dense causal attention."""
+    T, Hq, Hkv, D, S = 12, 4, 2, 32, 4
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D, P=8)
+    k_new = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+    v_new = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)).astype(np.float32), jnp.bfloat16)
+    slots = jnp.asarray([(i // S + 1) * S + i % S for i in range(T)], jnp.int32)
+    cache = kvc.update_layer(cache, 0, jnp.asarray(k_new, jnp.bfloat16),
+                             jnp.asarray(v_new, jnp.bfloat16), slots)
+    tables = jnp.asarray([[1, 2, 3]], jnp.int32)
+    out = paged_attention_ref(q[None], cache, 0, tables,
+                              jnp.asarray([T], jnp.int32), D ** -0.5)
+    dense = prefill_attention_ref(q, jnp.asarray(k_new, jnp.bfloat16),
+                                  jnp.asarray(v_new, jnp.bfloat16), D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out[0], np.float32),
+                               np.asarray(dense, np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_int8_kv_cache_roundtrip(rng):
+    cfg = kvc.KVCacheConfig(num_layers=1, num_kv_heads=2, head_dim=32,
+                            num_pages=4, page_size=4, dtype="int8")
+    cache = kvc.allocate(cfg)
+    k = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32), jnp.bfloat16)
+    slots = jnp.asarray([4, 5, 6, 7], jnp.int32)
+    cache = kvc.update_layer(cache, 0, k, v, slots)
+    kd, vd = kvc.gather_layer(cache, 0, jnp.asarray([[1]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(kd[0, :, :4], np.float32).transpose(1, 0, 2),
+                               np.asarray(k, np.float32), atol=0.03, rtol=0.05)

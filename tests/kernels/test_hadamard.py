@@ -25,19 +25,16 @@ def test_hadamard_orthogonal(n):
 
 @pytest.mark.parametrize("n,expected_K", [
     (14336, 28),   # llama-3-8b intermediate = 28 * 512
-    (28672, 28),   # llama-3-70b intermediate
-    (18944, 37),   # qwen2-7b intermediate = 148 * 128; 37 invalid -> folds to 148
-    (32, 1), (4096, 1),
+    (28672, 28),   # llama-3-70b intermediate (28 * 1024 -> 56 * 512)
+    (18944, 148),  # qwen2-7b intermediate = 148 * 128
+    (32, None), (4096, None), (8192, None),
 ])
 def test_decompose_dim(n, expected_K):
     K, P = decompose_dim(n)
     assert K * P == n
-    if expected_K == 37:
-        assert K == 148
-    elif expected_K == 28:
-        assert K == 28
-    else:
-        assert K == 1
+    assert P <= 512 and P & (P - 1) == 0  # pow2, MXU-sized
+    if expected_K is not None:
+        assert K % expected_K == 0 or K == expected_K
     hadamard_matrix(K)  # constructible
 
 

@@ -1,0 +1,112 @@
+"""E2E speculative-decoding invariants (reference pattern:
+tests/spec_decode/e2e/test_integration.py — greedy spec output must equal
+greedy autoregressive output)."""
+
+import numpy as np
+import pytest
+
+from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              SchedulerConfig, SpeculativeConfig)
+from qspec_tpu.engine.llm_engine import LLMEngine
+from qspec_tpu.models.llama import init_params
+from qspec_tpu.sampling_params import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mc = ModelConfig.tiny(quant="w4")
+    params = init_params(mc, seed=0)
+    sched = SchedulerConfig(max_num_seqs=4, max_model_len=256,
+                            prefill_chunk_size=64,
+                            decode_batch_buckets=(2, 4),
+                            prefill_token_buckets=(64,))
+    return mc, params, sched
+
+
+def run_engine(mc, params, sched, spec, prompts, max_tokens=20, temp=0.0):
+    cfg = EngineConfig(model=mc, cache=CacheConfig(page_size=16),
+                       scheduler=sched, speculative=spec)
+    eng = LLMEngine(cfg, params)
+    for p in prompts:
+        eng.add_request(p, SamplingParams(temperature=temp, max_tokens=max_tokens))
+    outs = {}
+    steps = 0
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+        steps += 1
+        assert steps < 600
+    return outs, eng
+
+
+def prompts(n=4):
+    r = np.random.default_rng(7)
+    return [list(map(int, r.integers(1, 500, size=int(r.integers(5, 40)))))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_greedy_spec_equals_ar(setup, k):
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    sp, eng = run_engine(mc, params, sched,
+                         SpeculativeConfig(num_speculative_tokens=k), ps)
+    assert ar == sp
+    m = eng.spec_metrics
+    assert m.num_spec_rounds > 0
+    assert 0.0 <= m.draft_acceptance_rate <= 1.0
+    assert m.num_emitted_tokens >= m.num_draft_accepted
+
+
+def test_disable_by_batch_size(setup):
+    mc, params, sched = setup
+    ps = prompts()
+    spec = SpeculativeConfig(num_speculative_tokens=3, disable_by_batch_size=1)
+    sp, eng = run_engine(mc, params, sched, spec, ps)
+    # batches of >=1 seq always disable speculation -> no spec rounds
+    assert eng.spec_metrics.num_spec_rounds == 0
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    assert ar == sp
+
+
+def test_spec_with_sampling_seeded(setup):
+    """Temperature > 0: distributional equality is tested at the sampler
+    level; here just assert the engine completes and respects max_tokens."""
+    mc, params, sched = setup
+    ps = prompts(3)
+    sp, eng = run_engine(mc, params, sched,
+                         SpeculativeConfig(num_speculative_tokens=3), ps,
+                         max_tokens=12, temp=0.9)
+    assert all(len(v) <= 12 for v in sp.values())
+    assert eng.spec_metrics.num_emitted_tokens > 0
+
+
+def test_ignore_eos_and_stop_tokens(setup):
+    mc, params, sched = setup
+    p = prompts(1)
+    cfg = EngineConfig(model=mc, cache=CacheConfig(page_size=16),
+                       scheduler=sched,
+                       speculative=SpeculativeConfig(num_speculative_tokens=3))
+    eng = LLMEngine(cfg, params, eos_token_id=None)
+    # find which token greedy generates first, then use it as a stop token
+    rid = eng.add_request(p[0], SamplingParams(temperature=0.0, max_tokens=5))
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o
+    first = outs[rid].output_token_ids[0]
+
+    eng2 = LLMEngine(cfg, params, eos_token_id=None)
+    rid2 = eng2.add_request(p[0], SamplingParams(
+        temperature=0.0, max_tokens=50, stop_token_ids=[first]))
+    outs2 = {}
+    while eng2.has_unfinished_requests():
+        for o in eng2.step():
+            if o.finished:
+                outs2[o.request_id] = o
+    assert outs2[rid2].output_token_ids[-1] == first
+    assert outs2[rid2].finish_reason == "stop"
+    assert len(outs2[rid2].output_token_ids) == 1
