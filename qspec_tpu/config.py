@@ -141,6 +141,10 @@ class SpeculativeConfig:
     num_speculative_tokens: int = 3
     # draft scheme; verify is always w4a16. "w4a4" is the QSpec method.
     draft_scheme: str = "w4a4"
+    # fused rounds per host call: each engine step runs this many complete
+    # draft+verify rounds on device (amortizes host round-trips; the TPU
+    # analogue of the reference's multi-step runner)
+    rounds_per_step: int = 1
     # disable speculation above this batch size (reference
     # speculative_disable_by_batch_size)
     disable_by_batch_size: Optional[int] = None

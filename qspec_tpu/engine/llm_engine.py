@@ -44,7 +44,8 @@ class LLMEngine:
         self.eos_token_id = eos_token_id
         self.tokenizer = tokenizer
         self.spec = config.speculative
-        lookahead = (self.spec.num_speculative_tokens + 1) if self.spec else 1
+        lookahead = ((self.spec.num_speculative_tokens + 1)
+                     * self.spec.rounds_per_step) if self.spec else 1
 
         if num_pages is None:
             num_pages = self._derive_num_pages()
@@ -174,17 +175,24 @@ class LLMEngine:
         k = self.spec.num_speculative_tokens
         st = make_sampling_tensors(seqs)
         t0 = time.perf_counter()
-        tokens, accepted_len, n_draft_acc = self.runner.run_spec_round(seqs, st, k)
+        tokens, accepted = self.runner.run_spec_rounds(
+            seqs, st, k, num_rounds=self.spec.rounds_per_step)
         dt = time.perf_counter() - t0
+        R = tokens.shape[0]
         for i, s in enumerate(seqs):
-            n = int(accepted_len[i])
-            for j in range(n):
-                s.append_token(int(tokens[i, j]))
+            for r in range(R):
+                n = int(accepted[r, i])
+                for j in range(n):
+                    s.append_token(int(tokens[r, i, j]))
             s.num_computed_tokens = s.num_tokens - 1
             s.truncate_stop_overshoot(self.eos_token_id)
-        self.spec_metrics.record(num_seqs=len(seqs), k=k,
-                                 draft_accepted=int(n_draft_acc.sum()),
-                                 emitted=int(accepted_len.sum()), wall_s=dt)
+        emitted = int(accepted.sum())
+        active_rounds = int((accepted > 0).sum())
+        # draft-accepted = emitted - one bonus/recovery per live (round, seq)
+        self.spec_metrics.record(
+            num_draft_tokens=active_rounds * k, k=k,
+            draft_accepted=emitted - active_rounds,
+            emitted=emitted, wall_s=dt)
 
     # ------------------------------------------------------------------
     def _to_output(self, seq: Sequence, finished: bool = True) -> RequestOutput:

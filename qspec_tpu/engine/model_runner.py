@@ -85,17 +85,8 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     return next_tokens, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "k", "axis_name"),
-                   donate_argnames=("cache",))
-def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
+def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
                 *, cfg, scheme, k, axis_name=None):
-    """k sequential draft steps fully on-device (lax.scan).
-
-    Replaces the reference's TP1DraftModelRunner python loop + advance_step
-    CUDA kernel (draft_model_runner.py:280-341, csrc/prepare_inputs/
-    advance_step.cu). Returns (draft_tokens [B, k], draft_probs [B, k, V],
-    cache).
-    """
     page_size = cache.page_size
 
     def body(carry, step_key):
@@ -116,17 +107,23 @@ def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
     return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(probs, 0, 1), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "k", "axis_name"),
                    donate_argnames=("cache",))
-def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
-                block_tables, st, key, *, cfg, scheme, axis_name=None):
-    """Score k+1 positions in one pass and rejection-sample.
+def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
+                *, cfg, scheme, k, axis_name=None):
+    """k sequential draft steps fully on-device (lax.scan).
 
-    The MQA-scorer idea (vllm/spec_decode/mqa_scorer.py:10): the whole
-    [last, d_1..d_k] window is one attention call per sequence, so the target
-    weights stream once for k+1 tokens. Fuses the RejectionSampler
-    (layers/rejection_sampler.py:60) into the same executable.
+    Replaces the reference's TP1DraftModelRunner python loop + advance_step
+    CUDA kernel (draft_model_runner.py:280-341, csrc/prepare_inputs/
+    advance_step.cu). Returns (draft_tokens [B, k], draft_probs [B, k, V],
+    cache).
     """
+    return _draft_impl(params, cache, last_tokens, start_pos, block_tables, st,
+                       key, cfg=cfg, scheme=scheme, k=k, axis_name=axis_name)
+
+
+def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
+                 block_tables, st, key, *, cfg, scheme, axis_name=None):
     page_size = cache.page_size
     B, k = draft_tokens.shape
     tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
@@ -142,6 +139,73 @@ def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos
     target_probs = target_probs.reshape(B, k + 1, V)
     result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
     return result, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+                   donate_argnames=("cache",))
+def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
+                block_tables, st, key, *, cfg, scheme, axis_name=None):
+    """Score k+1 positions in one pass and rejection-sample.
+
+    The MQA-scorer idea (vllm/spec_decode/mqa_scorer.py:10): the whole
+    [last, d_1..d_k] window is one attention call per sequence, so the target
+    weights stream once for k+1 tokens. Fuses the RejectionSampler
+    (layers/rejection_sampler.py:60) into the same executable.
+    """
+    return _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs,
+                        start_pos, block_tables, st, key, cfg=cfg, scheme=scheme,
+                        axis_name=axis_name)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "draft_scheme", "verify_scheme", "k",
+                                    "num_rounds", "axis_name"),
+                   donate_argnames=("draft_cache", "cache"))
+def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
+                     block_tables, max_new, st, key, *, cfg, draft_scheme,
+                     verify_scheme, k, num_rounds=1, axis_name=None):
+    """`num_rounds` full QSpec rounds (draft k + verify + rejection) in ONE
+    executable — one host round-trip for up to num_rounds*(k+1) tokens.
+
+    This is the TPU answer to both the reference's SpecDecodeWorker step
+    (spec_decode_worker.py:757) and its multi-step runner
+    (worker/multi_step_model_runner.py): all control flow — token
+    advancement, per-sequence accepted lengths, early stop on budget — runs
+    on device with static shapes. `max_new` [B] caps emission per sequence
+    (sequences that hit their cap keep "running" masked: writes keep landing
+    on their already-allocated lookahead pages but results are discarded
+    host-side).
+
+    Returns (tokens [R, B, k+1] (-1 padded), accepted_len [R, B], new caches).
+    """
+
+    def round_body(carry, round_key):
+        draft_cache, cache, last, pos, budget = carry
+        dk, vk = jax.random.split(round_key)
+        d_toks, d_probs, draft_cache = _draft_impl(
+            params, draft_cache, last, pos, block_tables, st, dk,
+            cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name)
+        result, cache = _verify_impl(
+            params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
+            cfg=cfg, scheme=verify_scheme, axis_name=axis_name)
+        # budget mask: emit at most `budget` more tokens per seq
+        acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
+        active = budget > 0
+        acc = jnp.where(active, jnp.maximum(acc, 1), 0)
+        slots = jnp.arange(k + 1)[None, :]
+        toks = jnp.where(slots < acc[:, None], result.tokens, -1)
+        # advance: next input token is the last accepted; position += acc
+        gather_idx = jnp.maximum(acc - 1, 0)[:, None]
+        new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
+        new_last = jnp.where(active, new_last, last)
+        new_pos = pos + acc
+        return ((draft_cache, cache, new_last, new_pos, budget - acc),
+                (toks, acc))
+
+    keys = jax.random.split(key, num_rounds)
+    (draft_cache, cache, _, _, _), (toks, accs) = jax.lax.scan(
+        round_body, (draft_cache, cache, last_tokens, start_pos, max_new), keys)
+    return toks, accs, draft_cache, cache
 
 
 # ---------------------------------------------------------------------------
@@ -172,6 +236,7 @@ class ModelRunner:
         k = config.speculative.num_speculative_tokens if config.speculative else 1
         draft_scheme = (config.speculative.draft_scheme if config.speculative
                         else "w4a4")
+        rounds = (config.speculative.rounds_per_step if config.speculative else 1)
         if mesh is not None:
             from qspec_tpu.parallel.tp import (make_tp_step_fns, shard_cache,
                                                shard_params)
@@ -180,7 +245,8 @@ class ModelRunner:
             if self.draft_cache is not None:
                 self.draft_cache = shard_cache(self.draft_cache, mesh)
             self.fns = make_tp_step_fns(mesh, self.cfg, self.params,
-                                        self._verify_scheme, draft_scheme, k)
+                                        self._verify_scheme, draft_scheme, k,
+                                        num_rounds=rounds)
         else:
             self.fns = {
                 "prefill": functools.partial(prefill_step, cfg=self.cfg,
@@ -193,6 +259,9 @@ class ModelRunner:
                                            scheme=draft_scheme, k=k),
                 "verify": functools.partial(verify_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
+                "spec_rounds": functools.partial(
+                    spec_rounds_step, cfg=self.cfg, draft_scheme=draft_scheme,
+                    verify_scheme=self._verify_scheme, k=k, num_rounds=rounds),
             }
 
     # -- helpers ----------------------------------------------------------
@@ -263,31 +332,32 @@ class ModelRunner:
             jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
         return np.asarray(jax.device_get(next_tokens))[:len(seqs)]
 
-    def run_spec_round(self, seqs, sampling: SamplingTensors, k: int):
-        """QSpec draft(w4a4) + verify(w4a16) round. Returns (tokens [B, k+1],
-        accepted_len [B], num_draft_accepted [B]) as numpy."""
+    def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
+                        num_rounds: int = 1):
+        """`num_rounds` fused QSpec rounds in one device call.
+
+        Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B]) numpy,
+        cropped to the live batch.
+        """
         B = self._bucket_batch(len(seqs))
         last = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
         for i, s in enumerate(seqs):
             last[i] = s.last_token()
             pos[i] = s.num_tokens - 1
+            max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
-        tables_j = jnp.asarray(self._pad_block_tables(tables))
-        last_j, pos_j = jnp.asarray(last), jnp.asarray(pos)
 
-        d_toks, d_probs, self.draft_cache = self.fns["draft"](
-            self.params, self.draft_cache, last_j, pos_j, tables_j, st,
-            self._next_key())
-        result, self.cache = self.fns["verify"](
-            self.params, self.cache, last_j, d_toks, d_probs, pos_j, tables_j,
-            st, self._next_key())
-        res = jax.device_get(result)
+        toks, accs, self.draft_cache, self.cache = self.fns["spec_rounds"](
+            self.params, self.draft_cache, self.cache, jnp.asarray(last),
+            jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)),
+            jnp.asarray(max_new), st, self._next_key())
+        toks, accs = jax.device_get((toks, accs))
         n = len(seqs)
-        return (np.asarray(res.tokens)[:n], np.asarray(res.accepted_len)[:n],
-                np.asarray(res.num_draft_accepted)[:n])
+        return np.asarray(toks)[:, :n], np.asarray(accs)[:, :n]
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:

@@ -152,7 +152,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     cache1 = kvc.update_layer(cache1, 0, k, v, batch.slot_mapping.reshape(-1))
     scale = cfg.head_dim ** -0.5
     attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache1, 0,
-                           batch.block_tables, batch.ctx_lens, scale)
+                           batch.block_tables, batch.ctx_lens, scale,
+                           q_positions=batch.positions)
     attn = attn.reshape(T, heads_l, cfg.head_dim)
 
     if quarot:

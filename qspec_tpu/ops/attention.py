@@ -27,13 +27,17 @@ NEG_INF = -1e30
 
 def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                         block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                        scale: float) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the Q new ones.
+                        scale: float, q_positions: jnp.ndarray = None) -> jnp.ndarray:
+    """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the new ones.
 
-    Query i of sequence b sits at absolute position ctx_lens[b] - Q + i and
-    attends to kv positions <= its own.
+    ``q_positions`` [B, Q] gives each query's absolute position; query i
+    attends to kv positions <= its own. When omitted, queries are assumed to
+    be the *last* Q positions (decode/verify windows) — end-padded prefill
+    MUST pass explicit positions or padding queries corrupt the mask.
     """
     B, Q, Hq, D = q.shape
+    if q_positions is None:
+        q_positions = (ctx_lens[:, None] - Q) + jnp.arange(Q)[None, :]
     k, v = gather_layer(cache, layer, block_tables)  # [B, Hkv, C, D]
     Hkv = k.shape[1]
     group = Hq // Hkv
@@ -44,8 +48,7 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
 
     C = k.shape[2]
     kv_pos = jnp.arange(C)[None, :]                       # [1, C]
-    q_pos = (ctx_lens[:, None] - Q) + jnp.arange(Q)[None, :]  # [B, Q]
-    mask = kv_pos[None] <= q_pos[:, :, None]              # [B, Q, C]
+    mask = kv_pos[None] <= q_positions[:, :, None]        # [B, Q, C]
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -75,12 +78,14 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                    scale: float) -> jnp.ndarray:
+                    scale: float, q_positions: jnp.ndarray = None) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
     if backend_is_tpu() and cache.k_scales is None and head_dim % 128 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
         return paged_attention_pallas(q, cache.k_pages[layer], cache.v_pages[layer],
-                                      block_tables, ctx_lens, scale)
-    return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale)
+                                      block_tables, ctx_lens, scale,
+                                      q_positions=q_positions)
+    return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
+                               q_positions=q_positions)

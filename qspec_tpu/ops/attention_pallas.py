@@ -37,6 +37,8 @@ def _paged_attn_kernel(
     # scalar prefetch
     block_tables_ref,   # [B * max_pages] int32
     ctx_lens_ref,       # [B] int32
+    q_start_ref,        # [B] int32: absolute position of each row's query 0
+                        # (queries within a window are consecutive)
     # inputs
     q_ref,              # [1, 1, G, D] VMEM
     k_pages_ref,        # [Hkv, P, S, D] ANY (HBM)
@@ -93,11 +95,11 @@ def _paged_attn_kernel(
         s = jax.lax.dot_general(q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [G, C]
 
-        # causal / length mask: row r is query index (r % num_q) at absolute
-        # position ctx_len - num_q + (r % num_q)
+        # causal / length mask: row r is query index (r % num_q); its absolute
+        # position comes from the prefetched positions array
         kv_pos = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (G, chunk_kv), 1)
         q_idx = jax.lax.broadcasted_iota(jnp.int32, (G, chunk_kv), 0) % num_q
-        q_pos = ctx_len - num_q + q_idx
+        q_pos = q_start_ref[b] + q_idx
         s = jnp.where(kv_pos <= q_pos, s, NEG_INF)
 
         m_prev = m_i[:, :1]
@@ -123,9 +125,17 @@ def _paged_attn_kernel(
 @functools.partial(jax.jit, static_argnames=("scale", "pages_per_chunk"))
 def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                           scale: float, pages_per_chunk: int = 8) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; k/v_pages: [Hkv, P, S, D]; block_tables: [B, PPS]."""
+                           scale: float, pages_per_chunk: int = 8,
+                           q_positions: jnp.ndarray = None) -> jnp.ndarray:
+    """q: [B, Q, Hq, D]; k/v_pages: [Hkv, P, S, D]; block_tables: [B, PPS].
+
+    q_positions [B, Q] must be consecutive per row; only column 0 is used.
+    """
     B, Q, Hq, D = q.shape
+    if q_positions is None:
+        q_start = ctx_lens.astype(jnp.int32) - Q
+    else:
+        q_start = q_positions[:, 0].astype(jnp.int32)
     Hkv, P, S, D2 = k_pages.shape
     assert D == D2
     group = Hq // Hkv
@@ -144,7 +154,7 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
     num_chunks = pages_pad // pages_per_chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, Hkv, num_chunks),
         in_specs=[
             # with scalar prefetch, index maps receive (*grid, *scalar_refs)
@@ -181,7 +191,8 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G_pad, D), q.dtype),
         interpret=interpret_mode(),
-    )(block_tables.reshape(-1), ctx_lens.astype(jnp.int32), qr, k_pages, v_pages)
+    )(block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start, qr,
+      k_pages, v_pages)
 
     out = out[:, :, :G].reshape(B, Hkv, group, Q, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, Q, Hq, D)

@@ -121,7 +121,7 @@ def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_spe
 
 
 def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
-                     draft_scheme: str = "w4a4", k: int = 3):
+                     draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1):
     """Build shard_mapped analogues of the model_runner step functions.
 
     Returns dict with keys prefill / decode / draft / verify whose call
@@ -150,6 +150,19 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["verify"] = _wrap(
         mr.verify_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)
+
+    # fused multi-round spec step: two sharded caches in/out
+    from jax.experimental.shard_map import shard_map
+    pspecs = param_pspecs(cfg, params)
+    inner = functools.partial(mr.spec_rounds_step.__wrapped__, cfg=cfg,
+                              draft_scheme=draft_scheme, verify_scheme=scheme,
+                              k=k, num_rounds=num_rounds, axis_name="model")
+    mapped = shard_map(inner, mesh=mesh,
+                       in_specs=(pspecs, cspec, cspec, R, R, R, R,
+                                 mr_st_spec(), R),
+                       out_specs=(P(), P(), cspec, cspec),
+                       check_rep=False)
+    fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))
     return fns
 
 

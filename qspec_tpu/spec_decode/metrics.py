@@ -20,10 +20,13 @@ class SpecDecodeMetrics:
     total_wall_s: float = 0.0
     per_round_wall: list = field(default_factory=list)
 
-    def record(self, num_seqs: int, k: int, draft_accepted: int, emitted: int,
-               wall_s: float) -> None:
+    def record(self, num_seqs: int = 0, k: int = 0, draft_accepted: int = 0,
+               emitted: int = 0, wall_s: float = 0.0,
+               num_draft_tokens: int = None) -> None:
         self.num_spec_rounds += 1
-        self.num_draft_tokens += num_seqs * k
+        if num_draft_tokens is None:
+            num_draft_tokens = num_seqs * k
+        self.num_draft_tokens += num_draft_tokens
         self.num_draft_accepted += draft_accepted
         self.num_emitted_tokens += emitted
         self.total_wall_s += wall_s

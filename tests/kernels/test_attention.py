@@ -77,6 +77,43 @@ def test_prefill_ref_matches_dense(rng):
                                np.asarray(dense, np.float32), atol=2e-2, rtol=2e-2)
 
 
+def test_padded_prefill_matches_exact(rng):
+    """Regression: end-padded prefill (Q > ctx) must give identical outputs
+    at valid positions as exact-length prefill — padding queries and extra
+    (lookahead) pages in the block table must not leak into the mask."""
+    import jax.numpy as jnp
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.engine.model_runner import prefill_step
+    from qspec_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(quant="w4")
+    params = init_params(cfg, 0)
+    kcfg = kvc.KVCacheConfig(cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                             num_pages=64, page_size=16)
+    P = 23
+    prompt = rng.integers(1, 500, size=P).astype(np.int32)
+
+    outs = []
+    for Q, tbl in [(32, [1, 2, 0, 0]), (64, [1, 2, 0, 0]), (64, [1, 2, 3, 4]),
+                   (64, [9, 4, 7, 2])]:
+        cache = kvc.allocate(kcfg)
+        # pollute an unused page to catch leaks
+        cache = cache._replace(k_pages=cache.k_pages.at[:, :, 30].set(5.0),
+                               v_pages=cache.v_pages.at[:, :, 30].set(-5.0))
+        toks = np.zeros((1, Q), np.int32)
+        toks[0, :P] = prompt
+        tables = np.zeros((1, 16), np.int32)
+        tables[0, :len(tbl)] = tbl
+        logits, _ = prefill_step(
+            params, cache, jnp.asarray(toks),
+            jnp.asarray(np.arange(Q, dtype=np.int32)[None]),
+            jnp.asarray(tables), jnp.asarray([P], np.int32),
+            cfg=cfg, scheme="w4a16")
+        outs.append(np.asarray(logits[0], np.float32))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-4, rtol=1e-4)
+
+
 def test_int8_kv_cache_roundtrip(rng):
     cfg = kvc.KVCacheConfig(num_layers=1, num_kv_heads=2, head_dim=32,
                             num_pages=4, page_size=4, dtype="int8")

@@ -60,6 +60,23 @@ def test_greedy_spec_equals_ar(setup, k):
     assert m.num_emitted_tokens >= m.num_draft_accepted
 
 
+@pytest.mark.parametrize("rounds", [2, 4])
+def test_multi_round_greedy_equals_ar(setup, rounds):
+    """Fused multi-round spec step (several draft+verify rounds per host
+    call) must preserve the greedy invariant and respect max_tokens."""
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    sp, eng = run_engine(
+        mc, params, sched,
+        SpeculativeConfig(num_speculative_tokens=3, rounds_per_step=rounds), ps)
+    assert ar == sp
+    # every output token except each sequence's first (sampled at prefill)
+    # was emitted by a spec round
+    assert eng.spec_metrics.num_emitted_tokens >= \
+        sum(len(v) for v in sp.values()) - len(sp)
+
+
 def test_disable_by_batch_size(setup):
     mc, params, sched = setup
     ps = prompts()
