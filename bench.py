@@ -38,31 +38,44 @@ def build(model_size: str):
     raise ValueError(model_size)
 
 
-def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs, page_size=16):
+def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
+             page_size=16, rounds=4, warmup=True):
+    """One engine run. A short warmup pass (2 tokens per prompt) triggers all
+    compiles so the timed run measures steady-state throughput."""
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
                                   SpeculativeConfig)
     from qspec_tpu.engine.llm_engine import LLMEngine
     from qspec_tpu.sampling_params import SamplingParams
 
-    max_len = max(len(p) for p in prompts) + max_tokens + 8
+    max_len = max(len(p) for p in prompts) + max_tokens + 8 * rounds
     sched = SchedulerConfig(max_num_seqs=max_num_seqs,
                             max_model_len=max_len,
                             prefill_chunk_size=512,
                             decode_batch_buckets=(max_num_seqs,),
-                            prefill_token_buckets=(512, 1024))
+                            prefill_token_buckets=(512, 1024),
+                            steps_per_decode_call=1 if spec else rounds * 4)
     ec = EngineConfig(model=cfg, cache=CacheConfig(page_size=page_size),
                       scheduler=sched,
-                      speculative=SpeculativeConfig(num_speculative_tokens=3)
+                      speculative=SpeculativeConfig(num_speculative_tokens=3,
+                                                    rounds_per_step=rounds)
                       if spec else None)
+
+    def drive(eng, n_tokens):
+        for p in prompts:
+            eng.add_request(p, SamplingParams(temperature=0.0,
+                                              max_tokens=n_tokens,
+                                              ignore_eos=True))
+        outs = []
+        while eng.has_unfinished_requests():
+            outs.extend(o for o in eng.step() if o.finished)
+        return outs
+
+    if warmup:
+        drive(LLMEngine(ec, params), 2)
+
     eng = LLMEngine(ec, params)
-    for p in prompts:
-        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=max_tokens,
-                                          ignore_eos=True))
-    # warm the compile caches with one step of each phase before timing
     t0 = time.perf_counter()
-    outs = []
-    while eng.has_unfinished_requests():
-        outs.extend(o for o in eng.step() if o.finished)
+    outs = drive(eng, max_tokens)
     wall = time.perf_counter() - t0
     out_tokens = sum(len(o.output_token_ids) for o in outs)
     return {

@@ -121,6 +121,8 @@ class SchedulerConfig:
     max_model_len: int = 4096
     enable_chunked_prefill: bool = True
     prefill_chunk_size: int = 512
+    # fused AR decode steps per host call (multi-step runner analogue)
+    steps_per_decode_call: int = 1
     # static-shape buckets for the jitted step fns (TPU-specific)
     decode_batch_buckets: tuple = (1, 2, 4, 8, 16, 32)
     prefill_token_buckets: tuple = (128, 256, 512, 1024, 2048)

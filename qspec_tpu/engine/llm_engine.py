@@ -45,7 +45,8 @@ class LLMEngine:
         self.tokenizer = tokenizer
         self.spec = config.speculative
         lookahead = ((self.spec.num_speculative_tokens + 1)
-                     * self.spec.rounds_per_step) if self.spec else 1
+                     * self.spec.rounds_per_step) if self.spec \
+            else config.scheduler.steps_per_decode_call
 
         if num_pages is None:
             num_pages = self._derive_num_pages()
@@ -164,10 +165,16 @@ class LLMEngine:
         if not seqs:
             return
         st = make_sampling_tensors(seqs)
-        next_tokens = self.runner.run_decode(seqs, st)
-        for s, t in zip(seqs, next_tokens):
-            s.num_computed_tokens = s.num_tokens
-            s.append_token(int(t))
+        steps = self.config.scheduler.steps_per_decode_call
+        tokens = self.runner.run_decode(seqs, st, num_steps=steps)
+        for i, s in enumerate(seqs):
+            for r in range(tokens.shape[0]):
+                t = int(tokens[r, i])
+                if t >= 0:
+                    s.append_token(t)
+            s.num_computed_tokens = s.num_tokens - 1
+            if steps > 1:
+                s.truncate_stop_overshoot(self.eos_token_id)
 
     def _run_spec_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:

@@ -85,6 +85,40 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     return next_tokens, cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "num_steps", "axis_name"),
+                   donate_argnames=("cache",))
+def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
+                      max_new, st, key, *, cfg, scheme, num_steps, axis_name=None):
+    """num_steps autoregressive decode steps in one executable.
+
+    TPU-native analogue of the reference's multi-step model runner
+    (vllm/worker/multi_step_model_runner.py + csrc/prepare_inputs/
+    advance_step.cu): token advancement happens on device; per-seq budgets
+    cap emission. Returns (tokens [N, B] (-1 past budget), cache).
+    """
+    page_size = cache.page_size
+
+    def body(carry, step_key):
+        cache, tok, pos, budget = carry
+        p = pos[:, None]
+        slot = _slot_of(block_tables, p, page_size)
+        batch = AttentionBatch(positions=p, slot_mapping=slot,
+                               block_tables=block_tables, ctx_lens=pos + 1)
+        logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
+                                      scheme=scheme, axis_name=axis_name)
+        nxt = sample(logits[:, 0], st, step_key)
+        active = budget > 0
+        out = jnp.where(active, nxt, -1)
+        new_tok = jnp.where(active, nxt, tok)
+        return (cache, new_tok, pos + active.astype(jnp.int32),
+                budget - active.astype(jnp.int32)), out
+
+    keys = jax.random.split(key, num_steps)
+    (cache, _, _, _), toks = jax.lax.scan(
+        body, (cache, last_tokens, start_pos, max_new), keys)
+    return toks, cache
+
+
 def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
                 *, cfg, scheme, k, axis_name=None):
     page_size = cache.page_size
@@ -244,9 +278,10 @@ class ModelRunner:
             self.cache = shard_cache(self.cache, mesh)
             if self.draft_cache is not None:
                 self.draft_cache = shard_cache(self.draft_cache, mesh)
-            self.fns = make_tp_step_fns(mesh, self.cfg, self.params,
-                                        self._verify_scheme, draft_scheme, k,
-                                        num_rounds=rounds)
+            self.fns = make_tp_step_fns(
+                mesh, self.cfg, self.params, self._verify_scheme, draft_scheme,
+                k, num_rounds=rounds,
+                decode_steps=config.scheduler.steps_per_decode_call)
         else:
             self.fns = {
                 "prefill": functools.partial(prefill_step, cfg=self.cfg,
@@ -255,6 +290,9 @@ class ModelRunner:
                                                    scheme=draft_scheme),
                 "decode": functools.partial(decode_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
+                "multi_decode": functools.partial(
+                    multi_decode_step, cfg=self.cfg, scheme=self._verify_scheme,
+                    num_steps=config.scheduler.steps_per_decode_call),
                 "draft": functools.partial(draft_steps, cfg=self.cfg,
                                            scheme=draft_scheme, k=k),
                 "verify": functools.partial(verify_step, cfg=self.cfg,
@@ -316,21 +354,31 @@ class ModelRunner:
         tok = sample(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
-    def run_decode(self, seqs, sampling: SamplingTensors) -> np.ndarray:
-        """Plain autoregressive decode for `seqs`; returns [B] next tokens."""
+    def run_decode(self, seqs, sampling: SamplingTensors,
+                   num_steps: int = 1) -> np.ndarray:
+        """Autoregressive decode. num_steps == 1 returns [1, B] next tokens;
+        otherwise runs the fused multi-step executable -> [N, B] (-1 padded)."""
         B = self._bucket_batch(len(seqs))
         last = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
         for i, s in enumerate(seqs):
             last[i] = s.last_token()
             pos[i] = s.num_tokens - 1
+            max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
-        next_tokens, self.cache = self.fns["decode"](
+        if num_steps == 1:
+            next_tokens, self.cache = self.fns["decode"](
+                self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
+                jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
+            return np.asarray(jax.device_get(next_tokens))[None, :len(seqs)]
+        toks, self.cache = self.fns["multi_decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
-            jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
-        return np.asarray(jax.device_get(next_tokens))[:len(seqs)]
+            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
+            st, self._next_key())
+        return np.asarray(jax.device_get(toks))[:, :len(seqs)]
 
     def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
                         num_rounds: int = 1):

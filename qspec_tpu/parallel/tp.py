@@ -121,7 +121,8 @@ def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_spe
 
 
 def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
-                     draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1):
+                     draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1,
+                     decode_steps: int = 1):
     """Build shard_mapped analogues of the model_runner step functions.
 
     Returns dict with keys prefill / decode / draft / verify whose call
@@ -143,6 +144,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["decode"] = _wrap(
         mr.decode_step.__wrapped__, mesh, cfg, params,
         (R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme)
+    fns["multi_decode"] = _wrap(
+        mr.multi_decode_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme,
+        num_steps=decode_steps)
     fns["draft"] = _wrap(
         mr.draft_steps.__wrapped__, mesh, cfg, params,
         (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,

@@ -77,6 +77,17 @@ def test_multi_round_greedy_equals_ar(setup, rounds):
         sum(len(v) for v in sp.values()) - len(sp)
 
 
+def test_multi_step_ar_equals_single(setup):
+    """Fused multi-step AR decode must match single-step AR exactly."""
+    from qspec_tpu.config import SchedulerConfig
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    sched8 = SchedulerConfig(**{**sched.__dict__, "steps_per_decode_call": 8})
+    ar8, _ = run_engine(mc, params, sched8, None, ps)
+    assert ar == ar8
+
+
 def test_disable_by_batch_size(setup):
     mc, params, sched = setup
     ps = prompts()
