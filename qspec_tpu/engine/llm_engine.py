@@ -48,10 +48,16 @@ class LLMEngine:
                      * self.spec.rounds_per_step) if self.spec \
             else config.scheduler.steps_per_decode_call
 
+        self._ngram = None
+        if self.spec is not None and self.spec.method == "ngram":
+            from qspec_tpu.spec_decode.ngram import NgramProposer
+            self._ngram = NgramProposer(self.spec.ngram_prompt_lookup_min,
+                                        self.spec.ngram_prompt_lookup_max)
         if num_pages is None:
             num_pages = self._derive_num_pages()
         self.runner = ModelRunner(config, params, num_pages,
-                                  need_draft_cache=self.spec is not None,
+                                  need_draft_cache=self.spec is not None
+                                  and self._ngram is None,
                                   mesh=mesh)
         self.block_manager = BlockManager(num_pages, config.cache.page_size)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
@@ -151,7 +157,7 @@ class LLMEngine:
         chunk = batch.chunk
         seq = chunk.seq
         logits = self.runner.run_prefill_chunk(seq, chunk.start, chunk.end)
-        if self.spec is not None:
+        if self.spec is not None and self._ngram is None:
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
             self.runner.run_prefill_chunk(seq, chunk.start, chunk.end, draft=True)
@@ -182,8 +188,12 @@ class LLMEngine:
         k = self.spec.num_speculative_tokens
         st = make_sampling_tensors(seqs)
         t0 = time.perf_counter()
-        tokens, accepted = self.runner.run_spec_rounds(
-            seqs, st, k, num_rounds=self.spec.rounds_per_step)
+        if self._ngram is not None:
+            proposals = self._ngram.propose_batch(seqs, k)
+            tokens, accepted = self.runner.run_ngram_round(seqs, st, proposals)
+        else:
+            tokens, accepted = self.runner.run_spec_rounds(
+                seqs, st, k, num_rounds=self.spec.rounds_per_step)
         dt = time.perf_counter() - t0
         R = tokens.shape[0]
         for i, s in enumerate(seqs):

@@ -191,6 +191,18 @@ def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos
                         axis_name=axis_name)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+                   donate_argnames=("cache",))
+def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
+                       block_tables, st, key, *, cfg, scheme, axis_name=None):
+    """Verify deterministic proposals (n-gram prompt lookup): the draft
+    distribution is one-hot at the proposed tokens, built on device."""
+    draft_probs = jax.nn.one_hot(draft_tokens, cfg.vocab_size, dtype=jnp.float32)
+    return _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs,
+                        start_pos, block_tables, st, key, cfg=cfg, scheme=scheme,
+                        axis_name=axis_name)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "draft_scheme", "verify_scheme", "k",
                                     "num_rounds", "axis_name"),
@@ -300,6 +312,9 @@ class ModelRunner:
                 "spec_rounds": functools.partial(
                     spec_rounds_step, cfg=self.cfg, draft_scheme=draft_scheme,
                     verify_scheme=self._verify_scheme, k=k, num_rounds=rounds),
+                "verify_onehot": functools.partial(
+                    verify_step_onehot, cfg=self.cfg,
+                    scheme=self._verify_scheme),
             }
 
     # -- helpers ----------------------------------------------------------
@@ -406,6 +421,33 @@ class ModelRunner:
         toks, accs = jax.device_get((toks, accs))
         n = len(seqs)
         return np.asarray(toks)[:, :n], np.asarray(accs)[:, :n]
+
+    def run_ngram_round(self, seqs, sampling: SamplingTensors,
+                        draft_tokens: np.ndarray):
+        """One n-gram verify round (no draft model, no draft cache).
+
+        draft_tokens: [n_seqs, k]. Returns (tokens [1, B, k+1], accepted [1, B]).
+        """
+        B = self._bucket_batch(len(seqs))
+        k = draft_tokens.shape[1]
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        d_toks = np.zeros((B, k), np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            d_toks[i] = draft_tokens[i]
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        result, self.cache = self.fns["verify_onehot"](
+            self.params, self.cache, jnp.asarray(last), jnp.asarray(d_toks),
+            jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)), st,
+            self._next_key())
+        res = jax.device_get(result)
+        n = len(seqs)
+        return (np.asarray(res.tokens)[None, :n],
+                np.asarray(res.accepted_len)[None, :n])
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:

@@ -1,0 +1,55 @@
+"""Model registry (reference: vllm/model_executor/models/registry.py:190).
+
+Maps HF architecture names to (family, config translator). The decoder
+families here all share the llama.py compute graph — qwen2 is llama with
+attention bias and its own dims (the reference similarly subclasses its
+QuaRot Qwen2 from the Llama modules, vllm/model_executor/models/
+qwen2_quarot.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from qspec_tpu.config import ModelConfig
+
+_REGISTRY: Dict[str, Callable[[dict], ModelConfig]] = {}
+
+
+def register(arch: str):
+    def deco(fn):
+        _REGISTRY[arch] = fn
+        return fn
+    return deco
+
+
+@register("LlamaForCausalLM")
+@register("QuarotLlamaForCausalLM")
+@register("llama_quarot")
+def _llama(hf: dict) -> ModelConfig:
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("Qwen2ForCausalLM")
+@register("Qwen2QuaRotForCausalLM")
+@register("qwen2_quarot")
+def _qwen2(hf: dict) -> ModelConfig:
+    cfg = ModelConfig.from_hf_config(hf)
+    return ModelConfig(**{**cfg.__dict__, "arch": "qwen2", "qkv_bias": True})
+
+
+@register("MistralForCausalLM")
+def _mistral(hf: dict) -> ModelConfig:
+    return ModelConfig.from_hf_config(hf)
+
+
+def resolve(hf_config: dict) -> ModelConfig:
+    archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
+    for a in archs:
+        if a in _REGISTRY:
+            return _REGISTRY[a](hf_config)
+    raise ValueError(f"unsupported architectures {archs}; known: {sorted(_REGISTRY)}")
+
+
+def supported_architectures():
+    return sorted(_REGISTRY)
