@@ -60,14 +60,24 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
                                                     rounds_per_step=rounds)
                       if spec else None)
 
+    import os
+    debug = os.environ.get("QSPEC_BENCH_DEBUG") == "1"
+
     def drive(eng, n_tokens):
         for p in prompts:
             eng.add_request(p, SamplingParams(temperature=0.0,
                                               max_tokens=n_tokens,
                                               ignore_eos=True))
         outs = []
+        i = 0
         while eng.has_unfinished_requests():
-            outs.extend(o for o in eng.step() if o.finished)
+            s0 = time.perf_counter()
+            res = eng.step()
+            if debug:
+                print(f"#   step {i}: {time.perf_counter()-s0:.3f}s",
+                      file=sys.stderr, flush=True)
+            i += 1
+            outs.extend(o for o in res if o.finished)
         return outs
 
     if warmup:

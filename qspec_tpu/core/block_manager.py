@@ -93,6 +93,9 @@ class PageAllocator:
     # -- prefix caching ---------------------------------------------------
     @staticmethod
     def chain_hash(prev_hash: Optional[int], tokens: tuple) -> int:
+        from qspec_tpu import _native
+        if _native.AVAILABLE:
+            return _native.chain_hash(prev_hash, tokens)
         return hash((prev_hash, tokens))
 
     def lookup_cached(self, content_hash: int) -> Optional[int]:

@@ -40,6 +40,8 @@ class RequestOutput:
 class LLMEngine:
     def __init__(self, config: EngineConfig, params, num_pages: Optional[int] = None,
                  eos_token_id: Optional[int] = None, tokenizer=None, mesh=None):
+        from qspec_tpu.utils import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
         self.config = config
         self.eos_token_id = eos_token_id
         self.tokenizer = tokenizer
@@ -68,6 +70,14 @@ class LLMEngine:
         self._pending_first_logits = {}
         self.stat_loggers = []
         self._num_total_pages = num_pages
+        self.tracer = None            # set via enable_tracing()
+        self._traces = {}
+
+    def enable_tracing(self, otlp_endpoint: Optional[str] = None,
+                       service_name: str = "qspec_tpu") -> bool:
+        from qspec_tpu.tracing import init_tracer
+        self.tracer = init_tracer(service_name, otlp_endpoint)
+        return self.tracer is not None
 
     def _derive_num_pages(self) -> int:
         """Size the cache from configured HBM budget (reference
@@ -89,6 +99,8 @@ class LLMEngine:
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
                        sampling_params=sampling_params)
         self.scheduler.add_seq(seq)
+        from qspec_tpu.tracing import RequestTrace
+        self._traces[rid] = RequestTrace()
         return rid
 
     def abort_request(self, request_id: int) -> None:
@@ -119,8 +131,19 @@ class LLMEngine:
         for s in list(self.scheduler.running):
             if s.num_computed_tokens >= s.prompt_len:
                 s.check_stop(self.eos_token_id)
+        for s in (batch.seqs if batch.kind == "decode" else [batch.chunk.seq]):
+            tr = self._traces.get(s.seq_id)
+            if tr is not None:
+                tr.mark_scheduled()
+                if s.output_token_ids:
+                    tr.mark_first_token()
         finished = self.scheduler.free_finished()
         for s in finished:
+            tr = self._traces.pop(s.seq_id, None)
+            if tr is not None:
+                tr.mark_finished()
+                tr.emit(self.tracer, s.seq_id, s.prompt_len,
+                        len(s.output_token_ids), s.sampling_params)
             outputs.append(self._to_output(s))
         for s in touched:
             if not s.is_finished:

@@ -59,10 +59,11 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=ctx_len)
+    last_idx = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
     logits, cache = model_forward(params, cfg, token_ids, cache, batch,
-                                  scheme=scheme, axis_name=axis_name)
-    last_idx = jnp.clip(ctx_len[0] - 1 - positions[0, 0], 0, Q - 1)
-    return logits[:, last_idx], cache
+                                  scheme=scheme, axis_name=axis_name,
+                                  logits_indices=last_idx)
+    return logits[:, 0], cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),

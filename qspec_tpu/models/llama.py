@@ -221,11 +221,17 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
 
 def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
                   cache: kvc.PagedKVCache, batch: AttentionBatch, *,
-                  scheme: str = "w4a16", axis_name: Optional[str] = None):
+                  scheme: str = "w4a16", axis_name: Optional[str] = None,
+                  logits_indices: Optional[jnp.ndarray] = None):
     """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
 
     Mirrors the reference call path LlamaModel.forward -> compute_logits
     (quarot_llama.py:436-619) as a single jittable function.
+
+    ``logits_indices`` [B]: compute logits only at one query index per row
+    (prefill only needs the final prompt position — skipping the [B*Q, V]
+    projection saves a quarter-GB intermediate and the lm_head FLOPs).
+    Output is then [B, 1, V].
     """
     assert scheme in SCHEMES
     if scheme != "bf16" and cfg.quant != "w4":
@@ -245,6 +251,11 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     x, (new_k, new_v) = jax.lax.scan(
         body, x, (params["layers"], cache.k_pages, cache.v_pages))
     cache = cache._replace(k_pages=new_k, v_pages=new_v)
+
+    if logits_indices is not None:
+        flat = logits_indices + jnp.arange(B) * Q
+        x = x[flat]
+        Q = 1
 
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)

@@ -28,6 +28,11 @@ class NgramProposer:
 
     def propose(self, token_ids: List[int], k: int) -> Optional[np.ndarray]:
         """Return k proposed tokens or None when no n-gram match exists."""
+        from qspec_tpu import _native
+        if _native.AVAILABLE:
+            out = _native.ngram_propose(token_ids[-self.max_history:],
+                                        self.nmin, self.nmax, k)
+            return None if out is None else np.asarray(out, np.int32)
         hist = np.asarray(token_ids[-self.max_history:], dtype=np.int32)
         L = len(hist)
         for n in range(min(self.nmax, L - 1), self.nmin - 1, -1):
