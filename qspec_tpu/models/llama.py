@@ -48,7 +48,8 @@ from qspec_tpu.ops.rmsnorm_quant import rmsnorm, rmsnorm_quant
 from qspec_tpu.ops.rotary import apply_rope, make_rope_cache
 from qspec_tpu.ops._kernel_utils import backend_is_tpu
 
-SCHEMES = ("w4a4", "w4a16", "bf16")
+SCHEMES = ("w4a4", "w4a8", "w4a16", "bf16")
+QUANT_ACT_SCHEMES = ("w4a4", "w4a8")  # draft schemes with quantized activations
 
 
 class AttentionBatch(NamedTuple):
@@ -78,7 +79,7 @@ def _linear(x, w, scheme, xq=None):
     elif scheme == "w4a16":
         fn = matmul_w4a16 if backend_is_tpu() else matmul_w4a16_ref
         out = fn(x, w["qw"], w["qs"])
-    else:  # w4a4
+    else:  # w4a4 / w4a8: int activations on the int8 MXU pipe
         fn = matmul_w4a4 if backend_is_tpu() else matmul_w4a4_ref
         out = fn(xq.values, xq.scales, w["qw"], w["qs"])
     if "b" in w:
@@ -88,12 +89,20 @@ def _linear(x, w, scheme, xq=None):
 
 def _norm_maybe_quant(x, gamma, eps, scheme):
     """Returns (normed bf16 or None, quantized or None)."""
-    if scheme == "w4a4":
+    if scheme in QUANT_ACT_SCHEMES:
+        bits = 4 if scheme == "w4a4" else 8
         if gamma is None:
-            return None, rmsnorm_quant(x, eps=eps)
+            return None, rmsnorm_quant(x, eps=eps, bits=bits)
         from qspec_tpu.ops.rmsnorm_quant import rmsnorm_quant_ref
-        return None, rmsnorm_quant_ref(x, gamma, eps=eps)
+        return None, rmsnorm_quant_ref(x, gamma, eps=eps, bits=bits)
     return rmsnorm(x, gamma, eps=eps), None
+
+
+def _act_quant(x, scheme):
+    """Per-token activation quant matching the scheme's bit width
+    (reference Quantizer: quarot fuse_sym_quant / _i8)."""
+    from qspec_tpu.ops.quant import sym_quant_int8
+    return sym_quant_int4(x) if scheme == "w4a4" else sym_quant_int8(x)
 
 
 def _head_hadamard(attn, h_heads):
@@ -163,8 +172,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
             attn = jax.lax.all_gather(attn, axis_name, axis=1, tiled=True)
             attn = _head_hadamard(attn, hadamards["heads"])
             attn_flat = attn.reshape(T, cfg.num_heads * cfg.head_dim)
-            if scheme == "w4a4":
-                aq = sym_quant_int4(attn_flat)  # scale over the full row
+            if scheme in QUANT_ACT_SCHEMES:
+                aq = _act_quant(attn_flat, scheme)  # scale over the full row
                 idx = jax.lax.axis_index(axis_name)
                 vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * q_size_l, q_size_l, 1)
                 aq = aq._replace(values=vals)
@@ -176,8 +185,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
         else:
             attn = _head_hadamard(attn, hadamards["heads"])
             attn_flat = attn.reshape(T, q_size_l)
-            if scheme == "w4a4":
-                o = _linear(None, layer["o"], scheme, sym_quant_int4(attn_flat))
+            if scheme in QUANT_ACT_SCHEMES:
+                o = _linear(None, layer["o"], scheme, _act_quant(attn_flat, scheme))
             else:
                 o = _linear(attn_flat, layer["o"], scheme)
     else:
@@ -199,16 +208,16 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
         act = _mlp_hadamard(act, hadamards["mlp_K"], hadamards["mlp_P"])
         if axis_name is not None and ntp > 1:
             idx = jax.lax.axis_index(axis_name)
-            if scheme == "w4a4":
-                aq = sym_quant_int4(act)
+            if scheme in QUANT_ACT_SCHEMES:
+                aq = _act_quant(act, scheme)
                 vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * i_local, i_local, 1)
                 down = _linear(None, layer["down"], scheme, aq._replace(values=vals))
             else:
                 loc = jax.lax.dynamic_slice_in_dim(act, idx * i_local, i_local, 1)
                 down = _linear(loc, layer["down"], scheme)
         else:
-            if scheme == "w4a4":
-                down = _linear(None, layer["down"], scheme, sym_quant_int4(act))
+            if scheme in QUANT_ACT_SCHEMES:
+                down = _linear(None, layer["down"], scheme, _act_quant(act, scheme))
             else:
                 down = _linear(act, layer["down"], scheme)
     else:

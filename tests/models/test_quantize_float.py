@@ -97,3 +97,17 @@ def test_w4a4_correlated(rng):
     ours = run_ours(params, cfg, tokens, "w4a4")
     corr = np.corrcoef(ref.ravel(), ours.ravel())[0, 1]
     assert corr > 0.9, f"w4a4-vs-w4a16 correlation {corr}"
+
+
+def test_w4a8_correlated(rng):
+    """w4a8 draft scheme (qserve path): int8 activations, same int4 weights."""
+    hf, params, cfg = build()
+    tokens = rng.integers(1, 256, size=12).astype(np.int32)
+    ref = run_ours(params, cfg, tokens, "w4a16")
+    ours = run_ours(params, cfg, tokens, "w4a8")
+    corr = np.corrcoef(ref.ravel(), ours.ravel())[0, 1]
+    assert corr > 0.97, f"w4a8-vs-w4a16 correlation {corr}"
+    # int8 activations should track the fp path tighter than int4 does
+    w4a4 = run_ours(params, cfg, tokens, "w4a4")
+    corr44 = np.corrcoef(ref.ravel(), w4a4.ravel())[0, 1]
+    assert corr >= corr44 - 0.02
