@@ -39,6 +39,7 @@ class Sequence:
     sampling_params: SamplingParams
     arrival_time: float = field(default_factory=time.monotonic)
     output_token_ids: List[int] = field(default_factory=list)
+    output_logprobs: List[float] = field(default_factory=list)
     status: SequenceStatus = SequenceStatus.WAITING
     # paged-KV bookkeeping
     page_ids: List[int] = field(default_factory=list)
@@ -65,8 +66,9 @@ class Sequence:
     def last_token(self) -> int:
         return self.token_ids[-1]
 
-    def append_token(self, token_id: int) -> None:
+    def append_token(self, token_id: int, logprob: float = 0.0) -> None:
         self.output_token_ids.append(token_id)
+        self.output_logprobs.append(logprob)
 
     def check_stop(self, eos_token_id: Optional[int]) -> None:
         sp = self.sampling_params
@@ -96,10 +98,12 @@ class Sequence:
         for i, tok in enumerate(self.output_token_ids):
             if tok in stop_set:
                 self.output_token_ids = self.output_token_ids[:i + 1]
+                self.output_logprobs = self.output_logprobs[:i + 1]
                 self.status = SequenceStatus.FINISHED_STOPPED
                 self.finish_reason = "stop"
                 return
         if len(self.output_token_ids) >= sp.max_tokens:
             self.output_token_ids = self.output_token_ids[:sp.max_tokens]
+            self.output_logprobs = self.output_logprobs[:sp.max_tokens]
             self.status = SequenceStatus.FINISHED_LENGTH
             self.finish_reason = "length"

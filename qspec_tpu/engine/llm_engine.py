@@ -34,6 +34,7 @@ class RequestOutput:
     finished: bool
     finish_reason: Optional[str] = None
     text: str = ""
+    logprobs: Optional[List[float]] = None
     metrics: dict = field(default_factory=dict)
 
 
@@ -195,12 +196,12 @@ class LLMEngine:
             return
         st = make_sampling_tensors(seqs)
         steps = self.config.scheduler.steps_per_decode_call
-        tokens = self.runner.run_decode(seqs, st, num_steps=steps)
+        tokens, lps = self.runner.run_decode(seqs, st, num_steps=steps)
         for i, s in enumerate(seqs):
             for r in range(tokens.shape[0]):
                 t = int(tokens[r, i])
                 if t >= 0:
-                    s.append_token(t)
+                    s.append_token(t, float(lps[r, i]))
             s.num_computed_tokens = s.num_tokens - 1
             if steps > 1:
                 s.truncate_stop_overshoot(self.eos_token_id)
@@ -213,9 +214,9 @@ class LLMEngine:
         t0 = time.perf_counter()
         if self._ngram is not None:
             proposals = self._ngram.propose_batch(seqs, k)
-            tokens, accepted = self.runner.run_ngram_round(seqs, st, proposals)
+            tokens, accepted, lps = self.runner.run_ngram_round(seqs, st, proposals)
         else:
-            tokens, accepted = self.runner.run_spec_rounds(
+            tokens, accepted, lps = self.runner.run_spec_rounds(
                 seqs, st, k, num_rounds=self.spec.rounds_per_step)
         dt = time.perf_counter() - t0
         R = tokens.shape[0]
@@ -223,7 +224,7 @@ class LLMEngine:
             for r in range(R):
                 n = int(accepted[r, i])
                 for j in range(n):
-                    s.append_token(int(tokens[r, i, j]))
+                    s.append_token(int(tokens[r, i, j]), float(lps[r, i, j]))
             s.num_computed_tokens = s.num_tokens - 1
             s.truncate_stop_overshoot(self.eos_token_id)
         emitted = int(accepted.sum())
@@ -249,6 +250,8 @@ class LLMEngine:
             finished=finished,
             finish_reason=seq.finish_reason,
             text=text,
+            logprobs=list(seq.output_logprobs)
+            if seq.sampling_params.logprobs else None,
         )
 
 

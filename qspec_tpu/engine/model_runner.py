@@ -27,7 +27,8 @@ from qspec_tpu.config import EngineConfig
 from qspec_tpu.models.llama import AttentionBatch, model_forward
 from qspec_tpu.ops import kv_cache as kvc
 from qspec_tpu.ops.sampling import (RejectionResult, SamplingTensors,
-                                    rejection_sample, sample, sampling_probs)
+                                    rejection_sample, sample,
+                                    sample_with_logprob, sampling_probs)
 
 
 def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp.ndarray:
@@ -107,17 +108,17 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
                                block_tables=block_tables, ctx_lens=pos + 1)
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
                                       scheme=scheme, axis_name=axis_name)
-        nxt = sample(logits[:, 0], st, step_key)
+        nxt, lp = sample_with_logprob(logits[:, 0], st, step_key)
         active = budget > 0
         out = jnp.where(active, nxt, -1)
         new_tok = jnp.where(active, nxt, tok)
         return (cache, new_tok, pos + active.astype(jnp.int32),
-                budget - active.astype(jnp.int32)), out
+                budget - active.astype(jnp.int32)), (out, lp)
 
     keys = jax.random.split(key, num_steps)
-    (cache, _, _, _), toks = jax.lax.scan(
+    (cache, _, _, _), (toks, lps) = jax.lax.scan(
         body, (cache, last_tokens, start_pos, max_new), keys)
-    return toks, cache
+    return toks, lps, cache
 
 
 def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
@@ -241,18 +242,19 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
         acc = jnp.where(active, jnp.maximum(acc, 1), 0)
         slots = jnp.arange(k + 1)[None, :]
         toks = jnp.where(slots < acc[:, None], result.tokens, -1)
+        lps = jnp.where(slots < acc[:, None], result.token_logprobs, 0.0)
         # advance: next input token is the last accepted; position += acc
         gather_idx = jnp.maximum(acc - 1, 0)[:, None]
         new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
         new_last = jnp.where(active, new_last, last)
         new_pos = pos + acc
         return ((draft_cache, cache, new_last, new_pos, budget - acc),
-                (toks, acc))
+                (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (draft_cache, cache, _, _, _), (toks, accs) = jax.lax.scan(
+    (draft_cache, cache, _, _, _), (toks, accs, lps) = jax.lax.scan(
         round_body, (draft_cache, cache, last_tokens, start_pos, max_new), keys)
-    return toks, accs, draft_cache, cache
+    return toks, accs, lps, draft_cache, cache
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +391,14 @@ class ModelRunner:
             next_tokens, self.cache = self.fns["decode"](
                 self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
                 jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
-            return np.asarray(jax.device_get(next_tokens))[None, :len(seqs)]
-        toks, self.cache = self.fns["multi_decode"](
+            toks = np.asarray(jax.device_get(next_tokens))[None, :len(seqs)]
+            return toks, np.zeros_like(toks, np.float32)
+        toks, lps, self.cache = self.fns["multi_decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
             st, self._next_key())
-        return np.asarray(jax.device_get(toks))[:, :len(seqs)]
+        toks, lps = jax.device_get((toks, lps))
+        return np.asarray(toks)[:, :len(seqs)], np.asarray(lps)[:, :len(seqs)]
 
     def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
                         num_rounds: int = 1):
@@ -415,13 +419,14 @@ class ModelRunner:
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
 
-        toks, accs, self.draft_cache, self.cache = self.fns["spec_rounds"](
+        toks, accs, lps, self.draft_cache, self.cache = self.fns["spec_rounds"](
             self.params, self.draft_cache, self.cache, jnp.asarray(last),
             jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)),
             jnp.asarray(max_new), st, self._next_key())
-        toks, accs = jax.device_get((toks, accs))
+        toks, accs, lps = jax.device_get((toks, accs, lps))
         n = len(seqs)
-        return np.asarray(toks)[:, :n], np.asarray(accs)[:, :n]
+        return (np.asarray(toks)[:, :n], np.asarray(accs)[:, :n],
+                np.asarray(lps)[:, :n])
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,
                         draft_tokens: np.ndarray):
@@ -448,7 +453,8 @@ class ModelRunner:
         res = jax.device_get(result)
         n = len(seqs)
         return (np.asarray(res.tokens)[None, :n],
-                np.asarray(res.accepted_len)[None, :n])
+                np.asarray(res.accepted_len)[None, :n],
+                np.asarray(res.token_logprobs)[None, :n])
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:

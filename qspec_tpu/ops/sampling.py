@@ -93,16 +93,27 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
 
 def sample(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array) -> jnp.ndarray:
     """Sample one token per row. [B, V] -> [B] int32."""
+    return sample_with_logprob(logits, st, key)[0]
+
+
+def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array):
+    """[B, V] -> ([B] int32 tokens, [B] f32 logprob of the chosen token
+    under the *unfiltered* softmax — the convention the reference's
+    logprobs output uses)."""
     probs = sampling_probs(logits, st)
     sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
-    return jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
+    toks = jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logp, toks[:, None], axis=-1)[:, 0]
+    return toks, chosen
 
 
 class RejectionResult(NamedTuple):
     tokens: jnp.ndarray        # [B, k+1] int32, -1 past accepted_len
     accepted_len: jnp.ndarray  # [B] int32 in [1, k+1]: accepted draft + 1
     num_draft_accepted: jnp.ndarray  # [B] int32 in [0, k]
+    token_logprobs: jnp.ndarray  # [B, k+1] f32 log p_target(token), 0 past len
 
 
 def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
@@ -155,5 +166,10 @@ def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
     out = jnp.where(slots < n_acc[:, None],
                     jnp.pad(draft_tokens, ((0, 0), (0, 1))), -1)
     out = jnp.where(slots == n_acc[:, None], final_tok[:, None], out)
-    return RejectionResult(out.astype(jnp.int32), accepted_len.astype(jnp.int32),
-                           n_acc.astype(jnp.int32))
+    out = out.astype(jnp.int32)
+
+    p_at_out = jnp.take_along_axis(target_probs, jnp.maximum(out, 0)[..., None],
+                                   axis=-1)[..., 0]
+    logp = jnp.where(out >= 0, jnp.log(jnp.maximum(p_at_out, 1e-30)), 0.0)
+    return RejectionResult(out, accepted_len.astype(jnp.int32),
+                           n_acc.astype(jnp.int32), logp.astype(jnp.float32))

@@ -178,4 +178,4 @@ def mr_st_spec():
 
 def rr_spec():
     from qspec_tpu.ops.sampling import RejectionResult
-    return RejectionResult(P(), P(), P())
+    return RejectionResult(P(), P(), P(), P())
