@@ -70,6 +70,15 @@ def matmul_w4a4_ref(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarr
 # ---------------------------------------------------------------------------
 
 
+def _swar_planes(w32):
+    """Extract excess-8 nibble planes from SWAR words (see packing.pack_int4):
+    int32 [R, bn] -> two int8 [4R, bn] arrays with values in [0, 15]."""
+    from qspec_tpu.ops.packing import MASK32
+    lo = pltpu.bitcast(w32 & MASK32, jnp.int8)
+    hi = pltpu.bitcast(jnp.right_shift(w32, 4) & MASK32, jnp.int8)
+    return lo, hi
+
+
 def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref, acc_ref):
     k = pl.program_id(1)
 
@@ -77,10 +86,17 @@ def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_lo = unpack_int4_low(w_ref[:]).astype(jnp.bfloat16)
-    w_hi = unpack_int4_high(w_ref[:]).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo, preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi, preferred_element_type=jnp.float32)
+    lo_u, hi_u = _swar_planes(w_ref[:])
+    x_lo = x_lo_ref[:]
+    x_hi = x_hi_ref[:]
+    # weights stored excess-8: dot(x, u - 8) = dot(x, u) - 8 * rowsum(x)
+    acc_ref[:] += jnp.dot(x_lo, lo_u.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi, hi_u.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    rowsum = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True) + \
+        jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
+    acc_ref[:] -= 8.0 * rowsum
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -94,12 +110,16 @@ def _w4a4_kernel(x_lo_ref, x_hi_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w_lo = unpack_int4_low(w_ref[:])
-    w_hi = unpack_int4_high(w_ref[:])
-    acc_ref[:] += jax.lax.dot_general(x_lo_ref[:], w_lo, (((1,), (0,)), ((), ())),
+    lo_u, hi_u = _swar_planes(w_ref[:])
+    x_lo = x_lo_ref[:]
+    x_hi = x_hi_ref[:]
+    acc_ref[:] += jax.lax.dot_general(x_lo, lo_u, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
-    acc_ref[:] += jax.lax.dot_general(x_hi_ref[:], w_hi, (((1,), (0,)), ((), ())),
+    acc_ref[:] += jax.lax.dot_general(x_hi, hi_u, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
+    rowsum = (jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+              + jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True))
+    acc_ref[:] -= 8 * rowsum
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -128,7 +148,8 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
     of 256 and 128 respectively (true for all supported model dims).
     """
     m, k = x.shape
-    k_half, n = w_packed.shape
+    k_words, n = w_packed.shape
+    k_half = 4 * k_words
     assert k == 2 * k_half, (x.shape, w_packed.shape)
 
     m_pad = round_up(max(m, 16), 16)
@@ -143,7 +164,7 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
             pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk_half, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk_half // 4, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_pad, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
@@ -168,7 +189,8 @@ def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
                 *, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Quantized activations [M, K] int8 x packed-int4 w [K//2, N] -> [M, N]."""
     m, k = x_q.shape
-    k_half, n = w_packed.shape
+    k_words, n = w_packed.shape
+    k_half = 4 * k_words
     assert k == 2 * k_half, (x_q.shape, w_packed.shape)
 
     m_pad = round_up(max(m, 32), 32)  # int8 sublane multiple
@@ -184,7 +206,7 @@ def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
             pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk_half, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk_half // 4, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 1), lambda j, kk: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
         ],

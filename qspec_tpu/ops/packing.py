@@ -28,60 +28,87 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_int4(w: jnp.ndarray) -> jnp.ndarray:
-    """Pack int4-valued (range [-8, 7]) array along axis 0, halves pairing.
+BIAS32 = 0x08080808  # excess-8 bias replicated per byte
+MASK32 = 0x0F0F0F0F
 
-    ``w``: [in, out] integer array. Returns uint8 [in // 2, out] where row r
-    = (low: w[r], high: w[r + in//2]).
+
+def pack_int4(w: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values (range [-8, 7]) along axis 0, SWAR-word layout.
+
+    ``w``: [in, out] integer array -> int32 [in // 8, out]. Each 32-bit word
+    holds 8 nibbles: byte b (little-endian) of word row s is "packed row"
+    r = 4*s + b, whose low nibble is w[r] and high nibble w[r + in//2]
+    (halves pairing), both stored **excess-8** (v + 8, range [0, 15]).
+
+    Rationale: a Pallas kernel extracts both nibble planes of FOUR bytes with
+    two and/shift ops per word and `pltpu.bitcast` to int8 (which expands a
+    word into 4 consecutive sublanes — verified little-endian byte order),
+    instead of ~20 int32-lane ops per byte. The excess-8 bias makes sign
+    recovery a plain subtract (no borrow across SWAR bytes).
     """
-    if w.shape[0] % 2 != 0:
-        raise ValueError(f"in-dim must be even to pack, got {w.shape}")
+    if w.shape[0] % 8 != 0:
+        raise ValueError(f"in-dim must be divisible by 8, got {w.shape}")
     half = w.shape[0] // 2
-    w = jnp.asarray(w, jnp.int8)
-    lo = w[:half] & 0x0F
-    hi = w[half:] & 0x0F
-    return ((hi << 4) | lo).astype(jnp.uint8)
+    w = jnp.asarray(w, jnp.int32)
+    lo = (w[:half] + 8) & 0x0F
+    hi = (w[half:] + 8) & 0x0F
+    byte = (hi << 4) | lo                      # [in//2, out] values 0..255
+    b0, b1, b2, b3 = byte[0::4], byte[1::4], byte[2::4], byte[3::4]
+    word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    return word.astype(jnp.int32)
 
 
 def unpack_int4_low(packed: jnp.ndarray) -> jnp.ndarray:
-    """Low-nibble plane as int8: in-positions [0, in//2).
-
-    Arithmetic is done in int32 (the VPU's native lane width — Mosaic has no
-    sub-word vector shifts) with a select for sign extension.
-    """
-    b = packed.astype(jnp.int32)
-    lo = b & 0x0F
-    return jnp.where(lo < 8, lo, lo - 16).astype(jnp.int8)
+    """Low-nibble plane as int8: in-positions [0, in//2). jnp reference of
+    the kernel's SWAR extraction (shapes: int32 [in//8, out] -> [in//2, out])."""
+    u = packed.astype(jnp.uint32)
+    vals = []
+    for b in range(4):
+        nib = (u >> (8 * b)) & 0x0F
+        vals.append(nib.astype(jnp.int32) - 8)
+    out = jnp.stack(vals, axis=1)              # [in//8, 4, out]
+    return out.reshape(packed.shape[0] * 4, packed.shape[1]).astype(jnp.int8)
 
 
 def unpack_int4_high(packed: jnp.ndarray) -> jnp.ndarray:
     """High-nibble plane as int8: in-positions [in//2, in)."""
-    hi = jnp.right_shift(packed.astype(jnp.int32), 4)
-    return jnp.where(hi < 8, hi, hi - 16).astype(jnp.int8)
+    u = packed.astype(jnp.uint32)
+    vals = []
+    for b in range(4):
+        nib = (u >> (8 * b + 4)) & 0x0F
+        vals.append(nib.astype(jnp.int32) - 8)
+    out = jnp.stack(vals, axis=1)
+    return out.reshape(packed.shape[0] * 4, packed.shape[1]).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`pack_int4`. uint8 [in//2, out] -> int8 [in, out]."""
+    """Inverse of :func:`pack_int4`. int32 [in//8, out] -> int8 [in, out]."""
     return jnp.concatenate([unpack_int4_low(packed), unpack_int4_high(packed)], axis=0)
 
 
 def pack_int4_np(w: np.ndarray) -> np.ndarray:
     """NumPy twin of :func:`pack_int4` for checkpoint-conversion tooling."""
-    assert w.shape[0] % 2 == 0
+    assert w.shape[0] % 8 == 0, w.shape
     half = w.shape[0] // 2
-    w = w.astype(np.int8)
-    lo = w[:half] & 0x0F
-    hi = w[half:] & 0x0F
-    return ((hi << 4) | lo).astype(np.uint8)
+    w = w.astype(np.int64)
+    lo = (w[:half] + 8) & 0x0F
+    hi = (w[half:] + 8) & 0x0F
+    byte = (hi << 4) | lo
+    word = (byte[0::4] | (byte[1::4] << 8) | (byte[2::4] << 16)
+            | (byte[3::4] << 24))
+    return word.astype(np.uint32).view(np.int32)
 
 
 def unpack_int4_np(packed: np.ndarray) -> np.ndarray:
-    b = packed.astype(np.int32)
-    lo = b & 0x0F
-    lo = np.where(lo < 8, lo, lo - 16)
-    hi = b >> 4
-    hi = np.where(hi < 8, hi, hi - 16)
-    return np.concatenate([lo, hi], axis=0).astype(np.int8)
+    u = packed.view(np.uint32).astype(np.uint64)
+    halves = []
+    for shift0 in (0, 4):  # low plane, high plane
+        vals = [((u >> (8 * b + shift0)) & 0x0F).astype(np.int64) - 8
+                for b in range(4)]
+        out = np.stack(vals, axis=1).reshape(packed.shape[0] * 4,
+                                             packed.shape[1])
+        halves.append(out)
+    return np.concatenate(halves, axis=0).astype(np.int8)
 
 
 def quantize_weight_int4(w: np.ndarray):

@@ -29,8 +29,8 @@ def linear_stack(x):
     return jax.lax.fori_loop(0, L, body, x)
 
 @jax.jit
-def lm_head(x):
-    return jnp.argmax(jnp.dot(x, lm, preferred_element_type=jnp.float32), axis=-1)
+def lm_head(x, w):
+    return jnp.argmax(jnp.dot(x, w, preferred_element_type=jnp.float32), axis=-1)
 
 def bench(f, x, name, gb):
     r = f(x); jax.block_until_ready(r)
@@ -42,7 +42,6 @@ def bench(f, x, name, gb):
 
 wgb = L*(H*3072 + H*H + H*2*I + I*H)/2/1e9
 bench(linear_stack, x0, "16-layer w4a16 linear stack", wgb)
-bench(lm_head, x0, "lm_head bf16", H*V*2/1e9)
 
 # w4a4 stack
 @jax.jit
@@ -56,3 +55,13 @@ def linear_stack_a4(x):
         return x2
     return jax.lax.fori_loop(0, L, body, x)
 bench(linear_stack_a4, x0, "16-layer w4a4 linear stack", wgb)
+
+def bench2(f, name, gb):
+    r = f(x0, lm); jax.block_until_ready(r)
+    import time as _t
+    t0=_t.perf_counter(); N=20
+    for _ in range(N): r = f(x0, lm)
+    jax.block_until_ready(r)
+    dt=(_t.perf_counter()-t0)/N
+    print(f"{name}: {dt*1e3:.2f} ms ({gb/dt:.0f} GB/s)", flush=True)
+bench2(lm_head, "lm_head bf16", H*V*2/1e9)

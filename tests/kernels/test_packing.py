@@ -11,8 +11,8 @@ from qspec_tpu.ops import packing
 def test_pack_unpack_roundtrip_np(rng, shape):
     w = rng.integers(-8, 8, size=shape).astype(np.int8)
     packed = packing.pack_int4_np(w)
-    assert packed.shape == (shape[0] // 2, shape[1])
-    assert packed.dtype == np.uint8
+    assert packed.shape == (shape[0] // 8, shape[1])
+    assert packed.dtype == np.int32
     out = packing.unpack_int4_np(packed)
     np.testing.assert_array_equal(out, w)
 
