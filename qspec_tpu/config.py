@@ -151,6 +151,8 @@ class SpeculativeConfig:
     # speculative_disable_by_batch_size)
     disable_by_batch_size: Optional[int] = None
     method: str = "qspec"  # "qspec" | "ngram"
+    # "rejection_sampler" (lossless) | "typical_acceptance_sampler" (lossy)
+    acceptance_method: str = "rejection_sampler"
     ngram_prompt_lookup_max: int = 4
     ngram_prompt_lookup_min: int = 1
 

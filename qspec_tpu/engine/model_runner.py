@@ -159,7 +159,8 @@ def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
 
 
 def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
-                 block_tables, st, key, *, cfg, scheme, axis_name=None):
+                 block_tables, st, key, *, cfg, scheme, axis_name=None,
+                 acceptance="rejection_sampler"):
     page_size = cache.page_size
     B, k = draft_tokens.shape
     tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
@@ -173,7 +174,11 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
     st_rep = SamplingTensors(*(jnp.repeat(t, k + 1) for t in st))
     target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
     target_probs = target_probs.reshape(B, k + 1, V)
-    result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
+    if acceptance == "typical_acceptance_sampler":
+        from qspec_tpu.ops.sampling import typical_acceptance_sample
+        result = typical_acceptance_sample(draft_tokens, target_probs, key)
+    else:
+        result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
     return result, cache
 
 
@@ -207,11 +212,12 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "draft_scheme", "verify_scheme", "k",
-                                    "num_rounds", "axis_name"),
+                                    "num_rounds", "axis_name", "acceptance"),
                    donate_argnames=("draft_cache", "cache"))
 def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
                      block_tables, max_new, st, key, *, cfg, draft_scheme,
-                     verify_scheme, k, num_rounds=1, axis_name=None):
+                     verify_scheme, k, num_rounds=1, axis_name=None,
+                     acceptance="rejection_sampler"):
     """`num_rounds` full QSpec rounds (draft k + verify + rejection) in ONE
     executable — one host round-trip for up to num_rounds*(k+1) tokens.
 
@@ -235,7 +241,8 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
             cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name)
         result, cache = _verify_impl(
             params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
-            cfg=cfg, scheme=verify_scheme, axis_name=axis_name)
+            cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
+            acceptance=acceptance)
         # budget mask: emit at most `budget` more tokens per seq
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
         active = budget > 0
@@ -314,7 +321,9 @@ class ModelRunner:
                                             scheme=self._verify_scheme),
                 "spec_rounds": functools.partial(
                     spec_rounds_step, cfg=self.cfg, draft_scheme=draft_scheme,
-                    verify_scheme=self._verify_scheme, k=k, num_rounds=rounds),
+                    verify_scheme=self._verify_scheme, k=k, num_rounds=rounds,
+                    acceptance=(config.speculative.acceptance_method
+                                if config.speculative else "rejection_sampler")),
                 "verify_onehot": functools.partial(
                     verify_step_onehot, cfg=self.cfg,
                     scheme=self._verify_scheme),

@@ -116,6 +116,43 @@ class RejectionResult(NamedTuple):
     token_logprobs: jnp.ndarray  # [B, k+1] f32 log p_target(token), 0 past len
 
 
+def typical_acceptance_sample(draft_tokens: jnp.ndarray, target_probs: jnp.ndarray,
+                              key: jax.Array, posterior_threshold: float = 0.09,
+                              posterior_alpha: float = 0.3) -> RejectionResult:
+    """Typical acceptance (reference layers/typical_acceptance_sampler.py):
+    accept d_i when p_target(d_i) exceeds min(threshold, alpha*exp(-H(p)));
+    on the first failure emit argmax(p); lossy but higher-throughput.
+
+    draft_tokens [B, k]; target_probs [B, k+1, V].
+    """
+    B, k = draft_tokens.shape
+    p_at_d = jnp.take_along_axis(target_probs[:, :k], draft_tokens[..., None],
+                                 axis=-1).squeeze(-1)                       # [B, k]
+    ent = -jnp.sum(target_probs[:, :k] *
+                   jnp.log(jnp.maximum(target_probs[:, :k], 1e-30)), axis=-1)
+    thresh = jnp.minimum(posterior_threshold,
+                         posterior_alpha * jnp.exp(-ent))                   # [B, k]
+    accept = p_at_d > thresh
+
+    rejected = ~accept
+    n_acc = jnp.where(jnp.any(rejected, axis=1), jnp.argmax(rejected, axis=1), k)
+    pos = jnp.minimum(n_acc, k)
+    p_next = jnp.take_along_axis(target_probs, pos[:, None, None], axis=1)[:, 0]
+    final_tok = jnp.argmax(p_next, axis=-1).astype(jnp.int32)
+    accepted_len = n_acc + 1
+
+    slots = jnp.arange(k + 1)[None, :]
+    out = jnp.where(slots < n_acc[:, None],
+                    jnp.pad(draft_tokens, ((0, 0), (0, 1))), -1)
+    out = jnp.where(slots == n_acc[:, None], final_tok[:, None], out)
+    out = out.astype(jnp.int32)
+    p_at_out = jnp.take_along_axis(target_probs, jnp.maximum(out, 0)[..., None],
+                                   axis=-1)[..., 0]
+    logp = jnp.where(out >= 0, jnp.log(jnp.maximum(p_at_out, 1e-30)), 0.0)
+    return RejectionResult(out, accepted_len.astype(jnp.int32),
+                           n_acc.astype(jnp.int32), logp.astype(jnp.float32))
+
+
 def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
                      target_probs: jnp.ndarray, key: jax.Array) -> RejectionResult:
     """Lossless speculative verification (reference rejection_sampler.py:60).

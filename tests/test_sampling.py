@@ -111,3 +111,23 @@ def test_rejection_accept_rate_full_when_identical():
                            jax.random.PRNGKey(9))
     # identical distributions: acceptance prob = min(1, p/q) = 1 everywhere
     assert (np.asarray(res.accepted_len) == k + 1).all()
+
+
+def test_typical_acceptance_prefers_confident_tokens():
+    from qspec_tpu.ops.sampling import typical_acceptance_sample
+    V, B, k = 16, 2, 3
+    # row 0: sharply peaked target agreeing with draft -> accept all
+    t = np.full((B, k + 1, V), 1e-4, np.float32)
+    draft = np.zeros((B, k), np.int32)
+    t[0, :, 0] = 0.99
+    # row 1: uniform target -> entropy high, threshold tiny vs p=1/16 > thresh?
+    t[1] = 1.0 / V
+    t /= t.sum(-1, keepdims=True)
+    res = typical_acceptance_sample(jnp.asarray(draft), jnp.asarray(t),
+                                    jax.random.PRNGKey(0))
+    acc = np.asarray(res.accepted_len)
+    assert acc[0] == k + 1
+    # uniform: alpha*exp(-H) = 0.3/16 ~= 0.019 < 1/16 -> accepted too
+    assert acc[1] >= 1
+    toks = np.asarray(res.tokens)
+    assert (toks[0, :k] == 0).all()
