@@ -39,7 +39,7 @@ def build(model_size: str):
 
 
 def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
-             page_size=16, rounds=4, warmup=True):
+             page_size=16, rounds=4, warmup=True, draft_scheme="w4a8"):
     """One engine run. A short warmup pass (2 tokens per prompt) triggers all
     compiles so the timed run measures steady-state throughput."""
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
@@ -57,7 +57,8 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
     ec = EngineConfig(model=cfg, cache=CacheConfig(page_size=page_size),
                       scheduler=sched,
                       speculative=SpeculativeConfig(num_speculative_tokens=3,
-                                                    rounds_per_step=rounds)
+                                                    rounds_per_step=rounds,
+                                                    draft_scheme=draft_scheme)
                       if spec else None)
 
     import os
@@ -105,6 +106,8 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--max-num-seqs", type=int, default=4)
+    ap.add_argument("--draft-scheme", default="w4a8",
+                    choices=["w4a4", "w4a8", "w4a16"])
     args = ap.parse_args()
 
     import jax
@@ -147,7 +150,7 @@ def main():
           file=sys.stderr, flush=True)
 
     sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
-                  max_num_seqs=args.max_num_seqs)
+                  max_num_seqs=args.max_num_seqs, draft_scheme=args.draft_scheme)
     print(f"# qspec:    {sp['tokens_per_sec']:.2f} tok/s "
           f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
           f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)

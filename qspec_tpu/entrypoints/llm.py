@@ -80,14 +80,37 @@ class LLM:
         return [results[i] for i in ids]
 
     def chat(self, messages, sampling_params: Optional[SamplingParams] = None,
-             chat_template=None) -> List[RequestOutput]:
-        """messages: list of conversations (each a list of {role, content})."""
+             chat_template: Optional[str] = None) -> List[RequestOutput]:
+        """messages: list of conversations (each a list of {role, content}).
+
+        Uses the tokenizer's chat template when available; otherwise falls
+        back to a named template from qspec_tpu.conversation (the reference's
+        fastchat-style templates, vllm/conversation.py).
+        """
         if self.tokenizer is None:
             raise ValueError("chat needs a tokenizer")
         if messages and isinstance(messages[0], dict):
             messages = [messages]
-        prompts = [self.tokenizer.apply_chat_template(
-            m, tokenize=True, add_generation_prompt=True) for m in messages]
+        if chat_template is None and hasattr(self.tokenizer, "apply_chat_template"):
+            try:
+                prompts = [self.tokenizer.apply_chat_template(
+                    m, tokenize=True, add_generation_prompt=True)
+                    for m in messages]
+                return self.generate(prompts, sampling_params)
+            except Exception:
+                pass
+        from qspec_tpu.conversation import get_conv_template
+        conv_name = chat_template or "llama-3"
+        prompts = []
+        for m in messages:
+            conv = get_conv_template(conv_name)
+            for msg in m:
+                if msg["role"] == "system":
+                    conv.system_message = msg["content"]
+                else:
+                    conv.append_message(msg["role"], msg["content"])
+            conv.append_message(conv.roles[1], None)
+            prompts.append(self.tokenizer.encode(conv.get_prompt()))
         return self.generate(prompts, sampling_params)
 
     @property
