@@ -11,12 +11,14 @@ One packed-int4 weight buffer (see packing.py) serves both:
   ``rowwise_scaled_linear_cutlass_s4s4_unified`` GEMM
   (quarot_nn/linear.py:67-84; third-party/ao .../rowwise_scaled_linear_cutlass).
 
-Kernel structure (shared): grid (N/bn, K/bk) with the contraction dim
-innermost; an f32/int32 VMEM accumulator is zeroed at k==0 and the scale
-epilogue runs at the last k step. The packed weight block [bk//2, bn] is
-unpacked into its low- and high-nibble planes which multiply the first and
-second half of the activation's contraction dim respectively (halves pairing
-— no sublane interleave needed).
+Kernel structure (shared): grid (M/bm, N/bn) with a single pass over the
+full contraction dim per step (every grid step independent — Mosaic
+pipelines the next weight tile's DMA behind the current MXU work, the
+structure XLA's own small-M matmul emitter uses). The SWAR weight tile
+(packing.py) is expanded into its low/high nibble planes, which multiply the
+first and second half of the activation's contraction dim (halves pairing —
+no sublane interleave), with the excess-8 bias folded out via a rowsum
+correction.
 """
 
 from __future__ import annotations
@@ -79,64 +81,54 @@ def _swar_planes(w32):
     return lo, hi
 
 
-def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref, acc_ref):
-    k = pl.program_id(1)
+def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref):
+    """Single pass over the full contraction dim; grid over N tiles only.
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    No accumulator scratch or k-step revisits — each grid step is
+    independent, so Mosaic pipelines the next weight tile's DMA behind this
+    tile's MXU work (the structure XLA's own small-M matmul emitter uses,
+    which measures at the HBM floor)."""
     lo_u, hi_u = _swar_planes(w_ref[:])
     x_lo = x_lo_ref[:]
     x_hi = x_hi_ref[:]
     # weights stored excess-8: dot(x, u - 8) = dot(x, u) - 8 * rowsum(x)
-    acc_ref[:] += jnp.dot(x_lo, lo_u.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi, hi_u.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    acc = jnp.dot(x_lo, lo_u.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, hi_u.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
     rowsum = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True) + \
         jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
-    acc_ref[:] -= 8.0 * rowsum
-
-    @pl.when(k == pl.num_programs(1) - 1)
-    def _():
-        out_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[:] = ((acc - 8.0 * rowsum)
+                  * s_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _w4a4_kernel(x_lo_ref, x_hi_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+def _w4a4_kernel(x_lo_ref, x_hi_ref, w_ref, sx_ref, sw_ref, out_ref):
     lo_u, hi_u = _swar_planes(w_ref[:])
     x_lo = x_lo_ref[:]
     x_hi = x_hi_ref[:]
-    acc_ref[:] += jax.lax.dot_general(x_lo, lo_u, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-    acc_ref[:] += jax.lax.dot_general(x_hi, hi_u, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
+    acc = jax.lax.dot_general(x_lo, lo_u, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc += jax.lax.dot_general(x_hi, hi_u, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
     rowsum = (jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
               + jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True))
-    acc_ref[:] -= 8 * rowsum
-
-    @pl.when(k == pl.num_programs(1) - 1)
-    def _():
-        out = acc_ref[:].astype(jnp.float32)
-        out = out * sx_ref[:].astype(jnp.float32)          # [M, 1] per-token
-        out = out * sw_ref[:].astype(jnp.float32)          # [1, bn] per-channel
-        out_ref[:] = out.astype(out_ref.dtype)
+    out = (acc - 8 * rowsum).astype(jnp.float32)
+    out = out * sx_ref[:].astype(jnp.float32)          # [M, 1] per-token
+    out = out * sw_ref[:].astype(jnp.float32)          # [1, bn] per-channel
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _choose_blocks(m: int, k_half: int, n: int, x_bytes: int):
-    """Block sizes: keep VMEM under ~8MB while maximizing the weight block."""
+def _choose_bn(m: int, k_half: int, n: int, x_bytes: int):
+    """N-tile width: full-K weight tile (k_half bytes per column) plus the
+    whole activation must fit comfortably in VMEM (~10 MB with double
+    buffering headroom)."""
+    budget = 10 * 1024 * 1024 - 2 * m * k_half * x_bytes
     bn = min(n, 512)
-    # weight block bytes = bk_half * bn; activation block = m * 2*bk_half * x_bytes
-    bk_half = min(k_half, 1024)
-    while bk_half * bn + 2 * m * bk_half * x_bytes > 6 * 1024 * 1024 and bk_half > 128:
-        bk_half //= 2
-    return bk_half, bn
+    while bn > 128 and 2 * k_half * bn > budget:
+        bn //= 2
+    while n % bn:
+        bn //= 2
+    return max(bn, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -154,21 +146,22 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
 
     m_pad = round_up(max(m, 16), 16)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
-    bk_half, bn = _choose_blocks(m_pad, k_half, n, 2)
-    grid = (cdiv(n, bn), cdiv(k_half, bk_half))
+    bm = min(m_pad, 128)
+    while m_pad % bm:
+        bm //= 2
+    bn = _choose_bn(bm, k_half, n, 2)
+    grid = (m_pad // bm, cdiv(n, bn))
 
     out = pl.pallas_call(
         _w4a16_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk_half // 4, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_pad, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret_mode(),
         cost_estimate=pl.CostEstimate(
@@ -196,22 +189,23 @@ def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
     m_pad = round_up(max(m, 32), 32)  # int8 sublane multiple
     x_q = pad_dim(x_q, 0, m_pad)
     x_scales = pad_dim(x_scales.reshape(-1, 1).astype(jnp.float32), 0, m_pad)
-    bk_half, bn = _choose_blocks(m_pad, k_half, n, 1)
-    grid = (cdiv(n, bn), cdiv(k_half, bk_half))
+    bm = min(m_pad, 128)
+    while m_pad % bm:
+        bm //= 2
+    bn = _choose_bn(bm, k_half, n, 1)
+    grid = (m_pad // bm, cdiv(n, bn))
 
     out = pl.pallas_call(
         _w4a4_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_pad, bk_half), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, bk_half), lambda j, kk, _kh=cdiv(k_half, bk_half): (0, kk + _kh),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk_half // 4, bn), lambda j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda j, kk: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_pad, bn), lambda j, kk: (0, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.int32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret_mode(),
         cost_estimate=pl.CostEstimate(
