@@ -6,17 +6,17 @@ TPU-native replacement for the reference's paged-attention CUDA kernels
 Q=1 decode, Q=k+1 speculative verify (the MQA scorer,
 vllm/spec_decode/mqa_scorer.py:10), and prompt chunks.
 
-Structure: grid (batch, kv_head, kv_chunk) with the kv chunk innermost.
-Pages live in HBM (`memory_space=ANY`); the kernel DMAs each chunk's pages
-into VMEM scratch guided by the scalar-prefetched block table, then performs
-an online-softmax (flash) update into f32 accumulators that persist across
-the chunk dimension. Chunks past a sequence's context length are skipped via
-predication, so padded batch slots cost only grid overhead.
+Structure: grid (batch, kv_chunk) with the kv chunk innermost. Pages live in
+HBM (page-major layout [P, S, Hkv, D], see kv_cache.py); the kernel DMAs
+each chunk's pages — ONE contiguous ~32 KB DMA per page covering every kv
+head — into VMEM scratch guided by the scalar-prefetched block table, then
+performs a batched-over-heads online-softmax (flash) update into f32
+accumulators that persist across the chunk dimension. Chunks past a
+sequence's context length are skipped via predication.
 
-Layout notes: queries arrive as [B, Hkv, G, D] with G = group * Q rows
-(grouped-query heads x query positions, Q minor); D rides the lanes and G the
-sublanes, so the two MXU contractions are [G, D] x [D, C] and [G, C] x [C, D]
-with C = chunk kv length (pages_per_chunk * page_size = 128).
+Query layout: [B, Hkv, G, D] with G = group * Q rows (grouped-query heads x
+query positions, Q minor); the two contractions per chunk are batched over
+the Hkv dimension on the MXU.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qspec_tpu.ops._kernel_utils import cdiv, interpret_mode, round_up
+from qspec_tpu.ops._kernel_utils import interpret_mode, round_up
 
 NEG_INF = -1e30
 
@@ -38,17 +38,16 @@ def _paged_attn_kernel(
     block_tables_ref,   # [B * max_pages] int32
     ctx_lens_ref,       # [B] int32
     q_start_ref,        # [B] int32: absolute position of each row's query 0
-                        # (queries within a window are consecutive)
     # inputs
-    q_ref,              # [1, 1, G, D] VMEM
-    k_pages_ref,        # [Hkv, P, S, D] ANY (HBM)
+    q_ref,              # [1, Hkv, G, D] VMEM
+    k_pages_ref,        # [P, S, Hkv, D] HBM
     v_pages_ref,
     # outputs
-    out_ref,            # [1, 1, G, D] VMEM
+    out_ref,            # [1, Hkv, G, D] VMEM
     # scratch
-    k_buf, v_buf,       # [PPC, S, D] VMEM
-    m_i, l_i,           # [G, 128] f32 (broadcast lanes)
-    acc,                # [G, D] f32
+    k_buf, v_buf,       # [PPC, S, Hkv, D] VMEM
+    m_i, l_i,           # [Hkv, G, 128] f32
+    acc,                # [Hkv, G, D] f32
     sems,               # DMA semaphores [2, PPC]
     *,
     num_q: int,
@@ -58,13 +57,12 @@ def _paged_attn_kernel(
     scale: float,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    chunk = pl.program_id(2)
+    chunk = pl.program_id(1)
     ctx_len = ctx_lens_ref[b]
     chunk_kv = pages_per_chunk * page_size
     chunk_start = chunk * chunk_kv
 
-    G, D = acc.shape
+    Hkv, G, D = acc.shape
 
     @pl.when(chunk == 0)
     def _():
@@ -76,10 +74,10 @@ def _paged_attn_kernel(
 
     @pl.when(is_live)
     def _():
-        # DMA this chunk's pages (scattered by the block table) into VMEM.
+        # one DMA per page: [S, Hkv, D] contiguous
         def dma(i, sem_row, dst, src):
             page_id = block_tables_ref[b * max_pages + chunk * pages_per_chunk + i]
-            return pltpu.make_async_copy(src.at[h, page_id], dst.at[i], sems.at[sem_row, i])
+            return pltpu.make_async_copy(src.at[page_id], dst.at[i], sems.at[sem_row, i])
 
         for i in range(pages_per_chunk):
             dma(i, 0, k_buf, k_pages_ref).start()
@@ -88,38 +86,40 @@ def _paged_attn_kernel(
             dma(i, 0, k_buf, k_pages_ref).wait()
             dma(i, 1, v_buf, v_pages_ref).wait()
 
-        k = k_buf[:].reshape(chunk_kv, D)
-        v = v_buf[:].reshape(chunk_kv, D)
+        # [PPC, S, H, D] -> [H, C, D] per-head views via transpose
+        k = k_buf[:].reshape(chunk_kv, Hkv, D).swapaxes(0, 1)
+        v = v_buf[:].reshape(chunk_kv, Hkv, D).swapaxes(0, 1)
 
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        s = jax.lax.dot_general(q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [G, C]
+        q = q_ref[0].astype(jnp.float32) * scale          # [Hkv, G, D]
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),                 # contract D, batch Hkv
+            preferred_element_type=jnp.float32)            # [Hkv, G, C]
 
-        # causal / length mask: row r is query index (r % num_q); its absolute
-        # position comes from the prefetched positions array
-        kv_pos = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (G, chunk_kv), 1)
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, (G, chunk_kv), 0) % num_q
+        kv_pos = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 2)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1) % num_q
         q_pos = q_start_ref[b] + q_idx
         s = jnp.where(kv_pos <= q_pos, s, NEG_INF)
 
-        m_prev = m_i[:, :1]
+        m_prev = m_i[:, :, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
 
-        l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = alpha * l_i[:, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p, v.astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),                 # contract C, batch Hkv
             preferred_element_type=jnp.float32)
         m_i[:] = jnp.broadcast_to(m_new, m_i.shape)
         l_i[:] = jnp.broadcast_to(l_new, l_i.shape)
 
-    @pl.when(chunk == pl.num_programs(2) - 1)
+    @pl.when(chunk == pl.num_programs(1) - 1)
     def _():
-        denom = l_i[:, :1]
+        denom = l_i[:, :, :1]
         denom = jnp.where(denom > 0, denom, 1.0)
-        out_ref[0, 0] = (acc[:] / denom).astype(out_ref.dtype)
+        out_ref[0] = (acc[:] / denom).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "pages_per_chunk"))
@@ -127,20 +127,20 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 8,
                            q_positions: jnp.ndarray = None) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; k/v_pages: [Hkv, P, S, D]; block_tables: [B, PPS].
+    """q: [B, Q, Hq, D]; k/v_pages: [P, S, Hkv, D]; block_tables: [B, PPS].
 
     q_positions [B, Q] must be consecutive per row; only column 0 is used.
     """
     B, Q, Hq, D = q.shape
-    if q_positions is None:
-        q_start = ctx_lens.astype(jnp.int32) - Q
-    else:
-        q_start = q_positions[:, 0].astype(jnp.int32)
-    Hkv, P, S, D2 = k_pages.shape
+    P, S, Hkv, D2 = k_pages.shape
     assert D == D2
     group = Hq // Hkv
     G = group * Q
     G_pad = round_up(max(G, 8), 8)
+    if q_positions is None:
+        q_start = ctx_lens.astype(jnp.int32) - Q
+    else:
+        q_start = q_positions[:, 0].astype(jnp.int32)
 
     # [B, Q, Hq, D] -> [B, Hkv, group * Q, D] (Q minor within each group row)
     qr = q.reshape(B, Q, Hkv, group, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, G, D)
@@ -155,24 +155,21 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv, num_chunks),
+        grid=(B, num_chunks),
         in_specs=[
-            # with scalar prefetch, index maps receive (*grid, *scalar_refs)
-            pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, G_pad, D), lambda b, c, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # pages stay in HBM (ANY can promote multi-MB caches into VMEM);
-            # the kernel DMAs just the block-table-selected pages per chunk
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 1, G_pad, D), lambda b, h, c, *_: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, Hkv, G_pad, D), lambda b, c, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_chunk, S, D), k_pages.dtype),
-            pltpu.VMEM((pages_per_chunk, S, D), v_pages.dtype),
-            pltpu.VMEM((G_pad, 128), jnp.float32),
-            pltpu.VMEM((G_pad, 128), jnp.float32),
-            pltpu.VMEM((G_pad, D), jnp.float32),
+            pltpu.VMEM((pages_per_chunk, S, Hkv, D), k_pages.dtype),
+            pltpu.VMEM((pages_per_chunk, S, Hkv, D), v_pages.dtype),
+            pltpu.VMEM((Hkv, G_pad, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G_pad, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G_pad, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2, pages_per_chunk)),
         ],
     )

@@ -84,9 +84,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
 
 def cache_pspec():
     from qspec_tpu.ops.kv_cache import PagedKVCache
+    # [L, pages, page, Hkv, D]: shard the kv heads
     return PagedKVCache(
-        k_pages=P(None, "model", None, None, None),
-        v_pages=P(None, "model", None, None, None),
+        k_pages=P(None, None, None, "model", None),
+        v_pages=P(None, None, None, "model", None),
         k_scales=None, v_scales=None)
 
 
@@ -146,8 +147,11 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
         (R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme)
     fns["multi_decode"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme,
+        (R, R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1, scheme=scheme,
         num_steps=decode_steps)
+    fns["verify_onehot"] = _wrap(
+        mr.verify_step_onehot.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)
     fns["draft"] = _wrap(
         mr.draft_steps.__wrapped__, mesh, cfg, params,
         (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,
@@ -165,7 +169,7 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     mapped = shard_map(inner, mesh=mesh,
                        in_specs=(pspecs, cspec, cspec, R, R, R, R,
                                  mr_st_spec(), R),
-                       out_specs=(P(), P(), cspec, cspec),
+                       out_specs=(P(), P(), P(), cspec, cspec),
                        check_rep=False)
     fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))
     return fns

@@ -51,7 +51,7 @@ def test_causality_within_window(rng):
     ctx = jnp.asarray([Q + 4], jnp.int32)
     out = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5)
     # query 0 must be independent of kv positions > 4
-    k2 = cache.k_pages.at[0, :, 2].set(999.0)  # page id 2 holds positions 8..15
+    k2 = cache.k_pages.at[0, 2].set(999.0)  # page id 2 holds positions 8..15
     cache2 = cache._replace(k_pages=k2)
     out2 = paged_attention_ref(q, cache2, 0, tables, ctx, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out[:, 0], np.float32),
@@ -98,8 +98,8 @@ def test_padded_prefill_matches_exact(rng):
                    (64, [9, 4, 7, 2])]:
         cache = kvc.allocate(kcfg)
         # pollute an unused page to catch leaks
-        cache = cache._replace(k_pages=cache.k_pages.at[:, :, 30].set(5.0),
-                               v_pages=cache.v_pages.at[:, :, 30].set(-5.0))
+        cache = cache._replace(k_pages=cache.k_pages.at[:, 30].set(5.0),
+                               v_pages=cache.v_pages.at[:, 30].set(-5.0))
         toks = np.zeros((1, Q), np.int32)
         toks[0, :P] = prompt
         tables = np.zeros((1, 16), np.int32)
