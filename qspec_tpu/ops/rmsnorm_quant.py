@@ -84,8 +84,15 @@ def _rmsnorm_kernel(x_ref, g_ref, o_ref, *, eps, hidden):
 
 @functools.partial(jax.jit, static_argnames=("eps", "bits"))
 def rmsnorm_quant(x: jnp.ndarray, eps: float = 1e-5, bits: int = 4) -> QuantizedActivation:
-    """Weightless fused rmsnorm + per-token symmetric quant. x: [M, H]."""
+    """Weightless fused rmsnorm + per-token symmetric quant. x: [M, H].
+
+    Small batches take the jnp path: XLA fuses it into neighbouring ops,
+    which beats a separate Pallas launch at decode sizes. The Pallas kernel
+    pays off once the activation block is prefill-sized.
+    """
     m, h = x.shape
+    if m <= 64:
+        return rmsnorm_quant_ref(x, eps=eps, bits=bits)
     m_pad = round_up(max(m, 8), 8)
     xp = pad_dim(x, 0, m_pad)
     qmax = 7.0 if bits == 4 else 127.0
@@ -115,6 +122,8 @@ def rmsnorm(x: jnp.ndarray, gamma: Optional[jnp.ndarray] = None,
             eps: float = 1e-5) -> jnp.ndarray:
     """RMSNorm (optionally gamma-scaled), fused Pallas pass. x: [M, H]."""
     m, h = x.shape
+    if m <= 64:
+        return rmsnorm_ref(x, gamma, eps=eps)
     if gamma is None:
         gamma = jnp.ones((h,), x.dtype)
     m_pad = round_up(max(m, 8), 8)
