@@ -57,12 +57,13 @@ def _paged_attn_kernel(
     scale: float,
 ):
     b = pl.program_id(0)
-    chunk = pl.program_id(1)
+    g = pl.program_id(1)
+    chunk = pl.program_id(2)
     ctx_len = ctx_lens_ref[b]
     chunk_kv = pages_per_chunk * page_size
     chunk_start = chunk * chunk_kv
 
-    Hkv, G, D = acc.shape
+    Hkv, G, D = acc.shape  # G = this query block's rows
 
     @pl.when(chunk == 0)
     def _():
@@ -97,8 +98,8 @@ def _paged_attn_kernel(
             preferred_element_type=jnp.float32)            # [Hkv, G, C]
 
         kv_pos = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 2)
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1) % num_q
-        q_pos = q_start_ref[b] + q_idx
+        row = g * G + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1)
+        q_pos = q_start_ref[b] + row % num_q
         s = jnp.where(kv_pos <= q_pos, s, NEG_INF)
 
         m_prev = m_i[:, :, :1]
@@ -115,7 +116,7 @@ def _paged_attn_kernel(
         m_i[:] = jnp.broadcast_to(m_new, m_i.shape)
         l_i[:] = jnp.broadcast_to(l_new, l_i.shape)
 
-    @pl.when(chunk == pl.num_programs(1) - 1)
+    @pl.when(chunk == pl.num_programs(2) - 1)
     def _():
         denom = l_i[:, :, :1]
         denom = jnp.where(denom > 0, denom, 1.0)
@@ -136,7 +137,8 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
     assert D == D2
     group = Hq // Hkv
     G = group * Q
-    G_pad = round_up(max(G, 8), 8)
+    G_blk = 256 if G > 256 else round_up(max(G, 8), 8)
+    G_pad = round_up(max(G, 8), G_blk)
     if q_positions is None:
         q_start = ctx_lens.astype(jnp.int32) - Q
     else:
@@ -155,21 +157,21 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, num_chunks),
+        grid=(B, G_pad // G_blk, num_chunks),
         in_specs=[
-            pl.BlockSpec((1, Hkv, G_pad, D), lambda b, c, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, c, *_: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, G_pad, D), lambda b, c, *_: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, c, *_: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((pages_per_chunk, S, Hkv, D), k_pages.dtype),
             pltpu.VMEM((pages_per_chunk, S, Hkv, D), v_pages.dtype),
-            pltpu.VMEM((Hkv, G_pad, 128), jnp.float32),
-            pltpu.VMEM((Hkv, G_pad, 128), jnp.float32),
-            pltpu.VMEM((Hkv, G_pad, D), jnp.float32),
+            pltpu.VMEM((Hkv, G_blk, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G_blk, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G_blk, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2, pages_per_chunk)),
         ],
     )

@@ -125,3 +125,20 @@ def test_int8_kv_cache_roundtrip(rng):
     kd, vd = kvc.gather_layer(cache, 0, jnp.asarray([[1]], jnp.int32))
     np.testing.assert_allclose(np.asarray(kd[0, :, :4], np.float32).transpose(1, 0, 2),
                                np.asarray(k, np.float32), atol=0.03, rtol=0.05)
+
+
+def test_pallas_large_query_blocks(rng):
+    """G > 256 exercises the query-block grid dimension (prefill shapes)."""
+    B, Q, Hq, Hkv, D, S = 1, 160, 4, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D, P=32)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray(np.arange(1, 26)[None], jnp.int32)
+    ctx = jnp.asarray([Q + 30], jnp.int32)
+    pos = jnp.arange(30, 30 + Q, dtype=jnp.int32)[None]
+    ref = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5, q_positions=pos)
+    out = paged_attention_pallas(q, cache.k_pages[0], cache.v_pages[0],
+                                 tables, ctx, D ** -0.5, pages_per_chunk=4,
+                                 q_positions=pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
