@@ -36,9 +36,13 @@ class LLM:
         if params is None:
             import os
             if os.path.isdir(model):
+                from qspec_tpu.model_loader.checkpoint import (is_qspec_checkpoint,
+                                                               load_checkpoint)
                 from qspec_tpu.model_loader.loader import (load_hf_float,
                                                            load_qspec, quantize_float)
-                if cfg.quant == "w4":
+                if is_qspec_checkpoint(model):
+                    params, cfg = load_checkpoint(model)
+                elif cfg.quant == "w4":
                     try:
                         params, cfg = load_qspec(model, cfg)
                     except KeyError:  # float checkpoint: quantize offline
