@@ -81,13 +81,31 @@ class LLMEngine:
         return self.tracer is not None
 
     def _derive_num_pages(self) -> int:
-        """Size the cache from configured HBM budget (reference
-        determine_num_available_blocks, worker/worker.py:176)."""
+        """Size the cache from the HBM budget (reference
+        determine_num_available_blocks, worker/worker.py:176): pages fill
+        gpu_memory_utilization of free device memory, capped by what the
+        scheduler can actually address."""
         cc = self.config.cache
         if cc.num_pages is not None:
             return cc.num_pages
         sched = self.config.scheduler
-        return sched.max_num_seqs * (-(-sched.max_model_len // cc.page_size)) + 8
+        mc = self.config.model
+        need = sched.max_num_seqs * (-(-sched.max_model_len // cc.page_size)) + 8
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats()
+            free = (stats["bytes_limit"] * cc.gpu_memory_utilization
+                    - stats["bytes_in_use"])
+            per_entry = 1 if cc.kv_cache_dtype == "int8" else 2
+            page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
+                          * mc.head_dim * per_entry)
+            n_caches = 2 if (self.spec is not None and self._ngram is None) else 1
+            fit = int(free // (page_bytes * n_caches))
+            if fit <= 8:
+                return need
+            return min(need, fit)
+        except Exception:
+            return need
 
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: List[int],
