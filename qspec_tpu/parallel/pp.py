@@ -1,0 +1,152 @@
+"""Pipeline parallelism over a ("pipe", "model") mesh.
+
+TPU-native analogue of the reference's PP support (virtual engines +
+IntermediateTensors send/recv via get_pp_group(), vllm/distributed/
+parallel_state.py:892, vllm/worker/worker_base.py). Instead of per-stage
+worker processes exchanging tensors over NCCL, the layer scan is sharded
+along a "pipe" mesh axis: each device owns a contiguous layer slab (and its
+KV-cache slab), and activations move between stages with a single
+`jax.lax.ppermute` per stage boundary.
+
+Round-1 scope: correctness + compile validation (the driver's multi-chip
+dryrun). The schedule is the naive sequential one — stage s computes while
+the others idle — which is what one (B, Q) rectangle allows; interleaving
+microbatches across stages (the reference's virtual-engine trick) is the
+round-2 throughput work and slots into the same sharding.
+
+Param/cache layout: every per-layer leaf keeps its stacked [L, ...] shape
+and is sharded on the layer axis with L % num_stages == 0; shard_map then
+hands each stage its local [L/S, ...] slab, and the existing single-chip
+`model_forward` runs unchanged on the slab.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_pp_mesh(pp_size: int, tp_size: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = pp_size * tp_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(pp_size, tp_size)
+    return Mesh(arr, ("pipe", "model"))
+
+
+def pp_param_pspecs(cfg, params):
+    """Layer-stacked leaves shard on axis 0 over 'pipe'; embeddings/head live
+    on every stage (replicated) so stage boundaries carry only activations."""
+    from qspec_tpu.parallel.tp import param_pspecs
+
+    specs = param_pspecs(cfg, params)
+
+    def add_pipe(spec):
+        # prepend 'pipe' on the layer axis (axis 0 of stacked leaves)
+        return P(*(("pipe",) + tuple(spec)[1:]))
+
+    specs["layers"] = jax.tree.map(add_pipe, specs["layers"],
+                                   is_leaf=lambda x: isinstance(x, P))
+    return specs
+
+
+def pp_cache_pspec():
+    from qspec_tpu.ops.kv_cache import PagedKVCache
+    return PagedKVCache(
+        k_pages=P("pipe", None, None, "model", None),
+        v_pages=P("pipe", None, None, "model", None),
+        k_scales=None, v_scales=None)
+
+
+def shard_params_pp(params, cfg, mesh: Mesh):
+    specs = pp_param_pspecs(cfg, params)
+    return jax.tree.map(lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                        params, specs, is_leaf=lambda x: x is None)
+
+
+def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
+                num_stages: int, tp_axis):
+    """Stage-sharded forward: runs inside shard_map with axes
+    ('pipe', 'model'). params['layers'] and the cache hold this stage's
+    layer slab; x is threaded stage to stage with ppermute."""
+    from qspec_tpu.models.llama import decoder_layer, model_forward
+    from qspec_tpu.ops.rmsnorm_quant import rmsnorm
+
+    B, Q = token_ids.shape
+    stage = jax.lax.axis_index("pipe")
+    x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
+
+    rope_cache = params["rope_cache"]
+    hadamards = params.get("hadamards")
+
+    def run_slab(x):
+        def body(x, layer_and_cache):
+            layer, k_pages, v_pages = layer_and_cache
+            return decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
+                                 rope_cache, hadamards, scheme, tp_axis)
+        return jax.lax.scan(body, x, (params["layers"], cache.k_pages,
+                                      cache.v_pages))
+
+    # naive schedule: stages take turns; non-owners pass x through untouched
+    # but still trace the same program (SPMD)
+    new_k = cache.k_pages
+    new_v = cache.v_pages
+    for s in range(num_stages):
+        y, (k_s, v_s) = run_slab(x)
+        mine = stage == s
+        x = jnp.where(mine, y, x)
+        new_k = jnp.where(mine, k_s, new_k)
+        new_v = jnp.where(mine, v_s, new_v)
+        if s < num_stages - 1:
+            # move activations to the next stage
+            x = jax.lax.ppermute(x, "pipe",
+                                 [(i, (i + 1) % num_stages)
+                                  for i in range(num_stages)])
+    # bring the final activations back to every stage for the shared head
+    # (broadcast-from-last = psum of the masked value)
+    if num_stages > 1:
+        x = jax.lax.psum(jnp.where(stage == num_stages - 1, x, 0.0), "pipe")
+
+    cache = cache._replace(k_pages=new_k, v_pages=new_v)
+    gamma = None if cfg.quant == "w4" else params["final_norm"]
+    x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
+    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+    return logits.reshape(B, Q, -1), cache
+
+
+def make_pp_prefill(mesh: Mesh, cfg, params, scheme: str = "w4a16"):
+    """Compile a PP-sharded prefill step (capability/dryrun entry point)."""
+    from jax.experimental.shard_map import shard_map
+    from qspec_tpu.models.llama import AttentionBatch
+    from qspec_tpu.engine.model_runner import _slot_of
+
+    num_stages = mesh.shape["pipe"]
+    tp = mesh.shape["model"]
+    pspecs = pp_param_pspecs(cfg, params)
+    cspec = pp_cache_pspec()
+    R = P()
+
+    def impl(params, cache, token_ids, positions, block_tables, ctx_len):
+        page_size = cache.page_size
+        Q = token_ids.shape[1]
+        valid = positions < ctx_len[:, None]
+        slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
+        batch = AttentionBatch(positions=positions, slot_mapping=slot,
+                               block_tables=block_tables, ctx_lens=ctx_len)
+        logits, cache = _forward_pp(params, cfg, token_ids, cache, batch,
+                                    scheme=scheme, num_stages=num_stages,
+                                    tp_axis="model" if tp > 1 else None)
+        last = jnp.clip(ctx_len[0] - 1 - positions[0, 0], 0, Q - 1)
+        return logits[:, last], cache
+
+    mapped = shard_map(impl, mesh=mesh,
+                       in_specs=(pspecs, cspec, R, R, R, R),
+                       out_specs=(P(), cspec), check_rep=False)
+    return jax.jit(mapped, donate_argnums=(1,))

@@ -1,0 +1,62 @@
+"""TP numerics: shard_mapped steps must equal the single-chip results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qspec_tpu.config import ModelConfig
+from qspec_tpu.engine.model_runner import prefill_step
+from qspec_tpu.models.llama import init_params
+from qspec_tpu.ops import kv_cache as kvc
+from qspec_tpu.parallel.tp import (make_mesh, make_tp_step_fns, shard_cache,
+                                   shard_params)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+@pytest.mark.parametrize("scheme", ["w4a16", "w4a4"])
+def test_tp_prefill_matches_single(rng, tp, scheme):
+    if len(jax.devices()) < tp:
+        pytest.skip("needs virtual device mesh")
+    cfg = ModelConfig.tiny(quant="w4", num_layers=2, num_heads=4, num_kv_heads=4,
+                           head_dim=64, hidden_size=256, intermediate_size=448)
+    # NOTE: single-chip params use tp_size=1 packing; TP params pack per shard
+    params_tp = init_params(cfg, seed=0, tp_size=tp)
+    params_1 = init_params(cfg, seed=0, tp_size=1)
+
+    kcfg = kvc.KVCacheConfig(cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                             num_pages=16, page_size=16)
+    T = 12
+    toks = np.zeros((1, 32), np.int32)
+    toks[0, :T] = rng.integers(1, 500, size=T)
+    positions = np.arange(32, dtype=np.int32)[None]
+    tables = np.zeros((1, 8), np.int32)
+    tables[0, :2] = [1, 2]
+    ctx = np.asarray([T], np.int32)
+
+    cache0 = kvc.allocate(kcfg)
+    ref, _ = prefill_step(params_1, cache0, jnp.asarray(toks),
+                          jnp.asarray(positions), jnp.asarray(tables),
+                          jnp.asarray(ctx), cfg=cfg, scheme=scheme)
+
+    mesh = make_mesh(tp_size=tp)
+    sp = shard_params(params_tp, cfg, mesh)
+    cache1 = shard_cache(kvc.allocate(kcfg), mesh)
+    fns = make_tp_step_fns(mesh, cfg, sp, scheme, draft_scheme="w4a4", k=2)
+    fn = fns["prefill"] if scheme == "w4a16" else fns["prefill_draft"]
+    out, _ = fn(sp, cache1, jnp.asarray(toks), jnp.asarray(positions),
+                jnp.asarray(tables), jnp.asarray(ctx))
+
+    out = np.asarray(out, np.float32)
+    ref = np.asarray(ref, np.float32)
+    # sharded matmul + psum reorders bf16 reductions; integer-activation
+    # schemes amplify that into occasional one-quant-step flips, so compare
+    # distributionally tight but pointwise loose
+    # int4 activations amplify it into quant-step flips; the tiny test model
+    # (hidden 256) makes those relatively large, hence the loose w4a4 bound
+    atol = 3e-2 if scheme == "w4a16" else 3e-1
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=5e-2)
+    assert np.abs(out - ref).mean() < (5e-3 if scheme == "w4a16" else 8e-2)
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > (0.999 if scheme == "w4a16"
+                                                          else 0.98)
