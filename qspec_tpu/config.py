@@ -109,6 +109,7 @@ class CacheConfig:
     page_size: int = 16
     num_pages: Optional[int] = None      # None -> derive from memory fraction
     kv_cache_dtype: str = "bfloat16"     # "bfloat16" | "int8"
+    enable_prefix_caching: bool = True
     gpu_memory_utilization: float = 0.9  # kept name-compatible; means HBM here
 
 

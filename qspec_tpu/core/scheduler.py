@@ -32,11 +32,12 @@ class PrefillChunk:
 class ScheduledBatch:
     kind: str  # "prefill" | "decode"
     seqs: List[Sequence] = field(default_factory=list)
-    chunk: Optional[PrefillChunk] = None
+    chunk: Optional[PrefillChunk] = None          # first chunk (compat)
+    chunks: List[PrefillChunk] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
-        return not self.seqs and self.chunk is None
+        return not self.seqs and not self.chunks and self.chunk is None
 
 
 class Scheduler:
@@ -117,16 +118,25 @@ class Scheduler:
     def schedule(self) -> ScheduledBatch:
         self._admit()
 
-        # prefill first: any running seq with unprefilled prompt tokens
+        # prefill first: any running seq with unprefilled prompt tokens.
+        # Batch several sequences' chunks into one (B, Q) rectangle as long
+        # as they land in the same token bucket (static shapes).
         prefilling = [s for s in self.running if s.num_computed_tokens < s.prompt_len]
         if prefilling:
-            seq = prefilling[0]
             budget = self.cfg.prefill_chunk_size if self.cfg.enable_chunked_prefill \
                 else self.cfg.max_num_batched_tokens
-            start = seq.num_computed_tokens
-            end = min(seq.prompt_len, start + budget)
-            return ScheduledBatch(kind="prefill", seqs=[seq],
-                                  chunk=PrefillChunk(seq, start, end))
+            chunks = []
+            total = 0
+            for seq in prefilling:
+                start = seq.num_computed_tokens
+                end = min(seq.prompt_len, start + budget)
+                if chunks and (total + (end - start) > self.cfg.max_num_batched_tokens
+                               or len(chunks) >= self.cfg.max_num_seqs):
+                    break
+                chunks.append(PrefillChunk(seq, start, end))
+                total += end - start
+            return ScheduledBatch(kind="prefill", seqs=[c.seq for c in chunks],
+                                  chunk=chunks[0], chunks=chunks)
 
         # decode: all running seqs; ensure lookahead slots, preempting if needed
         decode_seqs: List[Sequence] = []

@@ -62,7 +62,9 @@ class LLMEngine:
                                   need_draft_cache=self.spec is not None
                                   and self._ngram is None,
                                   mesh=mesh)
-        self.block_manager = BlockManager(num_pages, config.cache.page_size)
+        self.block_manager = BlockManager(
+            num_pages, config.cache.page_size,
+            enable_prefix_caching=config.cache.enable_prefix_caching)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)
         self._next_id = 0
@@ -196,18 +198,23 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
     def _run_prefill(self, batch: ScheduledBatch) -> None:
-        chunk = batch.chunk
-        seq = chunk.seq
-        logits = self.runner.run_prefill_chunk(seq, chunk.start, chunk.end)
+        chunks = [(c.seq, c.start, c.end) for c in (batch.chunks or [batch.chunk])]
+        logits = self.runner.run_prefill_chunks(chunks)
         if self.spec is not None and self._ngram is None:
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
-            self.runner.run_prefill_chunk(seq, chunk.start, chunk.end, draft=True)
-        seq.num_computed_tokens = chunk.end
-        if logits is not None:
-            st = make_sampling_tensors([seq])
-            first = self.runner.sample_first_token(logits, _to_device_st(st))
-            seq.append_token(first)
+            self.runner.run_prefill_chunks(chunks, draft=True)
+        completing = [i for i, (s, _, end) in enumerate(chunks)
+                      if end == s.prompt_len]
+        for s, _, end in chunks:
+            s.num_computed_tokens = end
+        if completing:
+            seqs = [chunks[i][0] for i in completing]
+            st = _to_device_st(make_sampling_tensors(seqs))
+            import jax.numpy as jnp
+            toks = self.runner.sample_tokens(logits[jnp.asarray(completing)], st)
+            for s, t in zip(seqs, toks):
+                s.append_token(int(t))
 
     def _run_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:

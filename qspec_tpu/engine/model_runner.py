@@ -354,25 +354,40 @@ class ModelRunner:
         return out
 
     # -- phases -----------------------------------------------------------
-    def run_prefill_chunk(self, seq, start: int, end: int, *, draft: bool = False):
-        """Returns final-position logits (np [V]) when the chunk completes the
-        prompt, else None."""
-        Q = self._bucket_tokens(end - start)
-        toks = np.zeros((1, Q), np.int32)
-        chunk = seq.prompt_token_ids[start:end]
-        toks[0, :len(chunk)] = chunk
-        positions = np.arange(start, start + Q, dtype=np.int32)[None, :]
-        tables = self._pad_block_tables([seq.page_ids])
-        ctx = np.array([end], np.int32)
+    def run_prefill_chunks(self, chunks, *, draft: bool = False):
+        """Batched prompt chunks: one (B, Q) rectangle for several sequences.
+
+        chunks: list of (seq, start, end). Returns device logits [B, V] of
+        each row's final valid position (only meaningful for rows whose chunk
+        completes the prompt).
+        """
+        B = len(chunks)
+        Q = self._bucket_tokens(max(end - start for _, start, end in chunks))
+        toks = np.zeros((B, Q), np.int32)
+        positions = np.zeros((B, Q), np.int32)
+        ctx = np.zeros(B, np.int32)
+        tables = []
+        for i, (seq, start, end) in enumerate(chunks):
+            piece = seq.prompt_token_ids[start:end]
+            toks[i, :len(piece)] = piece
+            positions[i] = np.arange(start, start + Q, dtype=np.int32)
+            ctx[i] = end
+            tables.append(seq.page_ids)
         fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
         cache = self.draft_cache if draft else self.cache
         logits, new_cache = fn(
             self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(tables), jnp.asarray(ctx))
+            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx))
         if draft:
             self.draft_cache = new_cache
         else:
             self.cache = new_cache
+        return logits
+
+    def run_prefill_chunk(self, seq, start: int, end: int, *, draft: bool = False):
+        """Single-sequence compatibility wrapper; returns logits [1, V] when
+        the chunk completes the prompt, else None."""
+        logits = self.run_prefill_chunks([(seq, start, end)], draft=draft)
         if end == seq.prompt_len:
             return logits
         return None
@@ -380,6 +395,11 @@ class ModelRunner:
     def sample_first_token(self, logits, st_row: SamplingTensors) -> int:
         tok = sample(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
+
+    def sample_tokens(self, logits, st: SamplingTensors) -> np.ndarray:
+        """Sample one token per row of [B, V] device logits."""
+        toks = sample(logits, st, self._next_key())
+        return np.asarray(jax.device_get(toks))
 
     def run_decode(self, seqs, sampling: SamplingTensors,
                    num_steps: int = 1) -> np.ndarray:

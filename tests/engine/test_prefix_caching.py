@@ -10,9 +10,10 @@ from qspec_tpu.models.llama import init_params
 from qspec_tpu.sampling_params import SamplingParams
 
 
-def run(params, mc, prompts, spec=None, serial=False):
+def run(params, mc, prompts, spec=None, serial=False, prefix_caching=True):
     cfg = EngineConfig(
-        model=mc, cache=CacheConfig(page_size=16),
+        model=mc, cache=CacheConfig(page_size=16,
+                                    enable_prefix_caching=prefix_caching),
         scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=256,
                                   prefill_chunk_size=64,
                                   decode_batch_buckets=(2, 4),
@@ -48,22 +49,24 @@ def test_shared_prefix_reuse_same_outputs():
     prompts = [shared + list(map(int, rng.integers(1, 500, size=5 + i)))
                for i in range(3)]
 
-    # serial so later requests hit pages cached by earlier ones
-    outs, eng = run(params, mc, prompts, serial=True)
-    # fresh engine, prefix caching disabled at block level via distinct engine:
-    # compare against an engine that never shares (prompts reversed order so
-    # the cache can't help the first)
-    outs2, _ = run(params, mc, prompts, serial=False)
+    # serial so later requests hit pages cached by earlier ones; compare
+    # with caching disabled under the identical serial schedule
+    outs, eng = run(params, mc, prompts, serial=True, prefix_caching=True)
+    outs2, _ = run(params, mc, prompts, serial=True, prefix_caching=False)
     assert outs == outs2
 
 
 def test_shared_prefix_with_spec_decode():
+    """Cache reuse must not change results: same schedule/batch shapes with
+    prefix caching on vs off give identical outputs (serial-vs-batched would
+    compare different batch rectangles, whose bf16 noise the int4 draft
+    amplifies into occasional acceptance flips)."""
     mc = ModelConfig.tiny(quant="w4")
     params = init_params(mc, seed=0)
     rng = np.random.default_rng(6)
     shared = list(map(int, rng.integers(1, 500, size=32)))
     prompts = [shared + [7], shared + [9], shared + [11]]
     spec = SpeculativeConfig(num_speculative_tokens=2)
-    outs_s, eng = run(params, mc, prompts, spec=spec, serial=True)
-    outs_p, _ = run(params, mc, prompts, spec=spec, serial=False)
-    assert outs_s == outs_p
+    on, eng = run(params, mc, prompts, spec=spec, serial=True, prefix_caching=True)
+    off, _ = run(params, mc, prompts, spec=spec, serial=True, prefix_caching=False)
+    assert on == off
