@@ -361,18 +361,20 @@ class ModelRunner:
         each row's final valid position (only meaningful for rows whose chunk
         completes the prompt).
         """
-        B = len(chunks)
+        # pad the batch dim to a bucket too: staggered admissions otherwise
+        # produce B=1..n-1 rectangles, each a fresh XLA compile
+        B = self._bucket_batch(len(chunks))
         Q = self._bucket_tokens(max(end - start for _, start, end in chunks))
         toks = np.zeros((B, Q), np.int32)
         positions = np.zeros((B, Q), np.int32)
         ctx = np.zeros(B, np.int32)
-        tables = []
+        tables = [[] for _ in range(B)]
         for i, (seq, start, end) in enumerate(chunks):
             piece = seq.prompt_token_ids[start:end]
             toks[i, :len(piece)] = piece
             positions[i] = np.arange(start, start + Q, dtype=np.int32)
             ctx[i] = end
-            tables.append(seq.page_ids)
+            tables[i] = seq.page_ids
         fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
         cache = self.draft_cache if draft else self.cache
         logits, new_cache = fn(
