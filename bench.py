@@ -63,6 +63,9 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
 
     import os
     debug = os.environ.get("QSPEC_BENCH_DEBUG") == "1"
+    if debug:
+        import jax
+        jax.config.update("jax_log_compiles", True)
 
     def drive(eng, n_tokens):
         for p in prompts:

@@ -209,12 +209,14 @@ class LLMEngine:
         for s, _, end in chunks:
             s.num_computed_tokens = end
         if completing:
-            seqs = [chunks[i][0] for i in completing]
-            st = _to_device_st(make_sampling_tensors(seqs))
-            import jax.numpy as jnp
-            toks = self.runner.sample_tokens(logits[jnp.asarray(completing)], st)
-            for s, t in zip(seqs, toks):
-                s.append_token(int(t))
+            # sample over the full (already bucketed) rectangle so the jitted
+            # sampler sees one stable shape; non-completing rows discarded
+            from qspec_tpu.engine.model_runner import _pad_sampling
+            st = _pad_sampling(make_sampling_tensors([c[0] for c in chunks]),
+                               len(chunks), logits.shape[0])
+            toks = self.runner.sample_tokens(logits, st)
+            for i in completing:
+                chunks[i][0].append_token(int(toks[i]))
 
     def _run_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:

@@ -395,12 +395,13 @@ class ModelRunner:
         return None
 
     def sample_first_token(self, logits, st_row: SamplingTensors) -> int:
-        tok = sample(logits, st_row, self._next_key())
+        tok = _sample_jit(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
     def sample_tokens(self, logits, st: SamplingTensors) -> np.ndarray:
-        """Sample one token per row of [B, V] device logits."""
-        toks = sample(logits, st, self._next_key())
+        """Sample one token per row of [B, V] device logits (jitted — the
+        eager path costs dozens of per-op compiles on this platform)."""
+        toks = _sample_jit(logits, st, self._next_key())
         return np.asarray(jax.device_get(toks))
 
     def run_decode(self, seqs, sampling: SamplingTensors,
@@ -486,6 +487,9 @@ class ModelRunner:
         return (np.asarray(res.tokens)[None, :n],
                 np.asarray(res.accepted_len)[None, :n],
                 np.asarray(res.token_logprobs)[None, :n])
+
+
+_sample_jit = jax.jit(sample)
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
