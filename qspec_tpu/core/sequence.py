@@ -46,6 +46,8 @@ class Sequence:
     # tokens whose KV has been computed (prefill progress / decode watermark)
     num_computed_tokens: int = 0
     finish_reason: Optional[str] = None
+    # adapter slot in the engine's LoRA table (0 = base model)
+    lora_id: int = 0
 
     @property
     def num_tokens(self) -> int:

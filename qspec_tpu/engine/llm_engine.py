@@ -112,13 +112,13 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: List[int],
                     sampling_params: Optional[SamplingParams] = None,
-                    request_id: Optional[int] = None) -> int:
+                    request_id: Optional[int] = None, lora_id: int = 0) -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
-                       sampling_params=sampling_params)
+                       sampling_params=sampling_params, lora_id=lora_id)
         self.scheduler.add_seq(seq)
         from qspec_tpu.tracing import RequestTrace
         self._traces[rid] = RequestTrace()

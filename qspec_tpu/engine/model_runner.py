@@ -46,7 +46,7 @@ def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
                    donate_argnames=("cache",))
 def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
-                 *, cfg, scheme, axis_name=None):
+                 lora_ids=None, *, cfg, scheme, axis_name=None):
     """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
     the final valid position ([1, V]) and the updated cache.
 
@@ -63,14 +63,14 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     last_idx = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
     logits, cache = model_forward(params, cfg, token_ids, cache, batch,
                                   scheme=scheme, axis_name=axis_name,
-                                  logits_indices=last_idx)
+                                  logits_indices=last_idx, lora_ids=lora_ids)
     return logits[:, 0], cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
                    donate_argnames=("cache",))
 def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
-                *, cfg, scheme, axis_name=None):
+                lora_ids=None, *, cfg, scheme, axis_name=None):
     """Autoregressive decode: one token per sequence.
 
     last_tokens [B] (not yet processed), start_pos [B] = their positions.
@@ -82,7 +82,8 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     batch = AttentionBatch(positions=pos, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=start_pos + 1)
     logits, cache = model_forward(params, cfg, last_tokens[:, None], cache, batch,
-                                  scheme=scheme, axis_name=axis_name)
+                                  scheme=scheme, axis_name=axis_name,
+                                  lora_ids=lora_ids)
     next_tokens = sample(logits[:, 0], st, key)
     return next_tokens, cache
 
@@ -90,7 +91,8 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "num_steps", "axis_name"),
                    donate_argnames=("cache",))
 def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
-                      max_new, st, key, *, cfg, scheme, num_steps, axis_name=None):
+                      max_new, st, key, lora_ids=None, *, cfg, scheme, num_steps,
+                      axis_name=None):
     """num_steps autoregressive decode steps in one executable.
 
     TPU-native analogue of the reference's multi-step model runner
@@ -107,7 +109,8 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
         batch = AttentionBatch(positions=p, slot_mapping=slot,
                                block_tables=block_tables, ctx_lens=pos + 1)
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
-                                      scheme=scheme, axis_name=axis_name)
+                                      scheme=scheme, axis_name=axis_name,
+                                      lora_ids=lora_ids)
         nxt, lp = sample_with_logprob(logits[:, 0], st, step_key)
         active = budget > 0
         out = jnp.where(active, nxt, -1)
@@ -122,7 +125,7 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
 
 
 def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
-                *, cfg, scheme, k, axis_name=None):
+                *, cfg, scheme, k, axis_name=None, lora_ids=None):
     page_size = cache.page_size
 
     def body(carry, step_key):
@@ -132,7 +135,8 @@ def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
         batch = AttentionBatch(positions=p, slot_mapping=slot,
                                block_tables=block_tables, ctx_lens=pos + 1)
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
-                                      scheme=scheme, axis_name=axis_name)
+                                      scheme=scheme, axis_name=axis_name,
+                                      lora_ids=lora_ids)
         probs = sampling_probs(logits[:, 0], st)
         nxt = sample(logits[:, 0], st, step_key)
         return (cache, nxt, pos + 1), (nxt, probs)
@@ -160,7 +164,7 @@ def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
 
 def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
                  block_tables, st, key, *, cfg, scheme, axis_name=None,
-                 acceptance="rejection_sampler"):
+                 acceptance="rejection_sampler", lora_ids=None):
     page_size = cache.page_size
     B, k = draft_tokens.shape
     tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
@@ -169,7 +173,8 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=start_pos + k + 1)
     logits, cache = model_forward(params, cfg, tokens, cache, batch,
-                                  scheme=scheme, axis_name=axis_name)  # [B, k+1, V]
+                                  scheme=scheme, axis_name=axis_name,
+                                  lora_ids=lora_ids)  # [B, k+1, V]
     V = logits.shape[-1]
     st_rep = SamplingTensors(*(jnp.repeat(t, k + 1) for t in st))
     target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
@@ -215,8 +220,8 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
                                     "num_rounds", "axis_name", "acceptance"),
                    donate_argnames=("draft_cache", "cache"))
 def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
-                     block_tables, max_new, st, key, *, cfg, draft_scheme,
-                     verify_scheme, k, num_rounds=1, axis_name=None,
+                     block_tables, max_new, st, key, lora_ids=None, *, cfg,
+                     draft_scheme, verify_scheme, k, num_rounds=1, axis_name=None,
                      acceptance="rejection_sampler"):
     """`num_rounds` full QSpec rounds (draft k + verify + rejection) in ONE
     executable — one host round-trip for up to num_rounds*(k+1) tokens.
@@ -238,11 +243,12 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
         dk, vk = jax.random.split(round_key)
         d_toks, d_probs, draft_cache = _draft_impl(
             params, draft_cache, last, pos, block_tables, st, dk,
-            cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name)
+            cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name,
+            lora_ids=lora_ids)
         result, cache = _verify_impl(
             params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
             cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
-            acceptance=acceptance)
+            acceptance=acceptance, lora_ids=lora_ids)
         # budget mask: emit at most `budget` more tokens per seq
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
         active = budget > 0
@@ -330,6 +336,17 @@ class ModelRunner:
             }
 
     # -- helpers ----------------------------------------------------------
+    def _lora_ids(self, seqs, bucket: int):
+        """[bucket] adapter ids, or None when no adapters are in play."""
+        if "lora" not in self.params:
+            return None
+        if all(getattr(s, "lora_id", 0) == 0 for s in seqs):
+            return None
+        ids = np.zeros(bucket, np.int32)
+        for i, s in enumerate(seqs):
+            ids[i] = getattr(s, "lora_id", 0)
+        return jnp.asarray(ids)
+
     def _bucket_batch(self, b: int) -> int:
         for cand in self.config.scheduler.decode_batch_buckets:
             if b <= cand:
@@ -379,7 +396,8 @@ class ModelRunner:
         cache = self.draft_cache if draft else self.cache
         logits, new_cache = fn(
             self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx))
+            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx),
+            self._lora_ids([c[0] for c in chunks], B))
         if draft:
             self.draft_cache = new_cache
         else:
@@ -419,16 +437,18 @@ class ModelRunner:
             max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
+        lora = self._lora_ids(seqs, B)
         if num_steps == 1:
             next_tokens, self.cache = self.fns["decode"](
                 self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
-                jnp.asarray(self._pad_block_tables(tables)), st, self._next_key())
+                jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
+                lora)
             toks = np.asarray(jax.device_get(next_tokens))[None, :len(seqs)]
             return toks, np.zeros_like(toks, np.float32)
         toks, lps, self.cache = self.fns["multi_decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
-            st, self._next_key())
+            st, self._next_key(), lora)
         toks, lps = jax.device_get((toks, lps))
         return np.asarray(toks)[:, :len(seqs)], np.asarray(lps)[:, :len(seqs)]
 
@@ -454,7 +474,8 @@ class ModelRunner:
         toks, accs, lps, self.draft_cache, self.cache = self.fns["spec_rounds"](
             self.params, self.draft_cache, self.cache, jnp.asarray(last),
             jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)),
-            jnp.asarray(max_new), st, self._next_key())
+            jnp.asarray(max_new), st, self._next_key(),
+            self._lora_ids(seqs, B))
         toks, accs, lps = jax.device_get((toks, accs, lps))
         n = len(seqs)
         return (np.asarray(toks)[:, :n], np.asarray(accs)[:, :n],

@@ -127,7 +127,8 @@ def _mlp_hadamard(x, hK, hP):
 
 
 def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
-                  rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None):
+                  rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
+                  lora=None, lora_ids=None):
     """One decoder layer. x: [T, H_local? no: hidden] bf16 (replicated across
     the model axis); caches: (k_pages, v_pages) for this layer, local kv heads.
 
@@ -139,6 +140,22 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     gamma_in = None if quarot else layer["input_norm"]
     gamma_post = None if quarot else layer["post_norm"]
 
+    def _maybe_lora(name, x_fp, out):
+        """Add the per-token LoRA delta (see qspec_tpu/lora/layers.py).
+        Single-chip only this round (adapters replicated; TP sharding of
+        adapter stripes is round-2 work)."""
+        if lora is None:
+            return out
+        from qspec_tpu.lora.layers import lora_delta
+        d = lora_delta(x_fp, lora[name]["A"], lora[name]["B"], lora_ids)
+        return out + d.astype(out.dtype)
+
+    def _fp_input(xn, xq):
+        if xn is not None:
+            return xn
+        from qspec_tpu.ops.quant import sym_dequant
+        return sym_dequant(xq)
+
     ntp = 1 if axis_name is None else jax.lax.axis_size(axis_name)
     heads_l = cfg.num_heads // ntp
     kv_heads_l = cfg.num_kv_heads // ntp
@@ -148,6 +165,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     # --- attention block ---
     xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme)
     qkv = _linear(xn, layer["qkv"], scheme, xq)  # [T, (q+2kv) local]
+    if lora is not None:
+        qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
     q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
     q = q.reshape(T, heads_l, cfg.head_dim)
     k = k.reshape(T, kv_heads_l, cfg.head_dim)
@@ -190,7 +209,12 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
             else:
                 o = _linear(attn_flat, layer["o"], scheme)
     else:
-        o = _linear(attn.reshape(T, q_size_l), layer["o"], scheme)
+        attn_flat = attn.reshape(T, q_size_l)
+        o = _linear(attn_flat, layer["o"], scheme)
+    if lora is not None:
+        # input to o_proj: the (hadamard-rotated, pre-quant) flat attention;
+        # every branch above leaves it in attn_flat
+        o = _maybe_lora("o", attn_flat, o)
     if axis_name is not None:
         o = jax.lax.psum(o, axis_name)
     x = x + o.astype(x.dtype)
@@ -198,6 +222,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     # --- mlp block ---
     xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme)
     gate_up = _linear(xn, layer["gate_up"], scheme, xq)  # [T, 2*I/ntp]
+    if lora is not None:
+        gate_up = _maybe_lora("gate_up", _fp_input(xn, xq), gate_up)
     i_local = gate_up.shape[-1] // 2
     gate, up = gate_up[:, :i_local], gate_up[:, i_local:]
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -222,6 +248,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
                 down = _linear(act, layer["down"], scheme)
     else:
         down = _linear(act, layer["down"], scheme)
+    if lora is not None:
+        down = _maybe_lora("down", act, down)
     if axis_name is not None:
         down = jax.lax.psum(down, axis_name)
     x = x + down.astype(x.dtype)
@@ -231,7 +259,8 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
 def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
                   cache: kvc.PagedKVCache, batch: AttentionBatch, *,
                   scheme: str = "w4a16", axis_name: Optional[str] = None,
-                  logits_indices: Optional[jnp.ndarray] = None):
+                  logits_indices: Optional[jnp.ndarray] = None,
+                  lora_ids: Optional[jnp.ndarray] = None):
     """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
 
     Mirrors the reference call path LlamaModel.forward -> compute_logits
@@ -251,14 +280,30 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
 
-    def body(x, layer_and_cache):
-        layer, k_pages, v_pages = layer_and_cache
-        x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
-                                      rope_cache, hadamards, scheme, axis_name)
-        return x, new_caches
+    use_lora = lora_ids is not None and "lora" in params
+    tok_lora = (jnp.repeat(lora_ids, Q) if use_lora else None)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k_pages, cache.v_pages))
+    if use_lora:
+        def body(x, xs):
+            layer, lora_layer, k_pages, v_pages = xs
+            x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg,
+                                          batch, rope_cache, hadamards, scheme,
+                                          axis_name, lora=lora_layer,
+                                          lora_ids=tok_lora)
+            return x, new_caches
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], params["lora"]["layers"],
+                      cache.k_pages, cache.v_pages))
+    else:
+        def body(x, layer_and_cache):
+            layer, k_pages, v_pages = layer_and_cache
+            x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
+                                          rope_cache, hadamards, scheme, axis_name)
+            return x, new_caches
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache.k_pages, cache.v_pages))
     cache = cache._replace(k_pages=new_k, v_pages=new_v)
 
     if logits_indices is not None:
