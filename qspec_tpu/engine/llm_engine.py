@@ -212,8 +212,11 @@ class LLMEngine:
             # sample over the full (already bucketed) rectangle so the jitted
             # sampler sees one stable shape; non-completing rows discarded
             from qspec_tpu.engine.model_runner import _pad_sampling
-            st = _pad_sampling(make_sampling_tensors([c[0] for c in chunks]),
-                               len(chunks), logits.shape[0])
+            st = _pad_sampling(
+                make_sampling_tensors([c[0] for c in chunks],
+                                      self.config.model.vocab_size,
+                                      self.eos_token_id),
+                len(chunks), logits.shape[0])
             toks = self.runner.sample_tokens(logits, st)
             for i in completing:
                 chunks[i][0].append_token(int(toks[i]))
@@ -221,7 +224,8 @@ class LLMEngine:
     def _run_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:
             return
-        st = make_sampling_tensors(seqs)
+        st = make_sampling_tensors(seqs, self.config.model.vocab_size,
+                                   self.eos_token_id)
         steps = self.config.scheduler.steps_per_decode_call
         tokens, lps = self.runner.run_decode(seqs, st, num_steps=steps)
         for i, s in enumerate(seqs):
@@ -237,7 +241,8 @@ class LLMEngine:
         if not seqs:
             return
         k = self.spec.num_speculative_tokens
-        st = make_sampling_tensors(seqs)
+        st = make_sampling_tensors(seqs, self.config.model.vocab_size,
+                                   self.eos_token_id)
         t0 = time.perf_counter()
         if self._ngram is not None:
             proposals = self._ngram.propose_batch(seqs, k)

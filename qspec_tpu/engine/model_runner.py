@@ -176,7 +176,13 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
                                   scheme=scheme, axis_name=axis_name,
                                   lora_ids=lora_ids)  # [B, k+1, V]
     V = logits.shape[-1]
-    st_rep = SamplingTensors(*(jnp.repeat(t, k + 1) for t in st))
+    st_rep = SamplingTensors(
+        temperature=jnp.repeat(st.temperature, k + 1),
+        top_k=jnp.repeat(st.top_k, k + 1),
+        top_p=jnp.repeat(st.top_p, k + 1),
+        min_p=jnp.repeat(st.min_p, k + 1),
+        vocab_mask=st.vocab_mask,  # sampling_probs row-repeats 2D masks
+    )
     target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
     target_probs = target_probs.reshape(B, k + 1, V)
     if acceptance == "typical_acceptance_sampler":
@@ -519,18 +525,51 @@ def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
         out = np.full(bucket, fill, arr.dtype)
         out[:n] = arr[:n]
         return jnp.asarray(out)
+    mask = st.vocab_mask
+    if mask is not None:
+        m = np.ones((bucket, mask.shape[1]), bool)
+        m[:n] = np.asarray(mask)[:n]
+        mask = jnp.asarray(m)
     return SamplingTensors(
         temperature=pad(np.asarray(st.temperature), 0.0),
         top_k=pad(np.asarray(st.top_k, np.int32), 0),
         top_p=pad(np.asarray(st.top_p), 1.0),
         min_p=pad(np.asarray(st.min_p), 0.0),
+        vocab_mask=mask,
     )
 
 
-def make_sampling_tensors(seqs) -> SamplingTensors:
+def make_sampling_tensors(seqs, vocab_size: Optional[int] = None,
+                          eos_token_id: Optional[int] = None) -> SamplingTensors:
+    """Batch the per-sequence knobs; builds a [B, V] vocab mask only when a
+    row carries guided-decoding constraints (allowed/banned token sets,
+    min-tokens EOS suppression)."""
+    mask = None
+    if vocab_size is not None:
+        need = any(s.sampling_params.allowed_token_ids
+                   or s.sampling_params.banned_token_ids
+                   or (s.sampling_params.min_tokens
+                       and len(s.output_token_ids) < s.sampling_params.min_tokens)
+                   for s in seqs)
+        if need:
+            m = np.ones((len(seqs), vocab_size), bool)
+            for i, s in enumerate(seqs):
+                sp = s.sampling_params
+                if sp.allowed_token_ids:
+                    m[i] = False
+                    m[i, np.asarray(sp.allowed_token_ids)] = True
+                if sp.banned_token_ids:
+                    m[i, np.asarray(sp.banned_token_ids)] = False
+                if (sp.min_tokens and eos_token_id is not None
+                        and len(s.output_token_ids) < sp.min_tokens):
+                    m[i, eos_token_id] = False
+                    for t in (sp.stop_token_ids or ()):
+                        m[i, t] = False
+            mask = m
     return SamplingTensors(
         temperature=np.array([s.sampling_params.temperature for s in seqs], np.float32),
         top_k=np.array([s.sampling_params.top_k for s in seqs], np.int32),
         top_p=np.array([s.sampling_params.top_p for s in seqs], np.float32),
         min_p=np.array([s.sampling_params.min_p for s in seqs], np.float32),
+        vocab_mask=mask,
     )

@@ -12,7 +12,7 @@ accepted-length vector instead of ragged outputs.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +21,20 @@ NEG_INF = -1e30
 
 
 class SamplingTensors(NamedTuple):
-    """Per-sequence sampling knobs, padded to the batch bucket."""
+    """Per-sequence sampling knobs, padded to the batch bucket.
+
+    ``vocab_mask`` [B, V] bool (True = token allowed) carries guided-decoding
+    constraints (allowed/banned token sets, min-tokens EOS suppression — the
+    reference's logits-processor slot, vllm/model_executor/guided_decoding).
+    None when no row has constraints, so the unconstrained executables don't
+    pay for it.
+    """
 
     temperature: jnp.ndarray  # [B] f32; 0 => greedy
     top_k: jnp.ndarray        # [B] int32; <= 0 => disabled
     top_p: jnp.ndarray        # [B] f32; 1.0 => disabled
     min_p: jnp.ndarray        # [B] f32; 0 => disabled
+    vocab_mask: Optional[jnp.ndarray] = None  # [B, V] bool or None
 
     @staticmethod
     def greedy(batch: int) -> "SamplingTensors":
@@ -73,6 +81,13 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
     the invariant behind the greedy spec == greedy AR test.
     """
     lf = logits.astype(jnp.float32)
+    if st.vocab_mask is not None:
+        mask = st.vocab_mask
+        if mask.shape[0] != lf.shape[0]:
+            # verify path evaluates k+1 positions per sequence
+            reps = lf.shape[0] // mask.shape[0]
+            mask = jnp.repeat(mask, reps, axis=0)
+        lf = jnp.where(mask, lf, NEG_INF)
     temp = jnp.where(st.temperature > 0, st.temperature, 1.0)
     lf = lf / temp[:, None]
 
@@ -87,7 +102,9 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
                     | jnp.any(st.min_p > 0.0))
     lf = jax.lax.cond(needs_filter, filtered, lambda x: x, lf)
     probs = jax.nn.softmax(lf, axis=-1)
-    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32)
+    greedy_src = lf if st.vocab_mask is not None else logits
+    onehot = jax.nn.one_hot(jnp.argmax(greedy_src, axis=-1), logits.shape[-1],
+                            dtype=jnp.float32)
     return jnp.where((st.temperature == 0)[:, None], onehot, probs)
 
 
@@ -102,7 +119,8 @@ def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array
     logprobs output uses)."""
     probs = sampling_probs(logits, st)
     sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
-    greedy = jnp.argmax(logits, axis=-1)
+    greedy_src = logits if st.vocab_mask is None else         jnp.where(st.vocab_mask, logits.astype(jnp.float32), NEG_INF)
+    greedy = jnp.argmax(greedy_src, axis=-1)
     toks = jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     chosen = jnp.take_along_axis(logp, toks[:, None], axis=-1)[:, 0]

@@ -21,6 +21,10 @@ class SamplingParams:
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     stop: Optional[List[str]] = field(default=None)
+    # guided decoding (vocab-mask logits processors)
+    allowed_token_ids: Optional[List[int]] = None
+    banned_token_ids: Optional[List[int]] = None
+    min_tokens: int = 0
 
     def __post_init__(self):
         if self.temperature < 0:

@@ -1,0 +1,96 @@
+"""Guided decoding via vocab-mask logits processors (reference:
+vllm/model_executor/guided_decoding — here: allowed/banned token sets and
+min-tokens EOS suppression, enforced on device in every phase)."""
+
+import numpy as np
+import pytest
+
+from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                              SchedulerConfig, SpeculativeConfig)
+from qspec_tpu.engine.llm_engine import LLMEngine
+from qspec_tpu.models.llama import init_params
+from qspec_tpu.sampling_params import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mc = ModelConfig.tiny(quant="w4")
+    return mc, init_params(mc, seed=0)
+
+
+def make_engine(setup, spec=None, eos=None):
+    mc, params = setup
+    cfg = EngineConfig(
+        model=mc, cache=CacheConfig(page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=128,
+                                  prefill_chunk_size=32,
+                                  decode_batch_buckets=(2,),
+                                  prefill_token_buckets=(32,)),
+        speculative=spec)
+    return LLMEngine(cfg, params, eos_token_id=eos)
+
+
+def drain(eng):
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+    return outs
+
+
+def test_allowed_token_ids(setup):
+    eng = make_engine(setup)
+    allowed = [11, 22, 33]
+    rid = eng.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=10, ignore_eos=True,
+        allowed_token_ids=allowed))
+    outs = drain(eng)
+    assert all(t in allowed for t in outs[rid])
+
+
+def test_banned_token_ids(setup):
+    eng0 = make_engine(setup)
+    rid = eng0.add_request([5, 6, 7], SamplingParams(temperature=0.0,
+                                                     max_tokens=10,
+                                                     ignore_eos=True))
+    base = drain(eng0)[rid]
+    banned = list(set(base))
+    eng = make_engine(setup)
+    rid = eng.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=10, ignore_eos=True,
+        banned_token_ids=banned))
+    outs = drain(eng)
+    assert all(t not in banned for t in outs[rid])
+
+
+def test_allowed_with_spec_decode(setup):
+    eng = make_engine(setup, spec=SpeculativeConfig(num_speculative_tokens=2))
+    allowed = [3, 4, 5]
+    rid = eng.add_request([9, 10, 11], SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True,
+        allowed_token_ids=allowed))
+    outs = drain(eng)
+    assert all(t in allowed for t in outs[rid])
+
+
+def test_min_tokens_suppresses_eos(setup):
+    # find the token greedy generation emits first, make it the eos
+    eng0 = make_engine(setup)
+    rid = eng0.add_request([8, 9], SamplingParams(temperature=0.0, max_tokens=6,
+                                                  ignore_eos=True))
+    first = drain(eng0)[rid][0]
+
+    # without min_tokens: stops immediately on "eos"
+    eng1 = make_engine(setup, eos=first)
+    rid = eng1.add_request([8, 9], SamplingParams(temperature=0.0, max_tokens=10))
+    out1 = drain(eng1)[rid]
+    assert out1[-1] == first and len(out1) <= 2
+
+    # with min_tokens: eos masked until the floor is reached
+    eng2 = make_engine(setup, eos=first)
+    rid = eng2.add_request([8, 9], SamplingParams(temperature=0.0, max_tokens=10,
+                                                  min_tokens=5))
+    out2 = drain(eng2)[rid]
+    assert len(out2) >= 5
+    assert first not in out2[:4]
