@@ -181,7 +181,8 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
         top_k=jnp.repeat(st.top_k, k + 1),
         top_p=jnp.repeat(st.top_p, k + 1),
         min_p=jnp.repeat(st.min_p, k + 1),
-        vocab_mask=st.vocab_mask,  # sampling_probs row-repeats 2D masks
+        vocab_mask=st.vocab_mask,  # sampling_probs row-repeats 2D arrays
+        logit_bias=st.logit_bias,
     )
     target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
     target_probs = target_probs.reshape(B, k + 1, V)
@@ -530,12 +531,18 @@ def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
         m = np.ones((bucket, mask.shape[1]), bool)
         m[:n] = np.asarray(mask)[:n]
         mask = jnp.asarray(m)
+    bias = st.logit_bias
+    if bias is not None:
+        bb = np.zeros((bucket, bias.shape[1]), np.float32)
+        bb[:n] = np.asarray(bias)[:n]
+        bias = jnp.asarray(bb)
     return SamplingTensors(
         temperature=pad(np.asarray(st.temperature), 0.0),
         top_k=pad(np.asarray(st.top_k, np.int32), 0),
         top_p=pad(np.asarray(st.top_p), 1.0),
         min_p=pad(np.asarray(st.min_p), 0.0),
         vocab_mask=mask,
+        logit_bias=bias,
     )
 
 
@@ -566,10 +573,24 @@ def make_sampling_tensors(seqs, vocab_size: Optional[int] = None,
                     for t in (sp.stop_token_ids or ()):
                         m[i, t] = False
             mask = m
+    bias = None
+    if vocab_size is not None and any(
+            s.sampling_params.presence_penalty or s.sampling_params.frequency_penalty
+            for s in seqs):
+        bias = np.zeros((len(seqs), vocab_size), np.float32)
+        for i, s in enumerate(seqs):
+            sp = s.sampling_params
+            if not (sp.presence_penalty or sp.frequency_penalty):
+                continue
+            counts = np.bincount(np.asarray(s.output_token_ids, np.int64),
+                                 minlength=vocab_size) if s.output_token_ids                 else np.zeros(vocab_size, np.int64)
+            bias[i] = -(sp.presence_penalty * (counts > 0)
+                        + sp.frequency_penalty * counts)
     return SamplingTensors(
         temperature=np.array([s.sampling_params.temperature for s in seqs], np.float32),
         top_k=np.array([s.sampling_params.top_k for s in seqs], np.int32),
         top_p=np.array([s.sampling_params.top_p for s in seqs], np.float32),
         min_p=np.array([s.sampling_params.min_p for s in seqs], np.float32),
         vocab_mask=mask,
+        logit_bias=bias,
     )

@@ -35,6 +35,10 @@ class SamplingTensors(NamedTuple):
     top_p: jnp.ndarray        # [B] f32; 1.0 => disabled
     min_p: jnp.ndarray        # [B] f32; 0 => disabled
     vocab_mask: Optional[jnp.ndarray] = None  # [B, V] bool or None
+    # additive per-token logit bias: carries presence/frequency penalties
+    # (reference sampler.py presence_penalty/frequency_penalty), computed
+    # host-side from output-token counts; None when no row uses them
+    logit_bias: Optional[jnp.ndarray] = None  # [B, V] f32 or None
 
     @staticmethod
     def greedy(batch: int) -> "SamplingTensors":
@@ -81,13 +85,17 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
     the invariant behind the greedy spec == greedy AR test.
     """
     lf = logits.astype(jnp.float32)
-    if st.vocab_mask is not None:
-        mask = st.vocab_mask
-        if mask.shape[0] != lf.shape[0]:
+
+    def _per_seq(arr):
+        if arr.shape[0] != lf.shape[0]:
             # verify path evaluates k+1 positions per sequence
-            reps = lf.shape[0] // mask.shape[0]
-            mask = jnp.repeat(mask, reps, axis=0)
-        lf = jnp.where(mask, lf, NEG_INF)
+            return jnp.repeat(arr, lf.shape[0] // arr.shape[0], axis=0)
+        return arr
+
+    if st.logit_bias is not None:
+        lf = lf + _per_seq(st.logit_bias)
+    if st.vocab_mask is not None:
+        lf = jnp.where(_per_seq(st.vocab_mask), lf, NEG_INF)
     temp = jnp.where(st.temperature > 0, st.temperature, 1.0)
     lf = lf / temp[:, None]
 
@@ -102,7 +110,8 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
                     | jnp.any(st.min_p > 0.0))
     lf = jax.lax.cond(needs_filter, filtered, lambda x: x, lf)
     probs = jax.nn.softmax(lf, axis=-1)
-    greedy_src = lf if st.vocab_mask is not None else logits
+    greedy_src = lf if (st.vocab_mask is not None or st.logit_bias is not None) \
+        else logits
     onehot = jax.nn.one_hot(jnp.argmax(greedy_src, axis=-1), logits.shape[-1],
                             dtype=jnp.float32)
     return jnp.where((st.temperature == 0)[:, None], onehot, probs)
@@ -119,7 +128,11 @@ def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array
     logprobs output uses)."""
     probs = sampling_probs(logits, st)
     sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
-    greedy_src = logits if st.vocab_mask is None else         jnp.where(st.vocab_mask, logits.astype(jnp.float32), NEG_INF)
+    greedy_src = logits.astype(jnp.float32)
+    if st.logit_bias is not None:
+        greedy_src = greedy_src + st.logit_bias
+    if st.vocab_mask is not None:
+        greedy_src = jnp.where(st.vocab_mask, greedy_src, NEG_INF)
     greedy = jnp.argmax(greedy_src, axis=-1)
     toks = jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

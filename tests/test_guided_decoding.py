@@ -94,3 +94,21 @@ def test_min_tokens_suppresses_eos(setup):
     out2 = drain(eng2)[rid]
     assert len(out2) >= 5
     assert first not in out2[:4]
+
+
+def test_presence_penalty_reduces_repetition(setup):
+    # the tiny greedy model loops heavily; a strong presence penalty must
+    # produce strictly more distinct tokens
+    eng0 = make_engine(setup)
+    r0 = eng0.add_request([4, 5, 6], SamplingParams(temperature=0.0,
+                                                    max_tokens=16,
+                                                    ignore_eos=True))
+    base = drain(eng0)[r0]
+
+    eng1 = make_engine(setup)
+    r1 = eng1.add_request([4, 5, 6], SamplingParams(temperature=0.0,
+                                                    max_tokens=16,
+                                                    ignore_eos=True,
+                                                    presence_penalty=50.0))
+    pen = drain(eng1)[r1]
+    assert len(set(pen)) > len(set(base))
