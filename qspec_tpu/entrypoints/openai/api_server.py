@@ -76,12 +76,21 @@ class OpenAIServer:
 
     # ------------------------------------------------------------------
     def _sampling(self, body: dict) -> SamplingParams:
+        # OpenAI logit_bias: {token_id: bias}; -100 conventionally bans.
+        banned = None
+        if body.get("logit_bias"):
+            banned = [int(t) for t, v in body["logit_bias"].items() if v <= -100]
         return SamplingParams(
             temperature=float(body.get("temperature", 1.0)),
             top_p=float(body.get("top_p", 1.0)),
             top_k=int(body.get("top_k", -1)),
             max_tokens=int(body.get("max_tokens", body.get("max_completion_tokens", 128))),
+            min_tokens=int(body.get("min_tokens", 0)),
             ignore_eos=bool(body.get("ignore_eos", False)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            allowed_token_ids=body.get("allowed_token_ids"),
+            banned_token_ids=banned or body.get("banned_token_ids"),
             seed=body.get("seed"),
         )
 
