@@ -126,7 +126,7 @@ def _mlp_hadamard(x, hK, hP):
     return (xf.reshape(x.shape) * (1.0 / math.sqrt(n))).astype(x.dtype)
 
 
-def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
+def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
                   rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
                   lora=None, lora_ids=None):
     """One decoder layer. x: [T, H_local? no: hidden] bf16 (replicated across
@@ -175,11 +175,9 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
 
-    k_pages, v_pages = caches
-    cache1 = kvc.PagedKVCache(k_pages[None], v_pages[None])
-    cache1 = kvc.update_layer(cache1, 0, k, v, batch.slot_mapping.reshape(-1))
+    cache = kvc.update_layer(cache, layer_idx, k, v, batch.slot_mapping.reshape(-1))
     scale = cfg.head_dim ** -0.5
-    attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache1, 0,
+    attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
                            batch.block_tables, batch.ctx_lens, scale,
                            q_positions=batch.positions)
     attn = attn.reshape(T, heads_l, cfg.head_dim)
@@ -253,7 +251,7 @@ def decoder_layer(x, layer, caches, cfg: ModelConfig, batch: AttentionBatch,
     if axis_name is not None:
         down = jax.lax.psum(down, axis_name)
     x = x + down.astype(x.dtype)
-    return x, (cache1.k_pages[0], cache1.v_pages[0])
+    return x, cache
 
 
 def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
@@ -280,31 +278,36 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
 
+    # the cache rides the scan CARRY (aliased in place); xs carrying the
+    # cache made XLA double-buffer the whole thing every layer
     use_lora = lora_ids is not None and "lora" in params
     tok_lora = (jnp.repeat(lora_ids, Q) if use_lora else None)
+    L = cache.k_pages.shape[0]
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
 
     if use_lora:
-        def body(x, xs):
-            layer, lora_layer, k_pages, v_pages = xs
-            x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg,
-                                          batch, rope_cache, hadamards, scheme,
-                                          axis_name, lora=lora_layer,
-                                          lora_ids=tok_lora)
-            return x, new_caches
+        def body(carry, xs):
+            x, cache = carry
+            layer, lora_layer, li = xs
+            x, cache = decoder_layer(x, layer, cache, li, cfg,
+                                     batch, rope_cache, hadamards, scheme,
+                                     axis_name, lora=lora_layer,
+                                     lora_ids=tok_lora)
+            return (x, cache), None
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], params["lora"]["layers"],
-                      cache.k_pages, cache.v_pages))
+        (x, cache), _ = jax.lax.scan(
+            body, (x, cache), (params["layers"], params["lora"]["layers"],
+                               layer_ids))
     else:
-        def body(x, layer_and_cache):
-            layer, k_pages, v_pages = layer_and_cache
-            x, new_caches = decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
-                                          rope_cache, hadamards, scheme, axis_name)
-            return x, new_caches
+        def body(carry, xs):
+            x, cache = carry
+            layer, li = xs
+            x, cache = decoder_layer(x, layer, cache, li, cfg, batch,
+                                     rope_cache, hadamards, scheme, axis_name)
+            return (x, cache), None
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache.k_pages, cache.v_pages))
-    cache = cache._replace(k_pages=new_k, v_pages=new_v)
+        (x, cache), _ = jax.lax.scan(
+            body, (x, cache), (params["layers"], layer_ids))
 
     if logits_indices is not None:
         flat = logits_indices + jnp.arange(B) * Q

@@ -84,8 +84,9 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     head_dim = q.shape[-1]
     if backend_is_tpu() and cache.k_scales is None and head_dim % 128 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
-        return paged_attention_pallas(q, cache.k_pages[layer], cache.v_pages[layer],
+        return paged_attention_pallas(q, cache.k_pages, cache.v_pages,
                                       block_tables, ctx_lens, scale,
-                                      q_positions=q_positions)
+                                      q_positions=q_positions,
+                                      layer=jnp.asarray(layer, jnp.int32))
     return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
                                q_positions=q_positions)

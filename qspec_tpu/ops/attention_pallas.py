@@ -38,9 +38,10 @@ def _paged_attn_kernel(
     block_tables_ref,   # [B * max_pages] int32
     ctx_lens_ref,       # [B] int32
     q_start_ref,        # [B] int32: absolute position of each row's query 0
+    layer_ref,          # [1] int32: layer index into the stacked cache
     # inputs
     q_ref,              # [1, Hkv, G, D] VMEM
-    k_pages_ref,        # [P, S, Hkv, D] HBM
+    k_pages_ref,        # [L, P, S, Hkv, D] HBM
     v_pages_ref,
     # outputs
     out_ref,            # [1, Hkv, G, D] VMEM
@@ -76,9 +77,12 @@ def _paged_attn_kernel(
     @pl.when(is_live)
     def _():
         # one DMA per page: [S, Hkv, D] contiguous
+        layer = layer_ref[0]
+
         def dma(i, sem_row, dst, src):
             page_id = block_tables_ref[b * max_pages + chunk * pages_per_chunk + i]
-            return pltpu.make_async_copy(src.at[page_id], dst.at[i], sems.at[sem_row, i])
+            return pltpu.make_async_copy(src.at[layer, page_id], dst.at[i],
+                                         sems.at[sem_row, i])
 
         for i in range(pages_per_chunk):
             dma(i, 0, k_buf, k_pages_ref).start()
@@ -127,13 +131,18 @@ def _paged_attn_kernel(
 def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 8,
-                           q_positions: jnp.ndarray = None) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; k/v_pages: [P, S, Hkv, D]; block_tables: [B, PPS].
+                           q_positions: jnp.ndarray = None,
+                           layer: jnp.ndarray = None) -> jnp.ndarray:
+    """q: [B, Q, Hq, D]; k/v_pages: [L, P, S, Hkv, D] (whole stacked cache —
+    the kernel indexes the scalar-prefetched layer, so the cache never flows
+    through scan xs/ys); block_tables: [B, PPS].
 
     q_positions [B, Q] must be consecutive per row; only column 0 is used.
     """
     B, Q, Hq, D = q.shape
-    P, S, Hkv, D2 = k_pages.shape
+    L, P, S, Hkv, D2 = k_pages.shape
+    if layer is None:
+        layer = jnp.zeros((), jnp.int32)
     assert D == D2
     group = Hq // Hkv
     G = group * Q
@@ -156,7 +165,7 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
     num_chunks = pages_pad // pages_per_chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, G_pad // G_blk, num_chunks),
         in_specs=[
             pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, c, *_: (b, 0, g, 0),
@@ -190,8 +199,8 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G_pad, D), q.dtype),
         interpret=interpret_mode(),
-    )(block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start, qr,
-      k_pages, v_pages)
+    )(block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start,
+      jnp.reshape(layer, (1,)).astype(jnp.int32), qr, k_pages, v_pages)
 
     out = out[:, :, :G].reshape(B, Hkv, group, Q, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, Q, Hq, D)

@@ -79,17 +79,24 @@ def kv_cache_bytes(cfg: KVCacheConfig) -> int:
     return base
 
 
-def update_layer(cache: PagedKVCache, layer: int, k_new: jnp.ndarray, v_new: jnp.ndarray,
+def update_layer(cache: PagedKVCache, layer, k_new: jnp.ndarray, v_new: jnp.ndarray,
                  slot_mapping: jnp.ndarray) -> PagedKVCache:
     """Scatter new tokens into one layer's pages.
 
     k_new/v_new: [T, Hkv, D]; slot_mapping: [T] int32 flat slot =
     page_id * page_size + offset. Padding tokens must map to slot 0 (the
     reserved null page). One token's write is a contiguous [Hkv, D] row.
+
+    ``layer`` may be a traced scalar: the scatter addresses the cache as one
+    flat [L*P*S, H, D] array with a layer offset, so the whole cache can be
+    a scan *carry* (aliased in place) instead of scan xs/ys — the xs/ys form
+    made XLA double-buffer the entire cache every layer (~GBs copied per
+    decode step).
     """
     L, P, S, H, D = cache.k_pages.shape
-    k_flat = cache.k_pages[layer].reshape(P * S, H, D)
-    v_flat = cache.v_pages[layer].reshape(P * S, H, D)
+    k_flat = cache.k_pages.reshape(L * P * S, H, D)
+    v_flat = cache.v_pages.reshape(L * P * S, H, D)
+    slot_mapping = slot_mapping + layer * (P * S)
 
     if cache.k_scales is not None:
         k_abs = jnp.max(jnp.abs(k_new.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -100,23 +107,23 @@ def update_layer(cache: PagedKVCache, layer: int, k_new: jnp.ndarray, v_new: jnp
         v_q = jnp.clip(jnp.round(v_new.astype(jnp.float32) / v_s), -128, 127).astype(jnp.int8)
         k_flat = k_flat.at[slot_mapping].set(k_q, mode="drop")
         v_flat = v_flat.at[slot_mapping].set(v_q, mode="drop")
-        ks_flat = cache.k_scales[layer].reshape(P * S, H, 1)
-        vs_flat = cache.v_scales[layer].reshape(P * S, H, 1)
+        ks_flat = cache.k_scales.reshape(L * P * S, H, 1)
+        vs_flat = cache.v_scales.reshape(L * P * S, H, 1)
         ks_flat = ks_flat.at[slot_mapping].set(k_s, mode="drop")
         vs_flat = vs_flat.at[slot_mapping].set(v_s, mode="drop")
         return cache._replace(
-            k_pages=cache.k_pages.at[layer].set(k_flat.reshape(P, S, H, D)),
-            v_pages=cache.v_pages.at[layer].set(v_flat.reshape(P, S, H, D)),
-            k_scales=cache.k_scales.at[layer].set(ks_flat.reshape(P, S, H, 1)),
-            v_scales=cache.v_scales.at[layer].set(vs_flat.reshape(P, S, H, 1)),
+            k_pages=k_flat.reshape(L, P, S, H, D),
+            v_pages=v_flat.reshape(L, P, S, H, D),
+            k_scales=ks_flat.reshape(L, P, S, H, 1),
+            v_scales=vs_flat.reshape(L, P, S, H, 1),
         )
 
     dtype = cache.k_pages.dtype
     k_flat = k_flat.at[slot_mapping].set(k_new.astype(dtype), mode="drop")
     v_flat = v_flat.at[slot_mapping].set(v_new.astype(dtype), mode="drop")
     return cache._replace(
-        k_pages=cache.k_pages.at[layer].set(k_flat.reshape(P, S, H, D)),
-        v_pages=cache.v_pages.at[layer].set(v_flat.reshape(P, S, H, D)),
+        k_pages=k_flat.reshape(L, P, S, H, D),
+        v_pages=v_flat.reshape(L, P, S, H, D),
     )
 
 
@@ -126,7 +133,7 @@ def gather_layer(cache: PagedKVCache, layer: int, block_tables: jnp.ndarray):
     block_tables: [B, pages_per_seq] int32. Returns (k, v) as
     [B, Hkv, pages_per_seq * page_size, D] bf16 (dequantized if int8).
     """
-    k = cache.k_pages[layer][block_tables]  # [B, P, S, H, D]
+    k = cache.k_pages[layer][block_tables]  # [B, P, S, H, D] (layer may be traced)
     v = cache.v_pages[layer][block_tables]
     B, P, S, H, D = k.shape
     k = k.reshape(B, P * S, H, D).transpose(0, 2, 1, 3)

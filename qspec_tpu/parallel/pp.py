@@ -84,20 +84,26 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
 
-    def run_slab(x):
-        def body(x, layer_and_cache):
-            layer, k_pages, v_pages = layer_and_cache
-            return decoder_layer(x, layer, (k_pages, v_pages), cfg, batch,
-                                 rope_cache, hadamards, scheme, tp_axis)
-        return jax.lax.scan(body, x, (params["layers"], cache.k_pages,
-                                      cache.v_pages))
+    L_local = cache.k_pages.shape[0]
+    layer_ids = jnp.arange(L_local, dtype=jnp.int32)
+
+    def run_slab(x, cache):
+        def body(carry, xs):
+            xc, cache = carry
+            layer, li = xs
+            xc, cache = decoder_layer(xc, layer, cache, li, cfg, batch,
+                                      rope_cache, hadamards, scheme, tp_axis)
+            return (xc, cache), None
+        (y, cache), _ = jax.lax.scan(body, (x, cache), (params["layers"], layer_ids))
+        return y, cache
 
     # naive schedule: stages take turns; non-owners pass x through untouched
     # but still trace the same program (SPMD)
     new_k = cache.k_pages
     new_v = cache.v_pages
     for s in range(num_stages):
-        y, (k_s, v_s) = run_slab(x)
+        y, upd = run_slab(x, cache)
+        k_s, v_s = upd.k_pages, upd.v_pages
         mine = stage == s
         x = jnp.where(mine, y, x)
         new_k = jnp.where(mine, k_s, new_k)

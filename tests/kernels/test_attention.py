@@ -34,7 +34,7 @@ def test_pallas_matches_ref(rng, Q):
     scale = D ** -0.5
 
     ref = paged_attention_ref(q, cache, 0, block_tables, ctx_lens, scale)
-    out = paged_attention_pallas(q, cache.k_pages[0], cache.v_pages[0],
+    out = paged_attention_pallas(q, cache.k_pages, cache.v_pages,
                                  block_tables, ctx_lens, scale,
                                  pages_per_chunk=2)
     np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -137,7 +137,7 @@ def test_pallas_large_query_blocks(rng):
     ctx = jnp.asarray([Q + 30], jnp.int32)
     pos = jnp.arange(30, 30 + Q, dtype=jnp.int32)[None]
     ref = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5, q_positions=pos)
-    out = paged_attention_pallas(q, cache.k_pages[0], cache.v_pages[0],
+    out = paged_attention_pallas(q, cache.k_pages, cache.v_pages,
                                  tables, ctx, D ** -0.5, pages_per_chunk=4,
                                  q_positions=pos)
     np.testing.assert_allclose(np.asarray(out, np.float32),
