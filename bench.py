@@ -39,7 +39,7 @@ def build(model_size: str):
 
 
 def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
-             page_size=16, rounds=4, warmup=True, draft_scheme="w4a8"):
+             page_size=128, rounds=4, warmup=True, draft_scheme="w4a8"):
     """One engine run. A short warmup pass (2 tokens per prompt) triggers all
     compiles so the timed run measures steady-state throughput."""
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,

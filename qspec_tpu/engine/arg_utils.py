@@ -25,7 +25,7 @@ class EngineArgs:
     max_model_len: int = 4096
     max_num_seqs: int = 8
     max_num_batched_tokens: int = 2048
-    block_size: int = 16
+    block_size: int = 128
     kv_cache_dtype: str = "bfloat16"
     gpu_memory_utilization: float = 0.9
     enable_chunked_prefill: bool = True

@@ -6,13 +6,21 @@ TPU-native replacement for the reference's paged-attention CUDA kernels
 Q=1 decode, Q=k+1 speculative verify (the MQA scorer,
 vllm/spec_decode/mqa_scorer.py:10), and prompt chunks.
 
-Structure: grid (batch, kv_chunk) with the kv chunk innermost. Pages live in
-HBM (page-major layout [P, S, Hkv, D], see kv_cache.py); the kernel DMAs
-each chunk's pages — ONE contiguous ~32 KB DMA per page covering every kv
-head — into VMEM scratch guided by the scalar-prefetched block table, then
-performs a batched-over-heads online-softmax (flash) update into f32
-accumulators that persist across the chunk dimension. Chunks past a
-sequence's context length are skipped via predication.
+Structure: grid (batch, q_block); the kv-page loop lives INSIDE the kernel
+with a two-deep double-buffered DMA pipeline — page c+1 streams from HBM
+while page c is being scored. (A grid-dim chunk axis with
+issue->wait->compute per program serialized every DMA behind its compute.)
+Pages live in HBM head-major ([P, Hkv, S, D], see kv_cache.py); one
+contiguous DMA per page covers every kv head and lands as the whole
+[Hkv, S, D] buffer — already the shape both flash contractions need, so
+there is NO in-VMEM relayout. (The older token-major page layout needed a
+[C, Hkv, D] -> [Hkv, C, D] transpose per chunk that capped the kernel at
+~190 GB/s; Mosaic batches matmuls only over dim 0 of both operands. A
+leading-dim destination slice is also the only DMA form Mosaic executes —
+dst.at[slot, :, i] compiled but killed the chip.) One page per chunk makes
+big pages (64-128 tokens) the fast configuration: fewer, larger DMAs. The
+loop trip count is the sequence's live page count, so padded tail pages
+are never read.
 
 Query layout: [B, Hkv, G, D] with G = group * Q rows (grouped-query heads x
 query positions, Q minor); the two contractions per chunk are batched over
@@ -41,106 +49,109 @@ def _paged_attn_kernel(
     layer_ref,          # [1] int32: layer index into the stacked cache
     # inputs
     q_ref,              # [1, Hkv, G, D] VMEM
-    k_pages_ref,        # [L, P, S, Hkv, D] HBM
+    k_pages_ref,        # [L, P, Hkv, S, D] HBM
     v_pages_ref,
     # outputs
     out_ref,            # [1, Hkv, G, D] VMEM
     # scratch
-    k_buf, v_buf,       # [PPC, S, Hkv, D] VMEM
-    m_i, l_i,           # [Hkv, G, 128] f32
+    k_buf, v_buf,       # [2, Hkv, S, D] VMEM (double-buffered pages)
     acc,                # [Hkv, G, D] f32
-    sems,               # DMA semaphores [2, PPC]
+    sems,               # DMA semaphores [2, 2]
     *,
     num_q: int,
-    pages_per_chunk: int,
     page_size: int,
     max_pages: int,
     scale: float,
 ):
     b = pl.program_id(0)
     g = pl.program_id(1)
-    chunk = pl.program_id(2)
     ctx_len = ctx_lens_ref[b]
-    chunk_kv = pages_per_chunk * page_size
-    chunk_start = chunk * chunk_kv
+    chunk_kv = page_size
+    num_chunks = jnp.maximum(1, pl.cdiv(ctx_len, chunk_kv))
 
     Hkv, G, D = acc.shape  # G = this query block's rows
+    layer = layer_ref[0]
 
-    @pl.when(chunk == 0)
-    def _():
-        m_i[:] = jnp.full_like(m_i, NEG_INF)
-        l_i[:] = jnp.zeros_like(l_i)
-        acc[:] = jnp.zeros_like(acc)
+    def dma(slot, chunk, kv_row, dst, src):
+        page_id = block_tables_ref[b * max_pages + chunk]
+        return pltpu.make_async_copy(src.at[layer, page_id], dst.at[slot],
+                                     sems.at[slot, kv_row])
 
-    is_live = chunk_start < ctx_len
+    def issue(slot, chunk):
+        dma(slot, chunk, 0, k_buf, k_pages_ref).start()
+        dma(slot, chunk, 1, v_buf, v_pages_ref).start()
 
-    @pl.when(is_live)
-    def _():
-        # one DMA per page: [S, Hkv, D] contiguous
-        layer = layer_ref[0]
+    def wait(slot, chunk):
+        dma(slot, chunk, 0, k_buf, k_pages_ref).wait()
+        dma(slot, chunk, 1, v_buf, v_pages_ref).wait()
 
-        def dma(i, sem_row, dst, src):
-            page_id = block_tables_ref[b * max_pages + chunk * pages_per_chunk + i]
-            return pltpu.make_async_copy(src.at[layer, page_id], dst.at[i],
-                                         sems.at[sem_row, i])
+    issue(0, 0)
 
-        for i in range(pages_per_chunk):
-            dma(i, 0, k_buf, k_pages_ref).start()
-            dma(i, 1, v_buf, v_pages_ref).start()
-        for i in range(pages_per_chunk):
-            dma(i, 0, k_buf, k_pages_ref).wait()
-            dma(i, 1, v_buf, v_pages_ref).wait()
+    # bf16 q with the softmax scale folded in: the MXU contracts bf16 natively
+    # (an f32 q forced multi-pass f32 matmuls AND an f32 relayout of k/v that
+    # throttled the whole kernel to ~190 GB/s).
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)  # [Hkv, G, D]
+    row = g * G + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1)
+    q_pos = q_start_ref[b] + row % num_q
 
-        # [PPC, S, H, D] -> [H, C, D] per-head views via transpose
-        k = k_buf[:].reshape(chunk_kv, Hkv, D).swapaxes(0, 1)
-        v = v_buf[:].reshape(chunk_kv, Hkv, D).swapaxes(0, 1)
+    def body(c, carry):
+        m_prev, l_prev = carry
+        slot = jax.lax.rem(c, 2)
 
-        q = q_ref[0].astype(jnp.float32) * scale          # [Hkv, G, D]
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            issue(1 - slot, c + 1)
+
+        wait(slot, c)
+
+        # [Hkv, S, D]: head-major pages arrive in exactly the shape needed.
+        k = k_buf[slot]
+        v = v_buf[slot]
+
         s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k,
             (((2,), (2,)), ((0,), (0,))),                 # contract D, batch Hkv
             preferred_element_type=jnp.float32)            # [Hkv, G, C]
 
-        kv_pos = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 2)
-        row = g * G + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1)
-        q_pos = q_start_ref[b] + row % num_q
+        kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (Hkv, G, chunk_kv), 2)
         s = jnp.where(kv_pos <= q_pos, s, NEG_INF)
 
-        m_prev = m_i[:, :, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
 
-        l_new = alpha * l_i[:, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p.astype(jnp.bfloat16), v,
             (((2,), (1,)), ((0,), (0,))),                 # contract C, batch Hkv
             preferred_element_type=jnp.float32)
-        m_i[:] = jnp.broadcast_to(m_new, m_i.shape)
-        l_i[:] = jnp.broadcast_to(l_new, l_i.shape)
+        return m_new, l_new
 
-    @pl.when(chunk == pl.num_programs(2) - 1)
-    def _():
-        denom = l_i[:, :, :1]
-        denom = jnp.where(denom > 0, denom, 1.0)
-        out_ref[0] = (acc[:] / denom).astype(out_ref.dtype)
+    acc[:] = jnp.zeros_like(acc)
+    m0 = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
+    _, l_fin = jax.lax.fori_loop(0, num_chunks, body, (m0, l0))
+
+    denom = jnp.where(l_fin > 0, l_fin, 1.0)
+    out_ref[0] = (acc[:] / denom).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "pages_per_chunk"))
 def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                           scale: float, pages_per_chunk: int = 8,
+                           scale: float, pages_per_chunk: int = 1,
                            q_positions: jnp.ndarray = None,
                            layer: jnp.ndarray = None) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; k/v_pages: [L, P, S, Hkv, D] (whole stacked cache —
+    """q: [B, Q, Hq, D]; k/v_pages: [L, P, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
     through scan xs/ys); block_tables: [B, PPS].
 
     q_positions [B, Q] must be consecutive per row; only column 0 is used.
     """
     B, Q, Hq, D = q.shape
-    L, P, S, Hkv, D2 = k_pages.shape
+    L, P, Hkv, S, D2 = k_pages.shape
     if layer is None:
         layer = jnp.zeros((), jnp.int32)
     assert D == D2
@@ -159,36 +170,30 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, G_pad - G), (0, 0)))
 
     max_pages = block_tables.shape[1]
-    pages_pad = round_up(max_pages, pages_per_chunk)
-    if pages_pad != max_pages:
-        block_tables = jnp.pad(block_tables, ((0, 0), (0, pages_pad - max_pages)))
-    num_chunks = pages_pad // pages_per_chunk
+    pages_pad = max_pages  # one page per pipeline stage; no chunk padding
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, G_pad // G_blk, num_chunks),
+        grid=(B, G_pad // G_blk),
         in_specs=[
-            pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, c, *_: (b, 0, g, 0),
+            pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, c, *_: (b, 0, g, 0),
+        out_specs=pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_chunk, S, Hkv, D), k_pages.dtype),
-            pltpu.VMEM((pages_per_chunk, S, Hkv, D), v_pages.dtype),
-            pltpu.VMEM((Hkv, G_blk, 128), jnp.float32),
-            pltpu.VMEM((Hkv, G_blk, 128), jnp.float32),
+            pltpu.VMEM((2, Hkv, S, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, S, D), v_pages.dtype),
             pltpu.VMEM((Hkv, G_blk, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, pages_per_chunk)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     kernel = functools.partial(
         _paged_attn_kernel,
         num_q=Q,
-        pages_per_chunk=pages_per_chunk,
         page_size=S,
         max_pages=pages_pad,
         scale=scale,

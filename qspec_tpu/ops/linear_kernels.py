@@ -123,7 +123,7 @@ def _choose_bn(m: int, k_half: int, n: int, x_bytes: int):
     whole activation must fit comfortably in VMEM (~10 MB with double
     buffering headroom)."""
     budget = 10 * 1024 * 1024 - 2 * m * k_half * x_bytes
-    bn = min(n, 512)
+    bn = min(n, 2048)
     while bn > 128 and 2 * k_half * bn > budget:
         bn //= 2
     while n % bn:

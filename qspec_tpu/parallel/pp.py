@@ -58,8 +58,8 @@ def pp_param_pspecs(cfg, params):
 def pp_cache_pspec():
     from qspec_tpu.ops.kv_cache import PagedKVCache
     return PagedKVCache(
-        k_pages=P("pipe", None, None, "model", None),
-        v_pages=P("pipe", None, None, "model", None),
+        k_pages=P("pipe", None, "model", None, None),
+        v_pages=P("pipe", None, "model", None, None),
         k_scales=None, v_scales=None)
 
 

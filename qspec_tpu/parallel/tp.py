@@ -84,10 +84,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
 
 def cache_pspec():
     from qspec_tpu.ops.kv_cache import PagedKVCache
-    # [L, pages, page, Hkv, D]: shard the kv heads
+    # [L, pages, Hkv, page, D]: shard the kv heads
     return PagedKVCache(
-        k_pages=P(None, None, None, "model", None),
-        v_pages=P(None, None, None, "model", None),
+        k_pages=P(None, None, "model", None, None),
+        v_pages=P(None, None, "model", None, None),
         k_scales=None, v_scales=None)
 
 
