@@ -130,13 +130,22 @@ class BlockManager:
 
     def allocate_prompt(self, seq: Sequence, lookahead: int = 0) -> int:
         """Allocate pages for the whole prompt (+lookahead); returns the
-        number of leading prompt tokens served from the prefix cache."""
+        number of leading prompt tokens served from the prefix cache.
+
+        Freshly-allocated full pages are NOT registered into the prefix
+        cache here — their KV has not been computed yet, and serving them to
+        a concurrent same-prefix request would hand out garbage KV. Their
+        hashes are stashed on the sequence and registered by
+        ``mark_computed`` once prefill has actually written them (the
+        reference marks blocks computed after execution,
+        vllm/core/block/prefix_caching_block.py)."""
         assert not seq.page_ids
         tokens = tuple(seq.prompt_token_ids)
         n_full = len(tokens) // self.page_size
         cached_tokens = 0
         prev_hash: Optional[int] = None
         reused = True
+        seq.pending_page_hashes = []
         for i in range(n_full):
             chunk = tokens[i * self.page_size:(i + 1) * self.page_size]
             prev_hash = PageAllocator.chain_hash(prev_hash, chunk)
@@ -147,18 +156,33 @@ class BlockManager:
             else:
                 reused = False
                 pid = self.allocator.allocate_page()
-                self.allocator.register_content(pid, prev_hash)
+                seq.pending_page_hashes.append((i, prev_hash))
                 seq.page_ids.append(pid)
         # tail / lookahead pages (mutable, never hashed)
         total = self.pages_needed(seq.num_tokens + lookahead)
         while len(seq.page_ids) < total:
             seq.page_ids.append(self.allocator.allocate_page())
-        # never serve the *entire* prompt from cache: the last token must be
-        # recomputed to produce logits (reference does the same by capping
-        # cached_tokens at prompt_len - 1)
-        if cached_tokens >= seq.prompt_len:
+        # never serve the *entire* prefill from cache: for a fresh prompt the
+        # last token must be recomputed to produce logits (reference caps
+        # cached_tokens at prompt_len - 1). A resumed sequence with preserved
+        # outputs has more tokens to compute anyway.
+        if not seq.output_token_ids and cached_tokens >= seq.prompt_len:
             cached_tokens = (seq.prompt_len - 1) // self.page_size * self.page_size
         return cached_tokens
+
+    def mark_computed(self, seq: Sequence) -> None:
+        """Publish content hashes for pages whose KV prefill has written
+        (page fully covered by seq.num_computed_tokens)."""
+        if not seq.pending_page_hashes:
+            return
+        done = seq.num_computed_tokens // self.page_size
+        remaining = []
+        for page_idx, h in seq.pending_page_hashes:
+            if page_idx < done:
+                self.allocator.register_content(seq.page_ids[page_idx], h)
+            else:
+                remaining.append((page_idx, h))
+        seq.pending_page_hashes = remaining
 
     def append_slots(self, seq: Sequence, lookahead: int = 1) -> bool:
         """Ensure pages exist for num_tokens + lookahead new tokens."""
@@ -173,6 +197,7 @@ class BlockManager:
         for pid in seq.page_ids:
             self.allocator.free_page(pid)
         seq.page_ids = []
+        seq.pending_page_hashes = []
 
     @property
     def num_free_pages(self) -> int:

@@ -102,14 +102,16 @@ class Scheduler:
 
     def _preempt_one(self) -> bool:
         """Preempt the most recent sequence (recompute mode, reference
-        PreemptionMode.RECOMPUTE, core/scheduler.py:31)."""
+        PreemptionMode.RECOMPUTE, core/scheduler.py:31). Generated tokens
+        are preserved; on resume, prefill recomputes KV for prompt+outputs
+        (Sequence.prefill_len) so streaming clients see a consistent
+        continuation, exactly as the reference's recompute preemption."""
         for s in reversed(self.running):
-            if s.num_computed_tokens >= s.prompt_len:  # prefer decode-phase victims
+            if s.num_computed_tokens >= s.prefill_len:  # prefer decode-phase victims
                 self.running.remove(s)
                 self.bm.free(s)
                 s.status = SequenceStatus.WAITING
                 s.num_computed_tokens = 0
-                s.output_token_ids = []
                 self.waiting.insert(0, s)
                 return True
         return False
@@ -121,7 +123,7 @@ class Scheduler:
         # prefill first: any running seq with unprefilled prompt tokens.
         # Batch several sequences' chunks into one (B, Q) rectangle as long
         # as they land in the same token bucket (static shapes).
-        prefilling = [s for s in self.running if s.num_computed_tokens < s.prompt_len]
+        prefilling = [s for s in self.running if s.num_computed_tokens < s.prefill_len]
         if prefilling:
             budget = self.cfg.prefill_chunk_size if self.cfg.enable_chunked_prefill \
                 else self.cfg.max_num_batched_tokens
@@ -129,7 +131,7 @@ class Scheduler:
             total = 0
             for seq in prefilling:
                 start = seq.num_computed_tokens
-                end = min(seq.prompt_len, start + budget)
+                end = min(seq.prefill_len, start + budget)
                 if chunks and (total + (end - start) > self.cfg.max_num_batched_tokens
                                or len(chunks) >= self.cfg.max_num_seqs):
                     break

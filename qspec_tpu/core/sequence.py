@@ -48,6 +48,12 @@ class Sequence:
     finish_reason: Optional[str] = None
     # adapter slot in the engine's LoRA table (0 = base model)
     lora_id: int = 0
+    # content hashes of this seq's freshly-allocated full prompt pages,
+    # registered into the prefix cache only once their KV is computed
+    # (reference marks blocks computed post-execution, not at allocation)
+    pending_page_hashes: List[tuple] = field(default_factory=list)
+    # final text override set when a stop *string* fired mid-token
+    stop_text: Optional[str] = None
 
     @property
     def num_tokens(self) -> int:
@@ -55,6 +61,20 @@ class Sequence:
 
     @property
     def prompt_len(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def prefill_len(self) -> int:
+        """Tokens that must be (re)computed by prefill before decode can run.
+
+        Fresh sequences: the whole prompt (the last position's logits seed
+        the first sampled token). Preempted-and-resumed sequences keep their
+        generated tokens (reference RECOMPUTE preemption), so prefill must
+        cover prompt + outputs except the final token, which the next decode
+        step consumes as input.
+        """
+        if self.output_token_ids:
+            return self.num_tokens - 1
         return len(self.prompt_token_ids)
 
     @property

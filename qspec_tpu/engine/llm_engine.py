@@ -126,6 +126,7 @@ class LLMEngine:
 
     def abort_request(self, request_id: int) -> None:
         self.scheduler.abort_seq(request_id)
+        self._traces.pop(request_id, None)
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished()
@@ -146,13 +147,20 @@ class LLMEngine:
                 self._run_decode(batch.seqs)
 
         outputs = rejected
+        # every sequence that gained tokens this step (decode: the whole
+        # batch; prefill: rows whose chunk completed the prompt) — ALL
+        # batched chunks, not just the first (a co-scheduled sequence must
+        # stream its first token the step it appears)
         touched = (batch.seqs if batch.kind == "decode" else
-                   ([batch.chunk.seq] if batch.chunk.seq.num_computed_tokens
-                    >= batch.chunk.seq.prompt_len else []))
+                   [c.seq for c in batch.chunks
+                    if c.seq.num_computed_tokens >= c.seq.prefill_len
+                    and c.seq.output_token_ids])
         for s in list(self.scheduler.running):
-            if s.num_computed_tokens >= s.prompt_len:
+            if s.num_computed_tokens >= s.prefill_len:
                 s.check_stop(self.eos_token_id)
-        for s in (batch.seqs if batch.kind == "decode" else [batch.chunk.seq]):
+                self._check_stop_strings(s)
+        for s in (batch.seqs if batch.kind == "decode"
+                  else [c.seq for c in batch.chunks]):
             tr = self._traces.get(s.seq_id)
             if tr is not None:
                 tr.mark_scheduled()
@@ -181,7 +189,7 @@ class LLMEngine:
             num_waiting=len(self.scheduler.waiting),
             num_free_pages=self.block_manager.num_free_pages,
             num_total_pages=self._num_total_pages,
-            prompt_tokens=(batch.chunk.end - batch.chunk.start)
+            prompt_tokens=sum(c.end - c.start for c in batch.chunks)
             if batch.kind == "prefill" else 0,
             generation_tokens=len(batch.seqs) if batch.kind == "decode" else 0,
             spec_draft_acceptance_rate=m.draft_acceptance_rate
@@ -191,6 +199,39 @@ class LLMEngine:
         )
         for logger in self.stat_loggers:
             logger.record(stats)
+
+    def _check_stop_strings(self, seq: Sequence) -> None:
+        """Enforce SamplingParams.stop (stop *strings*): detokenize the
+        output and finish at the earliest occurrence (reference
+        llm_engine.py:975 stop-check in _process_model_outputs). The emitted
+        text excludes the stop string unless include_stop_str_in_output."""
+        sp = seq.sampling_params
+        if not sp.stop or self.tokenizer is None or seq.is_finished:
+            return
+        try:
+            text = self.tokenizer.decode(seq.output_token_ids)
+        except Exception:
+            return
+        first = min(((text.find(stop), stop) for stop in sp.stop
+                     if text.find(stop) != -1), default=None)
+        if first is None:
+            return
+        # minimal token prefix whose decode already contains the stop string
+        n = len(seq.output_token_ids)
+        for m in range(1, n + 1):
+            t = self.tokenizer.decode(seq.output_token_ids[:m])
+            hit = min(((t.find(stop), stop) for stop in sp.stop
+                       if t.find(stop) != -1), default=None)
+            if hit is None:
+                continue
+            idx, stop = hit
+            seq.output_token_ids = seq.output_token_ids[:m]
+            seq.output_logprobs = seq.output_logprobs[:m]
+            seq.stop_text = t[:idx + len(stop)] if sp.include_stop_str_in_output \
+                else t[:idx]
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            seq.finish_reason = "stop"
+            return
 
     def _spec_disabled(self, batch_size: int) -> bool:
         dbs = self.spec.disable_by_batch_size
@@ -204,10 +245,14 @@ class LLMEngine:
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
             self.runner.run_prefill_chunks(chunks, draft=True)
+        # rows that completed a FRESH prompt sample their first token; a
+        # resumed preempted sequence (preserved outputs) just finishes
+        # recomputing KV — its last token is the next decode step's input
         completing = [i for i, (s, _, end) in enumerate(chunks)
-                      if end == s.prompt_len]
+                      if end == s.prefill_len and not s.output_token_ids]
         for s, _, end in chunks:
             s.num_computed_tokens = end
+            self.block_manager.mark_computed(s)
         if completing:
             # sample over the full (already bucketed) rectangle so the jitted
             # sampler sees one stable shape; non-completing rows discarded
@@ -217,9 +262,9 @@ class LLMEngine:
                                       self.config.model.vocab_size,
                                       self.eos_token_id),
                 len(chunks), logits.shape[0])
-            toks = self.runner.sample_tokens(logits, st)
+            toks, lps = self.runner.sample_tokens(logits, st)
             for i in completing:
-                chunks[i][0].append_token(int(toks[i]))
+                chunks[i][0].append_token(int(toks[i]), float(lps[i]))
 
     def _run_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:
@@ -270,7 +315,9 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def _to_output(self, seq: Sequence, finished: bool = True) -> RequestOutput:
         text = ""
-        if self.tokenizer is not None and finished:
+        if seq.stop_text is not None and finished:
+            text = seq.stop_text
+        elif self.tokenizer is not None and finished:
             try:
                 text = self.tokenizer.decode(seq.output_token_ids)
             except Exception:

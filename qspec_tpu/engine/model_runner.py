@@ -74,7 +74,7 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     """Autoregressive decode: one token per sequence.
 
     last_tokens [B] (not yet processed), start_pos [B] = their positions.
-    Returns (next_tokens [B], cache).
+    Returns (next_tokens [B], logprobs [B], cache).
     """
     page_size = cache.page_size
     pos = start_pos[:, None]
@@ -84,8 +84,8 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     logits, cache = model_forward(params, cfg, last_tokens[:, None], cache, batch,
                                   scheme=scheme, axis_name=axis_name,
                                   lora_ids=lora_ids)
-    next_tokens = sample(logits[:, 0], st, key)
-    return next_tokens, cache
+    next_tokens, lp = sample_with_logprob(logits[:, 0], st, key)
+    return next_tokens, lp, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "num_steps", "axis_name"),
@@ -394,7 +394,9 @@ class ModelRunner:
         ctx = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
         for i, (seq, start, end) in enumerate(chunks):
-            piece = seq.prompt_token_ids[start:end]
+            # token_ids (prompt + preserved outputs): a resumed preempted
+            # sequence re-prefills its generated tokens too
+            piece = seq.token_ids[start:end]
             toks[i, :len(piece)] = piece
             positions[i] = np.arange(start, start + Q, dtype=np.int32)
             ctx[i] = end
@@ -420,14 +422,16 @@ class ModelRunner:
         return None
 
     def sample_first_token(self, logits, st_row: SamplingTensors) -> int:
-        tok = _sample_jit(logits, st_row, self._next_key())
+        tok, _ = _sample_jit(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
-    def sample_tokens(self, logits, st: SamplingTensors) -> np.ndarray:
+    def sample_tokens(self, logits, st: SamplingTensors):
         """Sample one token per row of [B, V] device logits (jitted — the
-        eager path costs dozens of per-op compiles on this platform)."""
-        toks = _sample_jit(logits, st, self._next_key())
-        return np.asarray(jax.device_get(toks))
+        eager path costs dozens of per-op compiles on this platform).
+        Returns (tokens [B], logprobs [B]) numpy."""
+        toks, lps = _sample_jit(logits, st, self._next_key())
+        toks, lps = jax.device_get((toks, lps))
+        return np.asarray(toks), np.asarray(lps)
 
     def run_decode(self, seqs, sampling: SamplingTensors,
                    num_steps: int = 1) -> np.ndarray:
@@ -446,12 +450,13 @@ class ModelRunner:
         st = _pad_sampling(sampling, len(seqs), B)
         lora = self._lora_ids(seqs, B)
         if num_steps == 1:
-            next_tokens, self.cache = self.fns["decode"](
+            next_tokens, lp, self.cache = self.fns["decode"](
                 self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
                 jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
                 lora)
-            toks = np.asarray(jax.device_get(next_tokens))[None, :len(seqs)]
-            return toks, np.zeros_like(toks, np.float32)
+            next_tokens, lp = jax.device_get((next_tokens, lp))
+            toks = np.asarray(next_tokens)[None, :len(seqs)]
+            return toks, np.asarray(lp)[None, :len(seqs)]
         toks, lps, self.cache = self.fns["multi_decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
@@ -517,7 +522,7 @@ class ModelRunner:
                 np.asarray(res.token_logprobs)[None, :n])
 
 
-_sample_jit = jax.jit(sample)
+_sample_jit = jax.jit(sample_with_logprob)
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
@@ -576,16 +581,21 @@ def make_sampling_tensors(seqs, vocab_size: Optional[int] = None,
     bias = None
     if vocab_size is not None and any(
             s.sampling_params.presence_penalty or s.sampling_params.frequency_penalty
-            for s in seqs):
+            or s.sampling_params.logit_bias for s in seqs):
         bias = np.zeros((len(seqs), vocab_size), np.float32)
         for i, s in enumerate(seqs):
             sp = s.sampling_params
-            if not (sp.presence_penalty or sp.frequency_penalty):
-                continue
-            counts = np.bincount(np.asarray(s.output_token_ids, np.int64),
-                                 minlength=vocab_size) if s.output_token_ids                 else np.zeros(vocab_size, np.int64)
-            bias[i] = -(sp.presence_penalty * (counts > 0)
-                        + sp.frequency_penalty * counts)
+            if sp.presence_penalty or sp.frequency_penalty:
+                counts = np.bincount(np.asarray(s.output_token_ids, np.int64),
+                                     minlength=vocab_size) if s.output_token_ids \
+                    else np.zeros(vocab_size, np.int64)
+                bias[i] = -(sp.presence_penalty * (counts > 0)
+                            + sp.frequency_penalty * counts)
+            if sp.logit_bias:
+                for tok, b in sp.logit_bias.items():
+                    t = int(tok)
+                    if 0 <= t < vocab_size:
+                        bias[i, t] += float(b)
     return SamplingTensors(
         temperature=np.array([s.sampling_params.temperature for s in seqs], np.float32),
         top_k=np.array([s.sampling_params.top_k for s in seqs], np.int32),

@@ -76,10 +76,14 @@ class OpenAIServer:
 
     # ------------------------------------------------------------------
     def _sampling(self, body: dict) -> SamplingParams:
-        # OpenAI logit_bias: {token_id: bias}; -100 conventionally bans.
-        banned = None
+        # OpenAI logit_bias: {token_id: bias}; <= -100 conventionally bans,
+        # everything else rides the engine's additive device-side bias
+        banned, bias = None, None
         if body.get("logit_bias"):
             banned = [int(t) for t, v in body["logit_bias"].items() if v <= -100]
+            bias = {int(t): float(v) for t, v in body["logit_bias"].items()
+                    if v > -100}
+        stop = body.get("stop")
         return SamplingParams(
             temperature=float(body.get("temperature", 1.0)),
             top_p=float(body.get("top_p", 1.0)),
@@ -91,39 +95,70 @@ class OpenAIServer:
             frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             allowed_token_ids=body.get("allowed_token_ids"),
             banned_token_ids=banned or body.get("banned_token_ids"),
+            logit_bias=bias or None,
+            stop=stop,
+            include_stop_str_in_output=bool(
+                body.get("include_stop_str_in_output", False)),
+            logprobs=body.get("logprobs"),
             seed=body.get("seed"),
         )
 
-    def _encode_prompt(self, body: dict):
+    def _encode_prompts(self, body: dict):
+        """OpenAI `prompt` may be a string, token-id list, list of strings,
+        or list of token-id lists; returns a list of token-id lists."""
         prompt = body.get("prompt")
-        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
-            return prompt
+        if isinstance(prompt, str):
+            return [self.tokenizer.encode(prompt)]
         if isinstance(prompt, list):
-            prompt = prompt[0]
-        return self.tokenizer.encode(prompt)
+            if not prompt:
+                raise web.HTTPBadRequest(reason="empty prompt list")
+            if isinstance(prompt[0], int):
+                return [prompt]
+            return [p if isinstance(p, list) else self.tokenizer.encode(p)
+                    for p in prompt]
+        raise web.HTTPBadRequest(reason="prompt must be string or list")
+
+    @staticmethod
+    def _logprobs_payload(out, want):
+        if not want:
+            return None
+        return {"token_logprobs": list(out.logprobs or []),
+                "tokens": [str(t) for t in out.output_token_ids],
+                "top_logprobs": None, "text_offset": []}
 
     async def completions(self, request):
         body = await request.json()
-        token_ids = self._encode_prompt(body)
+        prompts = self._encode_prompts(body)
         sp = self._sampling(body)
-        rid = next(self._request_counter)
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
         if body.get("stream"):
-            return await self._stream(request, token_ids, sp, rid, cid, chat=False)
+            if len(prompts) > 1:
+                raise web.HTTPBadRequest(
+                    reason="streaming supports a single prompt")
+            rid = next(self._request_counter)
+            return await self._stream(request, prompts[0], sp, rid, cid,
+                                      chat=False)
 
-        final = None
-        async for out in self.engine.generate(token_ids, sp, request_id=rid):
-            final = out
-        text = self.tokenizer.decode(final.output_token_ids) if self.tokenizer else ""
+        choices, p_toks, c_toks = [], 0, 0
+        for i, token_ids in enumerate(prompts):
+            rid = next(self._request_counter)
+            final = None
+            async for out in self.engine.generate(token_ids, sp, request_id=rid):
+                final = out
+            text = final.text or (self.tokenizer.decode(final.output_token_ids)
+                                  if self.tokenizer else "")
+            choices.append({"index": i, "text": text,
+                            "logprobs": self._logprobs_payload(final, sp.logprobs),
+                            "finish_reason": final.finish_reason})
+            p_toks += len(token_ids)
+            c_toks += len(final.output_token_ids)
         return web.json_response({
             "id": cid, "object": "text_completion", "created": _now(),
             "model": self.model_name,
-            "choices": [{"index": 0, "text": text,
-                         "finish_reason": final.finish_reason}],
-            "usage": {"prompt_tokens": len(token_ids),
-                      "completion_tokens": len(final.output_token_ids),
-                      "total_tokens": len(token_ids) + len(final.output_token_ids)},
+            "choices": choices,
+            "usage": {"prompt_tokens": p_toks, "completion_tokens": c_toks,
+                      "total_tokens": p_toks + c_toks},
         })
 
     async def chat_completions(self, request):
@@ -140,12 +175,13 @@ class OpenAIServer:
         final = None
         async for out in self.engine.generate(token_ids, sp, request_id=rid):
             final = out
-        text = self.tokenizer.decode(final.output_token_ids)
+        text = final.text or self.tokenizer.decode(final.output_token_ids)
         return web.json_response({
             "id": cid, "object": "chat.completion", "created": _now(),
             "model": self.model_name,
             "choices": [{"index": 0,
                          "message": {"role": "assistant", "content": text},
+                         "logprobs": self._logprobs_payload(final, sp.logprobs),
                          "finish_reason": final.finish_reason}],
             "usage": {"prompt_tokens": len(token_ids),
                       "completion_tokens": len(final.output_token_ids),

@@ -144,7 +144,7 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
         (R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
     fns["decode"] = _wrap(
         mr.decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, mr_st_spec(), R), (P(), cspec), 1, scheme=scheme)
+        (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1, scheme=scheme)
     fns["multi_decode"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1, scheme=scheme,
@@ -177,7 +177,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
 
 def mr_st_spec():
     from qspec_tpu.ops.sampling import SamplingTensors
-    return SamplingTensors(P(), P(), P(), P())
+    # all six fields: batches carrying guided-decoding vocab masks or
+    # penalty logit biases must match the pytree too (None fields are empty
+    # subtrees, so the extra P() specs are inert when unused)
+    return SamplingTensors(P(), P(), P(), P(), P(), P())
 
 
 def rr_spec():

@@ -21,12 +21,17 @@ class SamplingParams:
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     stop: Optional[List[str]] = field(default=None)
+    include_stop_str_in_output: bool = False
     # guided decoding (vocab-mask logits processors)
     allowed_token_ids: Optional[List[int]] = None
     banned_token_ids: Optional[List[int]] = None
     min_tokens: int = 0
+    # additive per-token-id logit bias (OpenAI logit_bias semantics)
+    logit_bias: Optional[dict] = None
 
     def __post_init__(self):
+        if isinstance(self.stop, str):
+            self.stop = [self.stop]
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
         if not 0 < self.top_p <= 1:

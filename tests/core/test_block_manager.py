@@ -38,11 +38,18 @@ def test_append_slots_and_exhaustion():
     assert not bm.append_slots(s, lookahead=4)  # exhausted
 
 
+def prefill(bm, seq):
+    """Simulate a completed prefill: KV written for the whole prompt."""
+    seq.num_computed_tokens = seq.prompt_len
+    bm.mark_computed(seq)
+
+
 def test_prefix_cache_reuse():
     bm = BlockManager(num_pages=32, page_size=4)
     prompt = list(range(100, 116))  # 4 full pages
     a = mkseq(0, prompt)
     assert bm.allocate_prompt(a) == 0
+    prefill(bm, a)
     b = mkseq(1, prompt)
     cached = bm.allocate_prompt(b)
     # full-prompt hit capped so the last token is recomputed
@@ -58,6 +65,7 @@ def test_prefix_cache_divergent_tail():
     bm = BlockManager(num_pages=32, page_size=4)
     a = mkseq(0, list(range(16)))
     bm.allocate_prompt(a)
+    prefill(bm, a)
     b = mkseq(1, list(range(8)) + [99] * 8)
     cached = bm.allocate_prompt(b)
     assert cached == 8  # only the common 2 pages
@@ -65,10 +73,30 @@ def test_prefix_cache_divergent_tail():
     assert b.page_ids[2] != a.page_ids[2]
 
 
+def test_no_hit_on_unwritten_pages():
+    """A page's content hash must not be served before its KV is computed:
+    a concurrent same-prefix request mid-prefill of the first would attend
+    over garbage (regression for the register-at-allocation bug)."""
+    bm = BlockManager(num_pages=32, page_size=4)
+    prompt = list(range(100, 116))
+    a = mkseq(0, prompt)
+    bm.allocate_prompt(a)           # allocated, but KV not yet written
+    b = mkseq(1, prompt)
+    assert bm.allocate_prompt(b) == 0   # no cache hit on unwritten pages
+    assert not set(b.page_ids) & set(a.page_ids)
+    # partial prefill publishes only the covered pages
+    a.num_computed_tokens = 8        # 2 of 3 hashable pages written
+    bm.mark_computed(a)
+    c = mkseq(2, prompt)
+    assert bm.allocate_prompt(c) == 8
+    assert c.page_ids[:2] == a.page_ids[:2]
+
+
 def test_eviction_recycles_cached_pages():
     bm = BlockManager(num_pages=5, page_size=4)  # 4 usable
     a = mkseq(0, list(range(16)))
     bm.allocate_prompt(a)
+    prefill(bm, a)
     bm.free(a)  # pages now evictable but cached
     b = mkseq(1, list(range(200, 216)))
     bm.allocate_prompt(b)  # must evict a's pages

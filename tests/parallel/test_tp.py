@@ -60,3 +60,40 @@ def test_tp_prefill_matches_single(rng, tp, scheme):
     assert np.abs(out - ref).mean() < (5e-3 if scheme == "w4a16" else 8e-2)
     assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > (0.999 if scheme == "w4a16"
                                                           else 0.98)
+
+
+def test_tp_decode_with_guided_sampling():
+    """Regression: batches carrying a vocab_mask / logit_bias (guided
+    decoding, penalties) must match the shard_map in_specs (the
+    SamplingTensors spec used to cover only 4 of 6 fields and crashed)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual device mesh")
+    from qspec_tpu.ops.sampling import SamplingTensors
+
+    cfg = ModelConfig.tiny(quant="w4", num_layers=2, num_heads=4, num_kv_heads=4,
+                           head_dim=64, hidden_size=256, intermediate_size=448)
+    params_tp = init_params(cfg, seed=0, tp_size=2)
+    kcfg = kvc.KVCacheConfig(cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                             num_pages=16, page_size=16)
+    mesh = make_mesh(tp_size=2)
+    sp = shard_params(params_tp, cfg, mesh)
+    cache = shard_cache(kvc.allocate(kcfg), mesh)
+    fns = make_tp_step_fns(mesh, cfg, sp, "w4a16", draft_scheme="w4a4", k=2)
+
+    B = 2
+    allowed = 77
+    mask = np.zeros((B, cfg.vocab_size), bool)
+    mask[:, allowed] = True
+    bias = np.zeros((B, cfg.vocab_size), np.float32)
+    bias[:, allowed] = 5.0
+    st = SamplingTensors(
+        temperature=jnp.zeros(B), top_k=jnp.zeros(B, jnp.int32),
+        top_p=jnp.ones(B), min_p=jnp.zeros(B),
+        vocab_mask=jnp.asarray(mask), logit_bias=jnp.asarray(bias))
+    tables = np.zeros((B, 8), np.int32)
+    tables[0, 0] = 1
+    tables[1, 0] = 2
+    toks, _lp, _cache = fns["decode"](
+        sp, cache, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+        jnp.asarray(tables), st, jax.random.PRNGKey(0))
+    assert np.asarray(toks).tolist() == [allowed] * B
