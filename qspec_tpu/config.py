@@ -34,9 +34,20 @@ class ModelConfig:
     qkv_bias: bool = False            # qwen2-style attention bias
     # quantization scheme of the stored checkpoint
     quant: str = "w4"                 # "w4" (packed int4 + scales) | "none" (bf16)
+    # vocab-projection weight dtype. At decode M the dense bf16 head streams
+    # ~1 GB/step (Llama-3's 128k vocab); per-channel int8 halves that at
+    # near-zero quality cost (QServe-style W8 head). "auto" = int8 for w4
+    # checkpoints, bf16 otherwise.
+    lm_head_quant: str = "auto"       # "auto" | "bf16" | "int8" | "int4"
     # QuaRot models fold RMSNorm gammas into the rotated weights offline, so
     # the live norms are weightless (reference quarot_nn/normalization.py:5).
     weightless_norm: bool = True
+
+    @property
+    def resolved_lm_head_quant(self) -> str:
+        if self.lm_head_quant != "auto":
+            return self.lm_head_quant
+        return "int8" if self.quant == "w4" else "bf16"
 
     @property
     def q_size(self) -> int:

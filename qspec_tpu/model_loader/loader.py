@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qspec_tpu.config import ModelConfig
-from qspec_tpu.models.llama import make_hadamards, pack_proj_weight
+from qspec_tpu.models.llama import make_hadamards, pack_lm_head, pack_proj_weight
 from qspec_tpu.ops.hadamard import random_hadamard_matrix
 from qspec_tpu.ops.packing import repack_from_reference
 from qspec_tpu.ops.rotary import make_rope_cache
@@ -207,7 +207,7 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
     params = {
         "embed": jnp.asarray(np.asarray(sd["model.embed_tokens.weight"],
                                         np.float32) @ Q, dtype),
-        "lm_head": jnp.asarray(Q.T @ (gfin[:, None] * lm), dtype),
+        "lm_head": pack_lm_head(Q.T @ (gfin[:, None] * lm), cfg, dtype),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "hadamards": make_hadamards(cfg),
         **_common(cfg),
@@ -274,7 +274,7 @@ def load_qspec(path: str, cfg: Optional[ModelConfig] = None, tp_size: int = 1,
                     np.float32).T
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"], dtype),
-        "lm_head": jnp.asarray(lm, dtype),
+        "lm_head": pack_lm_head(lm, cfg, dtype),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "hadamards": make_hadamards(cfg),
         **_common(cfg),

@@ -41,8 +41,9 @@ from qspec_tpu.ops import kv_cache as kvc
 from qspec_tpu.ops.attention import paged_attention
 from qspec_tpu.ops.hadamard import hadamard_matrix
 from qspec_tpu.ops.linear_kernels import (matmul_w4a4, matmul_w4a4_ref, matmul_w4a16,
-                                          matmul_w4a16_ref)
-from qspec_tpu.ops.packing import quantize_weight_int4
+                                          matmul_w4a16_ref, matmul_w8a16,
+                                          matmul_w8a16_ref)
+from qspec_tpu.ops.packing import quantize_weight_int4, quantize_weight_int8
 from qspec_tpu.ops.quant import sym_quant_int4
 from qspec_tpu.ops.rmsnorm_quant import rmsnorm, rmsnorm_quant
 from qspec_tpu.ops.rotary import apply_rope, make_rope_cache
@@ -316,10 +317,23 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
 
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
-    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    logits = compute_logits(x, params["lm_head"])
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
     return logits.reshape(B, Q, -1), cache
+
+
+def compute_logits(x, lm_head):
+    """Vocab projection; lm_head is either a dense [H, V] array or a
+    quantized dict ({"qw8": int8 [H, V]} or {"qw": packed-int4}, + "qs")
+    per ModelConfig.lm_head_quant."""
+    if isinstance(lm_head, dict):
+        if "qw8" in lm_head:
+            fn = matmul_w8a16 if backend_is_tpu() else matmul_w8a16_ref
+            return fn(x, lm_head["qw8"], lm_head["qs"], out_dtype=jnp.float32)
+        fn = matmul_w4a16 if backend_is_tpu() else matmul_w4a16_ref
+        return fn(x, lm_head["qw"], lm_head["qs"], out_dtype=jnp.float32)
+    return jnp.dot(x, lm_head, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +409,18 @@ def pack_proj_weight(w: np.ndarray, cfg_quant: str, *, shard_in: bool = False,
     return d
 
 
+def pack_lm_head(w: np.ndarray, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Host-side lm_head packing per cfg.lm_head_quant. w: [H, V] float."""
+    kind = cfg.resolved_lm_head_quant
+    if kind == "int8":
+        q, s = quantize_weight_int8(w)
+        return {"qw8": jnp.asarray(q), "qs": jnp.asarray(s)}
+    if kind == "int4":
+        qw, qs = quantize_weight_int4(w)
+        return {"qw": jnp.asarray(qw), "qs": jnp.asarray(qs)}
+    return jnp.asarray(w, dtype)
+
+
 def init_params_device(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
     """Random params generated ON DEVICE (jax.random) — no host transfer.
 
@@ -445,9 +471,25 @@ def init_params_device(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
             layer["post_norm"] = jnp.ones((H,), dtype)
         return layer
 
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def make_lm_head(k, i, o):
+        w = jax.random.normal(k, (i, o), jnp.float32) * 0.02
+        kind = cfg.resolved_lm_head_quant
+        if kind == "bf16":
+            return w.astype(dtype)
+        absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+        if kind == "int8":
+            scale = jnp.maximum(absmax, 1e-8) / 127.0
+            q = jnp.clip(jnp.round(w / scale), -128, 127).astype(jnp.int8)
+            return {"qw8": q, "qs": scale[0]}
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(jnp.round(w / scale), -8, 7).astype(jnp.int8)
+        from qspec_tpu.ops.packing import pack_int4
+        return {"qw": pack_int4(q), "qs": scale[0]}
+
     params = {
         "embed": (jax.random.normal(next_key(), (cfg.vocab_size, H), jnp.float32) * 0.02).astype(dtype),
-        "lm_head": (jax.random.normal(next_key(), (H, cfg.vocab_size), jnp.float32) * 0.02).astype(dtype),
+        "lm_head": make_lm_head(next_key(), H, cfg.vocab_size),
         "layers": stack_layers(cfg.num_layers, one_layer),
         "rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
                                       cfg.rope_theta, rope_scaling=cfg.rope_scaling),
@@ -494,7 +536,7 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
 
     params = {
         "embed": jnp.asarray(dense(cfg.vocab_size, H), dtype),
-        "lm_head": jnp.asarray(dense(H, cfg.vocab_size), dtype),
+        "lm_head": pack_lm_head(dense(H, cfg.vocab_size), cfg, dtype),
         "layers": stacked,
         "rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
                                       cfg.rope_theta, rope_scaling=cfg.rope_scaling),

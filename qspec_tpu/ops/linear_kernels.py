@@ -40,14 +40,33 @@ from qspec_tpu.ops.packing import unpack_int4, unpack_int4_high, unpack_int4_low
 
 
 def matmul_w4a16_ref(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
-                     bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     bias: Optional[jnp.ndarray] = None, *,
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Dequantize-to-bf16 matmul: x [M,K] bf16, w_packed [K//2,N], scales [N]."""
     w = unpack_int4(w_packed).astype(jnp.bfloat16)
     out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
     out = out * w_scales.astype(jnp.float32)[None, :]
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
-    return out.astype(jnp.bfloat16)
+    return out.astype(out_dtype)
+
+
+def matmul_w8a16_ref(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None, *,
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantize-int8-to-bf16 matmul: x [M,K] bf16, w_q [K,N] int8, scales [N].
+
+    Used for the quantized lm_head (vocab projection): at decode M the dense
+    bf16 head is HBM-bound at ~1 GB/step for Llama-3's 128k vocab; int8
+    halves the bytes at near-zero quality cost (per-channel symmetric,
+    QServe-style W8 head).
+    """
+    w = w_q.astype(jnp.bfloat16)
+    out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    out = out * w_scales.astype(jnp.float32)[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
 
 
 def matmul_w4a4_ref(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
@@ -170,6 +189,60 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
             transcendentals=0,
         ),
     )(x, x, w_packed, w_scales.reshape(1, -1))
+    out = out[:m]
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out
+
+
+def _w8a16_kernel(x_ref, w_ref, s_ref, out_ref):
+    acc = jnp.dot(x_ref[:], w_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    out_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _choose_bn_w8(k: int, n: int):
+    """Largest divisor tile width with a <=4 MB int8 weight tile (double
+    buffering under the ~16 MB VMEM budget). Vocab sizes aren't powers of
+    two (128256 = 2^7*3*334), so scan non-pow2 multiples of 128 too."""
+    for bn in (2048, 1536, 1024, 768, 512, 384, 256, 128):
+        if n % bn == 0 and k * bn <= 4 * 1024 * 1024:
+            return bn
+    return 128
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None, *,
+                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x [M, K] bf16 @ int8 w [K, N] -> [M, N] out_dtype (per-N-channel scales)."""
+    m, k = x.shape
+    kw, n = w_q.shape
+    assert k == kw, (x.shape, w_q.shape)
+    m_pad = round_up(max(m, 16), 16)
+    x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
+    bm = min(m_pad, 128)
+    while m_pad % bm:
+        bm //= 2
+    bn = _choose_bn_w8(k, n)
+    grid = (m_pad // bm, cdiv(n, bn))
+    out = pl.pallas_call(
+        _w8a16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret_mode(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=k * n + m_pad * k * 2 + m_pad * n * 2,
+            transcendentals=0,
+        ),
+    )(x, w_q, w_scales.reshape(1, -1))
     out = out[:m]
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)

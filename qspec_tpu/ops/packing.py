@@ -127,6 +127,17 @@ def quantize_weight_int4(w: np.ndarray):
     return pack_int4_np(q), scale.squeeze(0).astype(np.float32)
 
 
+def quantize_weight_int8(w: np.ndarray):
+    """Symmetric per-output-channel int8 quantization (for the lm_head).
+
+    ``w``: [in, out] float array -> (int8 [in, out], scales float32 [out]).
+    """
+    absmax = np.abs(w).max(axis=0, keepdims=True)
+    scale = np.maximum(absmax, 1e-8) / 127.0
+    q = np.clip(np.rint(w / scale), -128, 127).astype(np.int8)
+    return q, scale.squeeze(0).astype(np.float32)
+
+
 def repack_from_reference(ref_weight: np.ndarray) -> np.ndarray:
     """Convert a reference-layout packed weight to ours.
 

@@ -121,7 +121,8 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     cache = cache._replace(k_pages=new_k, v_pages=new_v)
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
-    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    from qspec_tpu.models.llama import compute_logits
+    logits = compute_logits(x, params["lm_head"])
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     return logits.reshape(B, Q, -1), cache

@@ -60,10 +60,17 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
             return {"qw": P(None, "model", None), "qs": P(None, None)}
         return {"w": P(None, "model", None)}
 
+    lm = params["lm_head"]
+    if isinstance(lm, dict):
+        # quantized head: vocab axis (axis 1) sharded, per-channel scales too
+        lm_spec = {("qw8" if "qw8" in lm else "qw"): P(None, "model"),
+                   "qs": P("model")}
+    else:
+        lm_spec = P(None, "model")
     layer_p = params["layers"]
     specs = {
         "embed": P(None, None),
-        "lm_head": P(None, "model"),
+        "lm_head": lm_spec,
         "rope_cache": P(None, None, None),
         "layers": {
             "qkv": proj_col(layer_p["qkv"]),

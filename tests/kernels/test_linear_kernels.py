@@ -58,3 +58,30 @@ def test_sym_quant_roundtrip(rng):
         deq = np.asarray(sym_dequant(q, jnp.float32))
         step = np.asarray(q.scales)
         assert np.all(np.abs(deq - np.asarray(x)) <= 0.51 * step + 1e-6)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 128), (7, 512, 384), (16, 1024, 256)])
+def test_w8a16_matches_ref(rng, m, k, n):
+    from qspec_tpu.ops.linear_kernels import matmul_w8a16, matmul_w8a16_ref
+    from qspec_tpu.ops.packing import quantize_weight_int8
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int8(w)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16)
+    out = matmul_w8a16(x, jnp.asarray(qw), jnp.asarray(qs), out_dtype=jnp.float32)
+    ref = matmul_w8a16_ref(x, jnp.asarray(qw), jnp.asarray(qs), out_dtype=jnp.float32)
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_w8a16_dequant_accuracy(rng):
+    """Per-channel int8 dequant semantics: identity rows pick out w columns."""
+    from qspec_tpu.ops.linear_kernels import matmul_w8a16
+    from qspec_tpu.ops.packing import quantize_weight_int8
+    k, n = 512, 256
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int8(w)
+    x = jnp.asarray(np.eye(k, dtype=np.float32)[:8], jnp.bfloat16)
+    out = np.asarray(matmul_w8a16(x, jnp.asarray(qw), jnp.asarray(qs),
+                                  out_dtype=jnp.float32))
+    wd = qw.astype(np.float32) * qs[None, :]
+    np.testing.assert_allclose(out, wd[:8], rtol=1e-2, atol=1e-3)
