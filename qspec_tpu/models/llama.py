@@ -283,7 +283,7 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     # cache made XLA double-buffer the whole thing every layer
     use_lora = lora_ids is not None and "lora" in params
     tok_lora = (jnp.repeat(lora_ids, Q) if use_lora else None)
-    L = cache.k_pages.shape[0]
+    L = cache.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
 
     if use_lora:

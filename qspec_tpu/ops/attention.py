@@ -82,11 +82,12 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
-    if backend_is_tpu() and cache.k_scales is None and head_dim % 128 == 0:
+    if backend_is_tpu() and head_dim % 128 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
-        return paged_attention_pallas(q, cache.k_pages, cache.v_pages,
+        return paged_attention_pallas(q, cache.kv_pages,
                                       block_tables, ctx_lens, scale,
                                       q_positions=q_positions,
-                                      layer=jnp.asarray(layer, jnp.int32))
+                                      layer=jnp.asarray(layer, jnp.int32),
+                                      kv_scales=cache.kv_scales)
     return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
                                q_positions=q_positions)

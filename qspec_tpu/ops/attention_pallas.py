@@ -10,17 +10,25 @@ Structure: grid (batch, q_block); the kv-page loop lives INSIDE the kernel
 with a two-deep double-buffered DMA pipeline — page c+1 streams from HBM
 while page c is being scored. (A grid-dim chunk axis with
 issue->wait->compute per program serialized every DMA behind its compute.)
-Pages live in HBM head-major ([P, Hkv, S, D], see kv_cache.py); one
-contiguous DMA per page covers every kv head and lands as the whole
-[Hkv, S, D] buffer — already the shape both flash contractions need, so
-there is NO in-VMEM relayout. (The older token-major page layout needed a
-[C, Hkv, D] -> [Hkv, C, D] transpose per chunk that capped the kernel at
-~190 GB/s; Mosaic batches matmuls only over dim 0 of both operands. A
-leading-dim destination slice is also the only DMA form Mosaic executes —
-dst.at[slot, :, i] compiled but killed the chip.) One page per chunk makes
-big pages (64-128 tokens) the fast configuration: fewer, larger DMAs. The
-loop trip count is the sequence's live page count, so padded tail pages
-are never read.
+Pages live in HBM K/V-interleaved and head-major ([P, 2, Hkv, S, D], see
+kv_cache.py); ONE contiguous DMA per page covers K and V for every kv head
+and lands as a [2, Hkv, S, D] buffer whose leading-index slices are exactly
+the shapes both flash contractions need — NO in-VMEM relayout. (The older
+token-major page layout needed a [C, Hkv, D] -> [Hkv, C, D] transpose per
+chunk that capped the kernel at ~190 GB/s; Mosaic batches matmuls only over
+dim 0 of both operands. A leading-dim destination slice is also the only DMA
+form Mosaic executes — dst.at[slot, :, i] compiled but killed the chip.)
+One page per chunk makes big pages (64-128 tokens) the fast configuration:
+fewer, larger DMAs. The loop trip count is the sequence's live page count,
+so padded tail pages are never read.
+
+int8 KV (kv_cache_dtype=int8, reference csrc/cache_kernels.cu fp8-KV path /
+QServe KV8): pages are streamed as int8 (half the bytes) plus a small
+per-(k/v, head, token) scale page. The scales fold into SCORE space, not
+into an elementwise dequant of the [Hkv, S, D] buffers: K's scale multiplies
+the QK^T scores ([Hkv, G, C] — C*G ops instead of C*D), and V's scale
+multiplies the probabilities before the PV contraction. Only the raw
+int8->bf16 convert touches the full page.
 
 Query layout: [B, Hkv, G, D] with G = group * Q rows (grouped-query heads x
 query positions, Q minor); the two contractions per chunk are batched over
@@ -49,20 +57,19 @@ def _paged_attn_kernel(
     layer_ref,          # [1] int32: layer index into the stacked cache
     # inputs
     q_ref,              # [1, Hkv, G, D] VMEM
-    k_pages_ref,        # [L, P, Hkv, S, D] HBM
-    v_pages_ref,
-    # outputs
-    out_ref,            # [1, Hkv, G, D] VMEM
-    # scratch
-    k_buf, v_buf,       # [2, Hkv, S, D] VMEM (double-buffered pages)
-    acc,                # [Hkv, G, D] f32
-    sems,               # DMA semaphores [2, 2]
-    *,
+    kv_pages_ref,       # [L, P, 2, Hkv, S, D] HBM
+    # outputs / scratch (kv_scales_ref inserted before out_ref when int8)
+    *refs,
     num_q: int,
     page_size: int,
     max_pages: int,
     scale: float,
+    quant: bool,
 ):
+    if quant:
+        kv_scales_ref, out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
+    else:
+        out_ref, kv_buf, acc, sems = refs
     b = pl.program_id(0)
     g = pl.program_id(1)
     ctx_len = ctx_lens_ref[b]
@@ -72,18 +79,25 @@ def _paged_attn_kernel(
     Hkv, G, D = acc.shape  # G = this query block's rows
     layer = layer_ref[0]
 
-    def dma(slot, chunk, kv_row, dst, src):
+    def dma(slot, chunk):
         page_id = block_tables_ref[b * max_pages + chunk]
-        return pltpu.make_async_copy(src.at[layer, page_id], dst.at[slot],
-                                     sems.at[slot, kv_row])
+        return pltpu.make_async_copy(kv_pages_ref.at[layer, page_id],
+                                     kv_buf.at[slot], sems.at[slot])
+
+    def dma_scales(slot, chunk):
+        page_id = block_tables_ref[b * max_pages + chunk]
+        return pltpu.make_async_copy(kv_scales_ref.at[layer, page_id],
+                                     sc_buf.at[slot], sc_sems.at[slot])
 
     def issue(slot, chunk):
-        dma(slot, chunk, 0, k_buf, k_pages_ref).start()
-        dma(slot, chunk, 1, v_buf, v_pages_ref).start()
+        dma(slot, chunk).start()
+        if quant:
+            dma_scales(slot, chunk).start()
 
     def wait(slot, chunk):
-        dma(slot, chunk, 0, k_buf, k_pages_ref).wait()
-        dma(slot, chunk, 1, v_buf, v_pages_ref).wait()
+        dma(slot, chunk).wait()
+        if quant:
+            dma_scales(slot, chunk).wait()
 
     issue(0, 0)
 
@@ -104,14 +118,21 @@ def _paged_attn_kernel(
 
         wait(slot, c)
 
-        # [Hkv, S, D]: head-major pages arrive in exactly the shape needed.
-        k = k_buf[slot]
-        v = v_buf[slot]
+        # [Hkv, S, D]: interleaved head-major pages arrive in exactly the
+        # shape needed; leading-index slices are free.
+        k = kv_buf[slot, 0]
+        v = kv_buf[slot, 1]
+        if quant:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
 
         s = jax.lax.dot_general(
             q, k,
             (((2,), (2,)), ((0,), (0,))),                 # contract D, batch Hkv
             preferred_element_type=jnp.float32)            # [Hkv, G, C]
+        if quant:
+            # per-(head, token) K scale folds into score space
+            s = s * sc_buf[slot, 0][:, None, :]
 
         kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
             jnp.int32, (Hkv, G, chunk_kv), 2)
@@ -123,8 +144,14 @@ def _paged_attn_kernel(
         p = jnp.exp(s - m_new)
 
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            # V's per-token scale multiplies the probabilities (C*G ops)
+            # instead of dequantizing the [Hkv, S, D] buffer (C*D ops)
+            pv = (p * sc_buf[slot, 1][:, None, :]).astype(jnp.bfloat16)
+        else:
+            pv = p.astype(jnp.bfloat16)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v,
+            pv, v,
             (((2,), (1,)), ((0,), (0,))),                 # contract C, batch Hkv
             preferred_element_type=jnp.float32)
         return m_new, l_new
@@ -139,22 +166,25 @@ def _paged_attn_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "pages_per_chunk"))
-def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 1,
                            q_positions: jnp.ndarray = None,
-                           layer: jnp.ndarray = None) -> jnp.ndarray:
-    """q: [B, Q, Hq, D]; k/v_pages: [L, P, Hkv, S, D] (whole stacked cache —
+                           layer: jnp.ndarray = None,
+                           kv_scales: jnp.ndarray = None) -> jnp.ndarray:
+    """q: [B, Q, Hq, D]; kv_pages: [L, P, 2, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
-    through scan xs/ys); block_tables: [B, PPS].
+    through scan xs/ys); block_tables: [B, PPS]; kv_scales
+    [L, P, 2, Hkv, S] when the cache is int8.
 
     q_positions [B, Q] must be consecutive per row; only column 0 is used.
     """
     B, Q, Hq, D = q.shape
-    L, P, Hkv, S, D2 = k_pages.shape
+    L, P, _, Hkv, S, D2 = kv_pages.shape
     if layer is None:
         layer = jnp.zeros((), jnp.int32)
     assert D == D2
+    quant = kv_scales is not None
     group = Hq // Hkv
     G = group * Q
     G_blk = 256 if G > 256 else round_up(max(G, 8), 8)
@@ -170,33 +200,40 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, G_pad - G), (0, 0)))
 
     max_pages = block_tables.shape[1]
-    pages_pad = max_pages  # one page per pipeline stage; no chunk padding
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    scratch = [pltpu.VMEM((2, 2, Hkv, S, D), kv_pages.dtype)]
+    inputs = [block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start,
+              jnp.reshape(layer, (1,)).astype(jnp.int32), qr, kv_pages]
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        scratch.append(pltpu.VMEM((2, 2, Hkv, S), jnp.float32))
+        inputs.append(kv_scales)
+    scratch.append(pltpu.VMEM((Hkv, G_blk, D), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, G_pad // G_blk),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, Hkv, S, D), k_pages.dtype),
-            pltpu.VMEM((2, Hkv, S, D), v_pages.dtype),
-            pltpu.VMEM((Hkv, G_blk, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
 
     kernel = functools.partial(
         _paged_attn_kernel,
         num_q=Q,
         page_size=S,
-        max_pages=pages_pad,
+        max_pages=max_pages,
         scale=scale,
+        quant=quant,
     )
 
     out = pl.pallas_call(
@@ -204,8 +241,7 @@ def paged_attention_pallas(q: jnp.ndarray, k_pages: jnp.ndarray, v_pages: jnp.nd
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G_pad, D), q.dtype),
         interpret=interpret_mode(),
-    )(block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start,
-      jnp.reshape(layer, (1,)).astype(jnp.int32), qr, k_pages, v_pages)
+    )(*inputs)
 
     out = out[:, :, :G].reshape(B, Hkv, group, Q, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, Q, Hq, D)

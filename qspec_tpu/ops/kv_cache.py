@@ -2,25 +2,32 @@
 
 TPU-native replacement for the reference's CacheEngine + reshape_and_cache
 CUDA op (vllm/worker/cache_engine.py:15; csrc/cache_kernels.cu). The cache is
-one jnp array per layer pair stacked into a single pytree:
+ONE jnp array for all layers:
 
-    k_pages, v_pages : [num_layers, num_pages, num_kv_heads, page_size, head_dim]
+    kv_pages : [num_layers, num_pages, 2, num_kv_heads, page_size, head_dim]
 
-Layout rationale (page-major, HEAD-major inside the page): one page still
-holds every kv head's entries contiguously, so a paged-attention kernel
-moves a page with ONE ~32 KB DMA — and because heads are the outer axis of
-the page, the streamed pages land in VMEM already shaped [Hkv, S, D]. The
-kernel's two contractions batch over Hkv on dim 0 of BOTH operands, which
-Mosaic requires; with the older token-major page ([S, Hkv, D]) every chunk
-needed an in-VMEM [C, Hkv, D] -> [Hkv, C, D] relayout that throttled decode
-attention to ~190 GB/s. head_dim rides the 128-lane axis. Page 0 is
-reserved as the null/padding page so block tables can be padded with 0.
+with K at index 0 and V at index 1 of the third axis.
+
+Layout rationale (page-major, K/V-interleaved, HEAD-major inside the page):
+one page holds K and V for every kv head contiguously, so the paged-attention
+kernel moves a page's K *and* V with ONE ~512 KB DMA (at 128-token pages) —
+halving the DMA count vs separate k/v arrays — and the streamed page lands in
+VMEM already shaped [2, Hkv, S, D]: leading-index slices give the [Hkv, S, D]
+buffers both flash contractions need with NO in-VMEM relayout. (The kernel's
+matmuls batch over Hkv on dim 0 of both operands, which Mosaic requires; a
+token-major page needed a transpose per chunk that capped decode attention at
+~190 GB/s.) head_dim rides the 128-lane axis. Page 0 is reserved as the
+null/padding page so block tables can be padded with 0.
 
 Writes are functional: `update_layer` scatters the new tokens' K/V into
-their slots and returns the new arrays (donated under jit, so in-place).
+their slots with a single combined scatter and returns the new array
+(donated under jit, so in-place).
 
-Optional int8 KV quantization (per entry-row scale) mirrors the reference's
-kv_cache_dtype=int8 option and QServe's KV4/8.
+Optional int8 KV quantization (per (head, token) scale, kv_scales
+[L, P, 2, Hkv, S]) mirrors the reference's kv_cache_dtype=int8 /
+fp8-KV option (csrc/cache_kernels.cu conversion path; QServe KV8): the
+Pallas kernel streams int8 pages + scales and folds the scales into
+score space (see attention_pallas.py).
 """
 
 from __future__ import annotations
@@ -43,35 +50,35 @@ class KVCacheConfig(NamedTuple):
 class PagedKVCache(NamedTuple):
     """Pytree holding the paged cache (+ scales when int8)."""
 
-    k_pages: jnp.ndarray  # [L, P, Hkv, page, D]
-    v_pages: jnp.ndarray
-    k_scales: Optional[jnp.ndarray] = None  # [L, P, Hkv, page, 1] f32 (int8 mode)
-    v_scales: Optional[jnp.ndarray] = None
+    kv_pages: jnp.ndarray  # [L, P, 2, Hkv, page, D]; [.., 0, ..]=K, 1=V
+    kv_scales: Optional[jnp.ndarray] = None  # [L, P, 2, Hkv, page] f32 (int8)
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.kv_pages.shape[4]
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages.shape[1]
+        return self.kv_pages.shape[1]
+
+    @property
+    def num_layers(self) -> int:
+        return self.kv_pages.shape[0]
 
     @property
     def num_kv_heads(self) -> int:
-        return self.k_pages.shape[2]
+        return self.kv_pages.shape[3]
 
 
 def allocate(cfg: KVCacheConfig) -> PagedKVCache:
-    shape = (cfg.num_layers, cfg.num_pages, cfg.num_kv_heads, cfg.page_size,
+    shape = (cfg.num_layers, cfg.num_pages, 2, cfg.num_kv_heads, cfg.page_size,
              cfg.head_dim)
     if cfg.dtype == "int8":
         return PagedKVCache(
-            k_pages=jnp.zeros(shape, jnp.int8),
-            v_pages=jnp.zeros(shape, jnp.int8),
-            k_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
-            v_scales=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            kv_pages=jnp.zeros(shape, jnp.int8),
+            kv_scales=jnp.zeros(shape[:-1], jnp.float32),
         )
-    return PagedKVCache(jnp.zeros(shape, jnp.bfloat16), jnp.zeros(shape, jnp.bfloat16))
+    return PagedKVCache(jnp.zeros(shape, jnp.bfloat16))
 
 
 def kv_cache_bytes(cfg: KVCacheConfig) -> int:
@@ -88,52 +95,45 @@ def update_layer(cache: PagedKVCache, layer, k_new: jnp.ndarray, v_new: jnp.ndar
 
     k_new/v_new: [T, Hkv, D]; slot_mapping: [T] int32 flat slot =
     page_id * page_size + offset. Padding tokens must map to slot 0 (the
-    reserved null page). With the head-major page layout one token's write
-    is Hkv rows of [D] (row h lands at page*Hkv*S + h*S + offset).
+    reserved null page). With the interleaved head-major layout one token's
+    write is 2*Hkv rows of [D] (row (kv, h) lands at
+    page*2*Hkv*S + kv*Hkv*S + h*S + offset), done as ONE scatter.
 
     ``layer`` may be a traced scalar: the scatter addresses the cache as one
-    flat [L*P*Hkv*S, D] array with a layer offset, so the whole cache can be
-    a scan *carry* (aliased in place) instead of scan xs/ys — the xs/ys form
-    made XLA double-buffer the entire cache every layer (~GBs copied per
-    decode step).
+    flat [L*P*2*Hkv*S, D] array with a layer offset, so the whole cache can
+    be a scan *carry* (aliased in place) instead of scan xs/ys — the xs/ys
+    form made XLA double-buffer the entire cache every layer (~GBs copied
+    per decode step).
     """
-    L, P, H, S, D = cache.k_pages.shape
-    k_flat = cache.k_pages.reshape(L * P * H * S, D)
-    v_flat = cache.v_pages.reshape(L * P * H * S, D)
+    L, P, _, H, S, D = cache.kv_pages.shape
+    flat = cache.kv_pages.reshape(L * P * 2 * H * S, D)
     page = slot_mapping // S
     off = slot_mapping % S
-    # [T, H] row index per (token, head)
-    rows = (layer * (P * H * S) + page[:, None] * (H * S)
-            + jnp.arange(H, dtype=slot_mapping.dtype)[None, :] * S + off[:, None])
+    # [T, 2, H] row index per (token, k/v, head)
+    kv_idx = jnp.arange(2, dtype=slot_mapping.dtype)[None, :, None]
+    h_idx = jnp.arange(H, dtype=slot_mapping.dtype)[None, None, :]
+    rows = (layer * (P * 2 * H * S) + page[:, None, None] * (2 * H * S)
+            + kv_idx * (H * S) + h_idx * S + off[:, None, None])
     rows = rows.reshape(-1)  # padding tokens (slot 0) land inside the null page
+    kv_new = jnp.stack([k_new, v_new], axis=1)  # [T, 2, H, D]
 
-    if cache.k_scales is not None:
-        k_abs = jnp.max(jnp.abs(k_new.astype(jnp.float32)), axis=-1, keepdims=True)
-        v_abs = jnp.max(jnp.abs(v_new.astype(jnp.float32)), axis=-1, keepdims=True)
-        k_s = jnp.maximum(k_abs, 1e-8) / 127.0
-        v_s = jnp.maximum(v_abs, 1e-8) / 127.0
-        k_q = jnp.clip(jnp.round(k_new.astype(jnp.float32) / k_s), -128, 127).astype(jnp.int8)
-        v_q = jnp.clip(jnp.round(v_new.astype(jnp.float32) / v_s), -128, 127).astype(jnp.int8)
-        k_flat = k_flat.at[rows].set(k_q.reshape(-1, D), mode="drop")
-        v_flat = v_flat.at[rows].set(v_q.reshape(-1, D), mode="drop")
-        ks_flat = cache.k_scales.reshape(L * P * H * S, 1)
-        vs_flat = cache.v_scales.reshape(L * P * H * S, 1)
-        ks_flat = ks_flat.at[rows].set(k_s.reshape(-1, 1), mode="drop")
-        vs_flat = vs_flat.at[rows].set(v_s.reshape(-1, 1), mode="drop")
-        return cache._replace(
-            k_pages=k_flat.reshape(L, P, H, S, D),
-            v_pages=v_flat.reshape(L, P, H, S, D),
-            k_scales=ks_flat.reshape(L, P, H, S, 1),
-            v_scales=vs_flat.reshape(L, P, H, S, 1),
+    if cache.kv_scales is not None:
+        kv_abs = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+        s = jnp.maximum(kv_abs, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(kv_new.astype(jnp.float32) / s),
+                     -128, 127).astype(jnp.int8)
+        flat = flat.at[rows].set(q.reshape(-1, D), mode="drop")
+        s_flat = cache.kv_scales.reshape(L * P * 2 * H * S)
+        s_flat = s_flat.at[rows].set(s.reshape(-1), mode="drop")
+        return PagedKVCache(
+            kv_pages=flat.reshape(L, P, 2, H, S, D),
+            kv_scales=s_flat.reshape(L, P, 2, H, S),
         )
 
-    dtype = cache.k_pages.dtype
-    k_flat = k_flat.at[rows].set(k_new.astype(dtype).reshape(-1, D), mode="drop")
-    v_flat = v_flat.at[rows].set(v_new.astype(dtype).reshape(-1, D), mode="drop")
-    return cache._replace(
-        k_pages=k_flat.reshape(L, P, H, S, D),
-        v_pages=v_flat.reshape(L, P, H, S, D),
-    )
+    dtype = cache.kv_pages.dtype
+    flat = flat.at[rows].set(kv_new.astype(dtype).reshape(-1, D), mode="drop")
+    return cache._replace(kv_pages=flat.reshape(L, P, 2, H, S, D))
 
 
 def gather_layer(cache: PagedKVCache, layer: int, block_tables: jnp.ndarray):
@@ -142,14 +142,11 @@ def gather_layer(cache: PagedKVCache, layer: int, block_tables: jnp.ndarray):
     block_tables: [B, pages_per_seq] int32. Returns (k, v) as
     [B, Hkv, pages_per_seq * page_size, D] bf16 (dequantized if int8).
     """
-    k = cache.k_pages[layer][block_tables]  # [B, P, H, S, D] (layer may be traced)
-    v = cache.v_pages[layer][block_tables]
-    B, P, H, S, D = k.shape
-    k = k.transpose(0, 2, 1, 3, 4).reshape(B, H, P * S, D)
-    v = v.transpose(0, 2, 1, 3, 4).reshape(B, H, P * S, D)
-    if cache.k_scales is not None:
-        ks = cache.k_scales[layer][block_tables].transpose(0, 2, 1, 3, 4).reshape(B, H, P * S, 1)
-        vs = cache.v_scales[layer][block_tables].transpose(0, 2, 1, 3, 4).reshape(B, H, P * S, 1)
-        k = (k.astype(jnp.float32) * ks).astype(jnp.bfloat16)
-        v = (v.astype(jnp.float32) * vs).astype(jnp.bfloat16)
-    return k, v
+    kv = cache.kv_pages[layer][block_tables]  # [B, P, 2, H, S, D]
+    B, P, _, H, S, D = kv.shape
+    kv = kv.transpose(2, 0, 3, 1, 4, 5).reshape(2, B, H, P * S, D)
+    if cache.kv_scales is not None:
+        sc = cache.kv_scales[layer][block_tables]
+        sc = sc.transpose(2, 0, 3, 1, 4).reshape(2, B, H, P * S, 1)
+        kv = (kv.astype(jnp.float32) * sc).astype(jnp.bfloat16)
+    return kv[0], kv[1]

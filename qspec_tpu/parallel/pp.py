@@ -58,9 +58,8 @@ def pp_param_pspecs(cfg, params):
 def pp_cache_pspec():
     from qspec_tpu.ops.kv_cache import PagedKVCache
     return PagedKVCache(
-        k_pages=P("pipe", None, "model", None, None),
-        v_pages=P("pipe", None, "model", None, None),
-        k_scales=None, v_scales=None)
+        kv_pages=P("pipe", None, None, "model", None, None),
+        kv_scales=None)
 
 
 def shard_params_pp(params, cfg, mesh: Mesh):
@@ -84,7 +83,7 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
 
-    L_local = cache.k_pages.shape[0]
+    L_local = cache.num_layers
     layer_ids = jnp.arange(L_local, dtype=jnp.int32)
 
     def run_slab(x, cache):
@@ -99,15 +98,12 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
 
     # naive schedule: stages take turns; non-owners pass x through untouched
     # but still trace the same program (SPMD)
-    new_k = cache.k_pages
-    new_v = cache.v_pages
+    new_kv = cache.kv_pages
     for s in range(num_stages):
         y, upd = run_slab(x, cache)
-        k_s, v_s = upd.k_pages, upd.v_pages
         mine = stage == s
         x = jnp.where(mine, y, x)
-        new_k = jnp.where(mine, k_s, new_k)
-        new_v = jnp.where(mine, v_s, new_v)
+        new_kv = jnp.where(mine, upd.kv_pages, new_kv)
         if s < num_stages - 1:
             # move activations to the next stage
             x = jax.lax.ppermute(x, "pipe",
@@ -118,7 +114,7 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     if num_stages > 1:
         x = jax.lax.psum(jnp.where(stage == num_stages - 1, x, 0.0), "pipe")
 
-    cache = cache._replace(k_pages=new_k, v_pages=new_v)
+    cache = cache._replace(kv_pages=new_kv)
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
     from qspec_tpu.models.llama import compute_logits

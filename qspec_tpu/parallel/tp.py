@@ -93,9 +93,8 @@ def cache_pspec():
     from qspec_tpu.ops.kv_cache import PagedKVCache
     # [L, pages, Hkv, page, D]: shard the kv heads
     return PagedKVCache(
-        k_pages=P(None, None, "model", None, None),
-        v_pages=P(None, None, "model", None, None),
-        k_scales=None, v_scales=None)
+        kv_pages=P(None, None, None, "model", None, None),
+        kv_scales=None)
 
 
 def shard_params(params, cfg: ModelConfig, mesh: Mesh):

@@ -16,10 +16,8 @@ def make_cache(rng, Hkv=2, P=16, S=8, D=64, L=1):
     cfg = kvc.KVCacheConfig(num_layers=L, num_kv_heads=Hkv, head_dim=D,
                             num_pages=P, page_size=S)
     cache = kvc.allocate(cfg)
-    k = rng.standard_normal(cache.k_pages.shape).astype(np.float32)
-    v = rng.standard_normal(cache.v_pages.shape).astype(np.float32)
-    return cache._replace(k_pages=jnp.asarray(k, jnp.bfloat16),
-                          v_pages=jnp.asarray(v, jnp.bfloat16))
+    kv = rng.standard_normal(cache.kv_pages.shape).astype(np.float32)
+    return cache._replace(kv_pages=jnp.asarray(kv, jnp.bfloat16))
 
 
 @pytest.mark.parametrize("Q", [1, 4])  # decode and verify widths
@@ -34,7 +32,7 @@ def test_pallas_matches_ref(rng, Q):
     scale = D ** -0.5
 
     ref = paged_attention_ref(q, cache, 0, block_tables, ctx_lens, scale)
-    out = paged_attention_pallas(q, cache.k_pages, cache.v_pages,
+    out = paged_attention_pallas(q, cache.kv_pages,
                                  block_tables, ctx_lens, scale,
                                  pages_per_chunk=2)
     np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -51,8 +49,8 @@ def test_causality_within_window(rng):
     ctx = jnp.asarray([Q + 4], jnp.int32)
     out = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5)
     # query 0 must be independent of kv positions > 4
-    k2 = cache.k_pages.at[0, 2].set(999.0)  # page id 2 holds positions 8..15
-    cache2 = cache._replace(k_pages=k2)
+    kv2 = cache.kv_pages.at[0, 2, 0].set(999.0)  # page id 2 holds positions 8..15
+    cache2 = cache._replace(kv_pages=kv2)
     out2 = paged_attention_ref(q, cache2, 0, tables, ctx, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out[:, 0], np.float32),
                                np.asarray(out2[:, 0], np.float32), atol=1e-6)
@@ -98,8 +96,7 @@ def test_padded_prefill_matches_exact(rng):
                    (64, [9, 4, 7, 2])]:
         cache = kvc.allocate(kcfg)
         # pollute an unused page to catch leaks
-        cache = cache._replace(k_pages=cache.k_pages.at[:, 30].set(5.0),
-                               v_pages=cache.v_pages.at[:, 30].set(-5.0))
+        cache = cache._replace(kv_pages=cache.kv_pages.at[:, 30].set(5.0))
         toks = np.zeros((1, Q), np.int32)
         toks[0, :P] = prompt
         tables = np.zeros((1, 16), np.int32)
@@ -137,8 +134,36 @@ def test_pallas_large_query_blocks(rng):
     ctx = jnp.asarray([Q + 30], jnp.int32)
     pos = jnp.arange(30, 30 + Q, dtype=jnp.int32)[None]
     ref = paged_attention_ref(q, cache, 0, tables, ctx, D ** -0.5, q_positions=pos)
-    out = paged_attention_pallas(q, cache.k_pages, cache.v_pages,
+    out = paged_attention_pallas(q, cache.kv_pages,
                                  tables, ctx, D ** -0.5, pages_per_chunk=4,
                                  q_positions=pos)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("Q", [1, 4])
+def test_pallas_int8_kv_matches_ref(rng, Q):
+    """int8 KV stays on the Pallas fast path: scales stream with the pages
+    and fold into score space (k) / probabilities (v)."""
+    B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
+    cfg = kvc.KVCacheConfig(num_layers=1, num_kv_heads=Hkv, head_dim=D,
+                            num_pages=16, page_size=S, dtype="int8")
+    cache = kvc.allocate(cfg)
+    # populate via update_layer so quantization matches production writes
+    T = 40
+    k_new = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((T, Hkv, D)), jnp.bfloat16)
+    slots = jnp.asarray(np.arange(T) + S, jnp.int32)  # pages 1..5
+    cache = kvc.update_layer(cache, 0, k_new, v_new, slots)
+
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    block_tables = jnp.asarray(np.tile(np.arange(1, 6), (B, 1)).astype(np.int32))
+    ctx_lens = jnp.asarray([Q + 3, S + Q, 3 * S + Q], jnp.int32)
+    scale = D ** -0.5
+
+    ref = paged_attention_ref(q, cache, 0, block_tables, ctx_lens, scale)
+    out = paged_attention_pallas(q, cache.kv_pages, block_tables, ctx_lens,
+                                 scale, kv_scales=cache.kv_scales)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=4e-2, rtol=4e-2)
