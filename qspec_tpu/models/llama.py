@@ -69,22 +69,35 @@ class AttentionBatch(NamedTuple):
     ctx_lens: jnp.ndarray      # [B] int32, includes the Q new tokens
 
 
-def _linear(x, w, scheme, xq=None):
-    """Dispatch one projection by scheme. w: dict with keys per scheme."""
+def _linear(x, w, scheme, xq=None, li=None):
+    """Dispatch one projection by scheme. w: dict with keys per scheme.
+
+    With ``li`` the weight leaves are layer-stacked [L, ...]: the Pallas
+    kernels stream tiles of layer ``li`` straight from the stacked HBM array
+    (scalar-prefetch index — see linear_kernels.py module docstring; a
+    scan-sliced operand would copy the whole ~100 MB slab every layer)."""
+    def _take(name):
+        v = w[name]
+        return v if li is None else v[li]
+
     if scheme == "bf16" or (scheme == "w4a16" and "qw" not in w):
         # second case: rotated-but-unquantized params (algebra testing)
         if x is None:
             from qspec_tpu.ops.quant import sym_dequant
             x = sym_dequant(xq)
-        out = jnp.dot(x, w["w"], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        out = jnp.dot(x, _take("w"), preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     elif scheme == "w4a16":
-        fn = matmul_w4a16 if backend_is_tpu() else matmul_w4a16_ref
-        out = fn(x, w["qw"], w["qs"])
+        if backend_is_tpu():
+            out = matmul_w4a16(x, w["qw"], w["qs"], layer_idx=li)
+        else:
+            out = matmul_w4a16_ref(x, _take("qw"), _take("qs"))
     else:  # w4a4 / w4a8: int activations on the int8 MXU pipe
-        fn = matmul_w4a4 if backend_is_tpu() else matmul_w4a4_ref
-        out = fn(xq.values, xq.scales, w["qw"], w["qs"])
+        if backend_is_tpu():
+            out = matmul_w4a4(xq.values, xq.scales, w["qw"], w["qs"], layer_idx=li)
+        else:
+            out = matmul_w4a4_ref(xq.values, xq.scales, _take("qw"), _take("qs"))
     if "b" in w:
-        out = out + w["b"].astype(out.dtype)[None, :]
+        out = out + _take("b").astype(out.dtype)[None, :]
     return out
 
 
@@ -127,19 +140,22 @@ def _mlp_hadamard(x, hK, hP):
     return (xf.reshape(x.shape) * (1.0 / math.sqrt(n))).astype(x.dtype)
 
 
-def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
+def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
                   rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
                   lora=None, lora_ids=None):
-    """One decoder layer. x: [T, H_local? no: hidden] bf16 (replicated across
-    the model axis); caches: (k_pages, v_pages) for this layer, local kv heads.
+    """One decoder layer. x: [T, hidden] bf16 (replicated across the model
+    axis); ``layers`` is the layer-STACKED param dict (leaves [L, ...]) and
+    ``layer_idx`` selects both the weight layer (in-kernel, no slab copy)
+    and the KV-cache layer.
 
-    Returns (x_out, (k_pages, v_pages)).
+    Returns (x_out, cache).
     """
     B, Q = batch.positions.shape
     T = B * Q
+    li = layer_idx
     quarot = cfg.quant == "w4"
-    gamma_in = None if quarot else layer["input_norm"]
-    gamma_post = None if quarot else layer["post_norm"]
+    gamma_in = None if quarot else layers["input_norm"][li]
+    gamma_post = None if quarot else layers["post_norm"][li]
 
     def _maybe_lora(name, x_fp, out):
         """Add the per-token LoRA delta (see qspec_tpu/lora/layers.py).
@@ -165,7 +181,7 @@ def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: Attention
 
     # --- attention block ---
     xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme)
-    qkv = _linear(xn, layer["qkv"], scheme, xq)  # [T, (q+2kv) local]
+    qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
     if lora is not None:
         qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
     q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
@@ -195,21 +211,21 @@ def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: Attention
                 idx = jax.lax.axis_index(axis_name)
                 vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * q_size_l, q_size_l, 1)
                 aq = aq._replace(values=vals)
-                o = _linear(None, layer["o"], scheme, aq)
+                o = _linear(None, layers["o"], scheme, aq, li)
             else:
                 idx = jax.lax.axis_index(axis_name)
                 loc = jax.lax.dynamic_slice_in_dim(attn_flat, idx * q_size_l, q_size_l, 1)
-                o = _linear(loc, layer["o"], scheme)
+                o = _linear(loc, layers["o"], scheme, li=li)
         else:
             attn = _head_hadamard(attn, hadamards["heads"])
             attn_flat = attn.reshape(T, q_size_l)
             if scheme in QUANT_ACT_SCHEMES:
-                o = _linear(None, layer["o"], scheme, _act_quant(attn_flat, scheme))
+                o = _linear(None, layers["o"], scheme, _act_quant(attn_flat, scheme), li)
             else:
-                o = _linear(attn_flat, layer["o"], scheme)
+                o = _linear(attn_flat, layers["o"], scheme, li=li)
     else:
         attn_flat = attn.reshape(T, q_size_l)
-        o = _linear(attn_flat, layer["o"], scheme)
+        o = _linear(attn_flat, layers["o"], scheme, li=li)
     if lora is not None:
         # input to o_proj: the (hadamard-rotated, pre-quant) flat attention;
         # every branch above leaves it in attn_flat
@@ -220,7 +236,7 @@ def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: Attention
 
     # --- mlp block ---
     xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme)
-    gate_up = _linear(xn, layer["gate_up"], scheme, xq)  # [T, 2*I/ntp]
+    gate_up = _linear(xn, layers["gate_up"], scheme, xq, li)  # [T, 2*I/ntp]
     if lora is not None:
         gate_up = _maybe_lora("gate_up", _fp_input(xn, xq), gate_up)
     i_local = gate_up.shape[-1] // 2
@@ -236,17 +252,17 @@ def decoder_layer(x, layer, cache, layer_idx, cfg: ModelConfig, batch: Attention
             if scheme in QUANT_ACT_SCHEMES:
                 aq = _act_quant(act, scheme)
                 vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * i_local, i_local, 1)
-                down = _linear(None, layer["down"], scheme, aq._replace(values=vals))
+                down = _linear(None, layers["down"], scheme, aq._replace(values=vals), li)
             else:
                 loc = jax.lax.dynamic_slice_in_dim(act, idx * i_local, i_local, 1)
-                down = _linear(loc, layer["down"], scheme)
+                down = _linear(loc, layers["down"], scheme, li=li)
         else:
             if scheme in QUANT_ACT_SCHEMES:
-                down = _linear(None, layer["down"], scheme, _act_quant(act, scheme))
+                down = _linear(None, layers["down"], scheme, _act_quant(act, scheme), li)
             else:
-                down = _linear(act, layer["down"], scheme)
+                down = _linear(act, layers["down"], scheme, li=li)
     else:
-        down = _linear(act, layer["down"], scheme)
+        down = _linear(act, layers["down"], scheme, li=li)
     if lora is not None:
         down = _maybe_lora("down", act, down)
     if axis_name is not None:
@@ -280,35 +296,36 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     hadamards = params.get("hadamards")
 
     # the cache rides the scan CARRY (aliased in place); xs carrying the
-    # cache made XLA double-buffer the whole thing every layer
+    # cache made XLA double-buffer the whole thing every layer. The stacked
+    # weights are NOT scanned as xs either — the kernels index the stacked
+    # HBM arrays by layer (scan-sliced operands cost a ~100 MB copy per
+    # layer, measured 671 -> 411 GB/s; see linear_kernels.py).
     use_lora = lora_ids is not None and "lora" in params
     tok_lora = (jnp.repeat(lora_ids, Q) if use_lora else None)
     L = cache.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
+    layers = params["layers"]
 
     if use_lora:
         def body(carry, xs):
             x, cache = carry
-            layer, lora_layer, li = xs
-            x, cache = decoder_layer(x, layer, cache, li, cfg,
+            lora_layer, li = xs
+            x, cache = decoder_layer(x, layers, cache, li, cfg,
                                      batch, rope_cache, hadamards, scheme,
                                      axis_name, lora=lora_layer,
                                      lora_ids=tok_lora)
             return (x, cache), None
 
         (x, cache), _ = jax.lax.scan(
-            body, (x, cache), (params["layers"], params["lora"]["layers"],
-                               layer_ids))
+            body, (x, cache), (params["lora"]["layers"], layer_ids))
     else:
-        def body(carry, xs):
+        def body(carry, li):
             x, cache = carry
-            layer, li = xs
-            x, cache = decoder_layer(x, layer, cache, li, cfg, batch,
+            x, cache = decoder_layer(x, layers, cache, li, cfg, batch,
                                      rope_cache, hadamards, scheme, axis_name)
             return (x, cache), None
 
-        (x, cache), _ = jax.lax.scan(
-            body, (x, cache), (params["layers"], layer_ids))
+        (x, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)
 
     if logits_indices is not None:
         flat = logits_indices + jnp.arange(B) * Q

@@ -19,6 +19,15 @@ structure XLA's own small-M matmul emitter uses). The SWAR weight tile
 first and second half of the activation's contraction dim (halves pairing —
 no sublane interleave), with the excess-8 bias folded out via a rowsum
 correction.
+
+Stacked-layer mode: the model stores each projection's weights for ALL
+layers as one [L, K//8, N] array and scans over layers. Passing the scanned
+slice as a kernel operand makes XLA materialize a copy of the ~100 MB slab
+every iteration (dynamic-slice into a custom-call operand cannot alias), a
+measured 671 -> 411 GB/s cliff. Instead the kernels accept the full stacked
+array plus a ``layer_idx`` scalar-prefetch argument and DMA tiles of layer
+``layer_idx`` directly from HBM (same pattern as the paged-attention kernel
+indexing the KV cache by layer) — measured back at 661 GB/s.
 """
 
 from __future__ import annotations
@@ -121,7 +130,7 @@ def _w4a16_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, out_ref):
                   * s_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def _w4a4_kernel(x_lo_ref, x_hi_ref, w_ref, sx_ref, sw_ref, out_ref):
+def _w4a4_kernel(x_lo_ref, x_hi_ref, sx_ref, w_ref, sw_ref, out_ref):
     lo_u, hi_u = _swar_planes(w_ref[:])
     x_lo = x_lo_ref[:]
     x_hi = x_hi_ref[:]
@@ -145,21 +154,85 @@ def _choose_bn(m: int, k_half: int, n: int, x_bytes: int):
     bn = min(n, 2048)
     while bn > 128 and 2 * k_half * bn > budget:
         bn //= 2
+    # deepen short grids: small-N shapes (qkv/o) at 2-3 tiles leave the
+    # first tile's DMA exposed and the pipeline shallow; >=8 stages measured
+    # ~10-20% faster on chip for N <= 8k
+    while bn > 128 and n // bn < 8:
+        bn //= 2
     while n % bn:
         bn //= 2
     return max(bn, 128)
 
 
+def _stacked_kernel(kernel):
+    """Wrap a 2-D-weight kernel so weight/scale refs carry a leading
+    layer-block dim of 1 (stacked mode); the scalar-prefetch ref holding the
+    layer index is consumed by the index maps only."""
+    def wrapped(li_ref, *refs):
+        *ins, w_ref, s_ref, out_ref = refs
+        kernel(*ins, w_ref.at[0], s_ref.at[0], out_ref)
+    return wrapped
+
+
+def _w4_pallas(kernel, xs, w_packed, w_scales, layer_idx, grid, bm, bn,
+               k_half, m_pad, n, out_dtype, extra_specs=(), cost=None):
+    """Shared pallas_call builder for the packed-int4 GEMMs: plain 2-D
+    weights, or stacked [L, K//8, N] weights indexed by ``layer_idx``
+    through scalar prefetch (no per-layer slab copy)."""
+    x_specs = [
+        pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+    ]
+    x_specs += list(extra_specs)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
+    if layer_idx is None:
+        specs = x_specs + [
+            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret_mode(), cost_estimate=cost,
+        )(*xs, w_packed, w_scales.reshape(1, -1))
+
+    def _shift(spec):
+        # re-home a 2-D spec's index_map to the 3-arg (i, j, li) form
+        f = spec.index_map
+        return pl.BlockSpec(spec.block_shape, lambda i, j, li, f=f: f(i, j))
+
+    specs = [_shift(s) for s in x_specs] + [
+        pl.BlockSpec((1, k_half // 4, bn), lambda i, j, li: (li[0], 0, j)),
+        pl.BlockSpec((1, 1, bn), lambda i, j, li: (li[0], 0, j)),
+    ]
+    L = w_packed.shape[0]
+    return pl.pallas_call(
+        _stacked_kernel(kernel),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=specs,
+            out_specs=pl.BlockSpec(out_spec.block_shape, lambda i, j, li: (i, j)),
+        ),
+        out_shape=out_shape, interpret=interpret_mode(), cost_estimate=cost,
+    )(jnp.atleast_1d(layer_idx).astype(jnp.int32), *xs, w_packed,
+      w_scales.reshape(L, 1, n))
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
-                 bias: Optional[jnp.ndarray] = None, *, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 bias: Optional[jnp.ndarray] = None, *, out_dtype=jnp.bfloat16,
+                 layer_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x [M, K] bf16 @ packed-int4 w [K//2, N] -> [M, N] out_dtype.
 
     M is padded to the sublane multiple internally; K and N must be multiples
     of 256 and 128 respectively (true for all supported model dims).
+    With ``layer_idx``, w_packed is the stacked [L, K//8, N] array and
+    w_scales [L, N]; tiles of layer ``layer_idx`` stream straight from HBM.
     """
     m, k = x.shape
-    k_words, n = w_packed.shape
+    if layer_idx is not None:
+        _, k_words, n = w_packed.shape
+    else:
+        k_words, n = w_packed.shape
     k_half = 4 * k_words
     assert k == 2 * k_half, (x.shape, w_packed.shape)
 
@@ -171,24 +244,13 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
     bn = _choose_bn(bm, k_half, n, 2)
     grid = (m_pad // bm, cdiv(n, bn))
 
-    out = pl.pallas_call(
-        _w4a16_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        interpret=interpret_mode(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n,
-            bytes_accessed=k_half * n + m_pad * k * 2 + m_pad * n * 2,
-            transcendentals=0,
-        ),
-    )(x, x, w_packed, w_scales.reshape(1, -1))
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n,
+        bytes_accessed=k_half * n + m_pad * k * 2 + m_pad * n * 2,
+        transcendentals=0,
+    )
+    out = _w4_pallas(_w4a16_kernel, (x, x), w_packed, w_scales, layer_idx,
+                     grid, bm, bn, k_half, m_pad, n, out_dtype, cost=cost)
     out = out[:m]
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)
@@ -252,10 +314,17 @@ def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
                 w_scales: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
-                *, out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Quantized activations [M, K] int8 x packed-int4 w [K//2, N] -> [M, N]."""
+                *, out_dtype=jnp.bfloat16,
+                layer_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Quantized activations [M, K] int8 x packed-int4 w [K//2, N] -> [M, N].
+
+    With ``layer_idx``, w_packed is stacked [L, K//8, N] / w_scales [L, N]
+    (see module docstring)."""
     m, k = x_q.shape
-    k_words, n = w_packed.shape
+    if layer_idx is not None:
+        _, k_words, n = w_packed.shape
+    else:
+        k_words, n = w_packed.shape
     k_half = 4 * k_words
     assert k == 2 * k_half, (x_q.shape, w_packed.shape)
 
@@ -268,25 +337,15 @@ def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
     bn = _choose_bn(bm, k_half, n, 1)
     grid = (m_pad // bm, cdiv(n, bn))
 
-    out = pl.pallas_call(
-        _w4a4_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        interpret=interpret_mode(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n,
-            bytes_accessed=k_half * n + m_pad * k + m_pad * n * 2,
-            transcendentals=0,
-        ),
-    )(x_q, x_q, w_packed, x_scales, w_scales.reshape(1, -1))
+    sx_spec = pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n,
+        bytes_accessed=k_half * n + m_pad * k + m_pad * n * 2,
+        transcendentals=0,
+    )
+    out = _w4_pallas(_w4a4_kernel, (x_q, x_q, x_scales), w_packed, w_scales,
+                     layer_idx, grid, bm, bn, k_half, m_pad, n, out_dtype,
+                     extra_specs=(sx_spec,), cost=cost)
     out = out[:m]
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)

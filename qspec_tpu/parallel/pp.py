@@ -87,13 +87,13 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     layer_ids = jnp.arange(L_local, dtype=jnp.int32)
 
     def run_slab(x, cache):
-        def body(carry, xs):
+        def body(carry, li):
             xc, cache = carry
-            layer, li = xs
-            xc, cache = decoder_layer(xc, layer, cache, li, cfg, batch,
-                                      rope_cache, hadamards, scheme, tp_axis)
+            xc, cache = decoder_layer(xc, params["layers"], cache, li, cfg,
+                                      batch, rope_cache, hadamards, scheme,
+                                      tp_axis)
             return (xc, cache), None
-        (y, cache), _ = jax.lax.scan(body, (x, cache), (params["layers"], layer_ids))
+        (y, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)
         return y, cache
 
     # naive schedule: stages take turns; non-owners pass x through untouched
