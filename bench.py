@@ -39,7 +39,8 @@ def build(model_size: str):
 
 
 def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
-             page_size=128, rounds=4, warmup=True, draft_scheme="w4a8"):
+             page_size=128, rounds=4, warmup=True, draft_scheme="w4a8",
+             method="qspec", spec_k=3):
     """One engine run. A short warmup pass (2 tokens per prompt) triggers all
     compiles so the timed run measures steady-state throughput."""
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
@@ -56,9 +57,10 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
                             steps_per_decode_call=1 if spec else rounds * 4)
     ec = EngineConfig(model=cfg, cache=CacheConfig(page_size=page_size),
                       scheduler=sched,
-                      speculative=SpeculativeConfig(num_speculative_tokens=3,
+                      speculative=SpeculativeConfig(num_speculative_tokens=spec_k,
                                                     rounds_per_step=rounds,
-                                                    draft_scheme=draft_scheme)
+                                                    draft_scheme=draft_scheme,
+                                                    method=method)
                       if spec else None)
 
     import os
@@ -111,9 +113,21 @@ def main():
     ap.add_argument("--max-num-seqs", type=int, default=4)
     ap.add_argument("--draft-scheme", default="w4a8",
                     choices=["w4a4", "w4a8", "w4a16"])
+    ap.add_argument("--proposer", default="both",
+                    choices=["model", "ngram", "both"],
+                    help="speculative proposer(s) to benchmark; the headline "
+                         "JSON reports the best of the runs")
+    ap.add_argument("--spec-k", type=int, default=None,
+                    help="speculative tokens per round (default 3 model / 4 ngram)")
     args = ap.parse_args()
 
     import jax
+
+    if args.quick:
+        # tiny-model smoke always runs on CPU (this env's sitecustomize
+        # pre-imports jax on the TPU platform; config.update is the only
+        # reliable post-import override)
+        jax.config.update("jax_platforms", "cpu")
 
     on_tpu = False
     try:
@@ -152,23 +166,41 @@ def main():
           f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s)",
           file=sys.stderr, flush=True)
 
-    sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
-                  max_num_seqs=args.max_num_seqs, draft_scheme=args.draft_scheme)
-    print(f"# qspec:    {sp['tokens_per_sec']:.2f} tok/s "
-          f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
-          f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)
+    runs = []
+    if args.proposer in ("model", "both"):
+        runs.append(("qspec", "qspec", args.spec_k or 3))
+    if args.proposer in ("ngram", "both"):
+        # the reference's prompt-lookup regime (ngram_worker.py): zero-cost
+        # proposals, so spec wins whenever acceptance beats the small
+        # verify-vs-decode overhead
+        runs.append(("ngram", "ngram", args.spec_k or 4))
 
-    mismatches = sum(1 for rid in sp["outputs"]
-                     if sp["outputs"][rid] != ar["outputs"].get(rid))
-    if mismatches:
-        print(f"# WARNING: {mismatches} greedy output mismatches spec vs AR",
-              file=sys.stderr, flush=True)
+    best = None
+    for label, method, k in runs:
+        sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
+                      max_num_seqs=args.max_num_seqs,
+                      draft_scheme=args.draft_scheme, method=method, spec_k=k)
+        print(f"# {label} (k={k}): {sp['tokens_per_sec']:.2f} tok/s "
+              f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
+              f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)
+
+        mismatches = sum(1 for rid in sp["outputs"]
+                         if sp["outputs"][rid] != ar["outputs"].get(rid))
+        if mismatches:
+            print(f"# WARNING: {mismatches} greedy output mismatches "
+                  f"{label} vs AR", file=sys.stderr, flush=True)
+        sp["label"], sp["k"], sp["mismatches"] = label, k, mismatches
+        if best is None or sp["tokens_per_sec"] > best["tokens_per_sec"]:
+            best = sp
 
     result = {
         "metric": "accepted_tokens_per_sec",
-        "value": round(sp["tokens_per_sec"], 2),
+        "value": round(best["tokens_per_sec"], 2),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(sp["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9), 3),
+        "vs_baseline": round(best["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9), 3),
+        "proposer": best["label"],
+        "ar_tokens_per_sec": round(ar["tokens_per_sec"], 2),
+        "greedy_mismatches": best["mismatches"],
     }
     print(json.dumps(result), flush=True)
 
