@@ -165,7 +165,11 @@ class SpeculativeConfig:
     # disable speculation above this batch size (reference
     # speculative_disable_by_batch_size)
     disable_by_batch_size: Optional[int] = None
-    method: str = "qspec"  # "qspec" | "ngram"
+    # "qspec": w4a4 model draft; "ngram": device-side prompt lookup
+    # (ngram_worker.py analogue); "null": same executable as "ngram" with
+    # proposals disabled — the bit-exact autoregressive oracle used to
+    # demonstrate lossless rejection sampling on hardware
+    method: str = "qspec"  # "qspec" | "ngram" | "null"
     # "rejection_sampler" (lossless) | "typical_acceptance_sampler" (lossy)
     acceptance_method: str = "rejection_sampler"
     ngram_prompt_lookup_max: int = 4

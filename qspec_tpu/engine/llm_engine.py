@@ -51,16 +51,15 @@ class LLMEngine:
                      * self.spec.rounds_per_step) if self.spec \
             else config.scheduler.steps_per_decode_call
 
-        self._ngram = None
-        if self.spec is not None and self.spec.method == "ngram":
-            from qspec_tpu.spec_decode.ngram import NgramProposer
-            self._ngram = NgramProposer(self.spec.ngram_prompt_lookup_min,
-                                        self.spec.ngram_prompt_lookup_max)
+        # "ngram"/"null" run the device-side fused proposer rounds (no draft
+        # model, no draft cache); "null" is the bit-exact AR oracle mode
+        self._ngram = (self.spec is not None
+                       and self.spec.method in ("ngram", "null"))
         if num_pages is None:
             num_pages = self._derive_num_pages()
         self.runner = ModelRunner(config, params, num_pages,
                                   need_draft_cache=self.spec is not None
-                                  and self._ngram is None,
+                                  and not self._ngram,
                                   mesh=mesh)
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
@@ -101,7 +100,7 @@ class LLMEngine:
             per_entry = 1 if cc.kv_cache_dtype == "int8" else 2
             page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
                           * mc.head_dim * per_entry)
-            n_caches = 2 if (self.spec is not None and self._ngram is None) else 1
+            n_caches = 2 if (self.spec is not None and not self._ngram) else 1
             fit = int(free // (page_bytes * n_caches))
             if fit <= 8:
                 return need
@@ -241,7 +240,7 @@ class LLMEngine:
     def _run_prefill(self, batch: ScheduledBatch) -> None:
         chunks = [(c.seq, c.start, c.end) for c in (batch.chunks or [batch.chunk])]
         logits = self.runner.run_prefill_chunks(chunks)
-        if self.spec is not None and self._ngram is None:
+        if self.spec is not None and not self._ngram:
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
             self.runner.run_prefill_chunks(chunks, draft=True)
@@ -289,9 +288,9 @@ class LLMEngine:
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
         t0 = time.perf_counter()
-        if self._ngram is not None:
-            proposals = self._ngram.propose_batch(seqs, k)
-            tokens, accepted, lps = self.runner.run_ngram_round(seqs, st, proposals)
+        if self._ngram:
+            tokens, accepted, lps = self.runner.run_ngram_rounds(
+                seqs, st, enable=self.spec.method == "ngram")
         else:
             tokens, accepted, lps = self.runner.run_spec_rounds(
                 seqs, st, k, num_rounds=self.spec.rounds_per_step)

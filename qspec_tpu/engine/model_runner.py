@@ -277,6 +277,67 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
     return toks, accs, lps, draft_cache, cache
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scheme", "k", "num_rounds", "nmin",
+                                    "nmax", "axis_name"),
+                   donate_argnames=("cache", "history"))
+def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
+                      start_pos, block_tables, max_new, enable, st, key, *, cfg,
+                      scheme, k, num_rounds=1, nmin=1, nmax=4, axis_name=None):
+    """`num_rounds` prompt-lookup speculation rounds in ONE executable.
+
+    TPU-native redesign of the reference's NGramWorker round
+    (vllm/spec_decode/ngram_worker.py): the host proposer costs one device
+    round-trip per round; here the token history is a device array
+    (``history`` [rows, Hmax], row per sequence slot, ``hist_rows`` [B]
+    mapping batch position -> row) and matching + one-hot verification +
+    rejection + history append all run on device (see ops/ngram.py).
+
+    ``enable`` is a TRACED scalar bool: False turns every proposal into -1
+    (always rejected), which makes this executable emit exactly one
+    autoregressive token per round THROUGH THE SAME COMPILED PROGRAM — the
+    bit-exact oracle for the greedy spec == greedy AR invariant on hardware
+    (reference tests/spec_decode/e2e/test_integration.py:34; separate
+    Q=1-shaped executables differ by bf16-amplified fusion-order ULPs).
+
+    Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs,
+    history, cache).
+    """
+    from qspec_tpu.ops.ngram import ngram_match_device
+    Hmax = history.shape[1]
+
+    def round_body(carry, round_key):
+        cache, history, last, pos, hlen, budget = carry
+        hist_b = history[hist_rows]
+        props = ngram_match_device(hist_b, hlen, k=k, nmin=nmin, nmax=nmax)
+        props = jnp.where(enable, props, -1)
+        d_probs = jax.nn.one_hot(props, cfg.vocab_size, dtype=jnp.float32)
+        result, cache = _verify_impl(
+            params, cache, last, props, d_probs, pos, block_tables, st,
+            round_key, cfg=cfg, scheme=scheme, axis_name=axis_name)
+        acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
+        active = budget > 0
+        acc = jnp.where(active, jnp.maximum(acc, 1), 0)
+        slots = jnp.arange(k + 1)[None, :]
+        toks = jnp.where(slots < acc[:, None], result.tokens, -1)
+        lps = jnp.where(slots < acc[:, None], result.token_logprobs, 0.0)
+        # append accepted tokens to each row's device history (OOB -> drop)
+        cols = jnp.where(slots < acc[:, None], hlen[:, None] + slots, Hmax)
+        history = history.at[hist_rows[:, None], cols].set(
+            jnp.maximum(toks, 0), mode="drop")
+        gather_idx = jnp.maximum(acc - 1, 0)[:, None]
+        new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
+        new_last = jnp.where(active, new_last, last)
+        return ((cache, history, new_last, pos + acc, hlen + acc,
+                 budget - acc), (toks, acc, lps))
+
+    keys = jax.random.split(key, num_rounds)
+    (cache, history, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
+        round_body, (cache, history, last_tokens, start_pos, hist_len, max_new),
+        keys)
+    return toks, accs, lps, history, cache
+
+
 # ---------------------------------------------------------------------------
 # Runner: host-side padding/bucketing + cache ownership
 # ---------------------------------------------------------------------------
@@ -340,7 +401,25 @@ class ModelRunner:
                 "verify_onehot": functools.partial(
                     verify_step_onehot, cfg=self.cfg,
                     scheme=self._verify_scheme),
+                "ngram_rounds": functools.partial(
+                    ngram_rounds_step, cfg=self.cfg,
+                    scheme=self._verify_scheme, k=k, num_rounds=rounds,
+                    nmin=(config.speculative.ngram_prompt_lookup_min
+                          if config.speculative else 1),
+                    nmax=(config.speculative.ngram_prompt_lookup_max
+                          if config.speculative else 4)),
             }
+        # device-side token history for the fused ngram/null proposer rounds
+        # (rows assigned per sequence; see run_ngram_rounds)
+        self._hist = None
+        self._hist_slot: dict = {}
+        self._hist_synced: dict = {}
+        if config.speculative is not None and \
+                config.speculative.method in ("ngram", "null"):
+            rows = max(config.scheduler.decode_batch_buckets)
+            hmax = (config.scheduler.max_model_len
+                    + (k + 1) * max(rounds, 1) + 8)
+            self._hist = jnp.zeros((rows, hmax), jnp.int32)
 
     # -- helpers ----------------------------------------------------------
     def _lora_ids(self, seqs, bucket: int):
@@ -492,6 +571,63 @@ class ModelRunner:
         n = len(seqs)
         return (np.asarray(toks)[:, :n], np.asarray(accs)[:, :n],
                 np.asarray(lps)[:, :n])
+
+    def _hist_row_for(self, seq, live_ids) -> int:
+        """Assign (or reuse) a device-history row for a sequence; evict rows
+        of sequences not in the current batch when full."""
+        sid = seq.seq_id
+        if sid in self._hist_slot:
+            return self._hist_slot[sid]
+        used = set(self._hist_slot.values())
+        row = next((r for r in range(self._hist.shape[0]) if r not in used), None)
+        if row is None:
+            victim = next(s for s in self._hist_slot if s not in live_ids)
+            row = self._hist_slot.pop(victim)
+            self._hist_synced.pop(victim, None)
+        self._hist_slot[sid] = row
+        return row
+
+    def run_ngram_rounds(self, seqs, sampling: SamplingTensors,
+                         enable: bool = True):
+        """Fused device-side prompt-lookup rounds (one host call for
+        num_rounds * (k+1) potential tokens). ``enable=False`` runs the same
+        executable with null proposals — the bit-exact AR oracle.
+
+        Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs).
+        """
+        B = self._bucket_batch(len(seqs))
+        live_ids = {s.seq_id for s in seqs}
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
+        hist_rows = np.zeros(B, np.int32)
+        hist_len = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
+            tables[i] = s.page_ids
+            row = self._hist_row_for(s, live_ids)
+            if self._hist_synced.get(s.seq_id) != s.num_tokens:
+                toks = jnp.asarray(np.asarray(s.token_ids, np.int32))
+                self._hist = self._hist.at[row, :len(s.token_ids)].set(toks)
+                self._hist_synced[s.seq_id] = s.num_tokens
+            hist_rows[i] = row
+            hist_len[i] = s.num_tokens
+        st = _pad_sampling(sampling, len(seqs), B)
+        toks, accs, lps, self._hist, self.cache = self.fns["ngram_rounds"](
+            self.params, self.cache, self._hist, jnp.asarray(hist_rows),
+            jnp.asarray(hist_len), jnp.asarray(last), jnp.asarray(pos),
+            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
+            jnp.asarray(bool(enable)), st, self._next_key())
+        toks, accs, lps = jax.device_get((toks, accs, lps))
+        n = len(seqs)
+        accs = np.asarray(accs)
+        for i, s in enumerate(seqs):
+            self._hist_synced[s.seq_id] = int(self._hist_synced[s.seq_id]
+                                              + accs[:, i].sum())
+        return np.asarray(toks)[:, :n], accs[:, :n], np.asarray(lps)[:, :n]
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,
                         draft_tokens: np.ndarray):

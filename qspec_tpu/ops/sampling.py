@@ -198,12 +198,14 @@ def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
     B, k = draft_tokens.shape
     u_key, rec_key, bonus_key = jax.random.split(key, 3)
 
-    p_at_d = jnp.take_along_axis(target_probs[:, :k], draft_tokens[..., None],
-                                 axis=-1).squeeze(-1)  # [B, k]
-    q_at_d = jnp.take_along_axis(draft_probs, draft_tokens[..., None],
-                                 axis=-1).squeeze(-1)
+    d_safe = jnp.maximum(draft_tokens, 0)[..., None]
+    p_at_d = jnp.take_along_axis(target_probs[:, :k], d_safe, axis=-1).squeeze(-1)
+    q_at_d = jnp.take_along_axis(draft_probs, d_safe, axis=-1).squeeze(-1)
     u = jax.random.uniform(u_key, (B, k))
     accept = u < jnp.minimum(1.0, p_at_d / jnp.maximum(q_at_d, 1e-30))
+    # a -1 slot means "no proposal" (ngram miss / null proposer): always
+    # rejected, and q=0 there must not turn into an inf acceptance ratio
+    accept = accept & (draft_tokens >= 0) & (q_at_d > 0)
 
     # number of leading accepts
     rejected = ~accept

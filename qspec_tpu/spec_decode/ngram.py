@@ -53,9 +53,9 @@ class NgramProposer:
         return None
 
     def propose_batch(self, seqs, k: int) -> np.ndarray:
-        """[B, k] proposals; sequences with no match get token 0 repeated
-        (their proposals will simply be rejected)."""
-        out = np.zeros((len(seqs), k), np.int32)
+        """[B, k] proposals; sequences with no match get -1 (the rejection
+        sampler always rejects -1 slots)."""
+        out = np.full((len(seqs), k), -1, np.int32)
         for i, s in enumerate(seqs):
             p = self.propose(s.token_ids, k)
             if p is not None:
