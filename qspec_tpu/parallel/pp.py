@@ -8,11 +8,14 @@ along a "pipe" mesh axis: each device owns a contiguous layer slab (and its
 KV-cache slab), and activations move between stages with a single
 `jax.lax.ppermute` per stage boundary.
 
-Round-1 scope: correctness + compile validation (the driver's multi-chip
-dryrun). The schedule is the naive sequential one — stage s computes while
-the others idle — which is what one (B, Q) rectangle allows; interleaving
-microbatches across stages (the reference's virtual-engine trick) is the
-round-2 throughput work and slots into the same sharding.
+The schedule is microbatched (GPipe/1F-style, the analogue of the
+reference's virtual engines + IntermediateTensors pipelining,
+vllm/worker/worker_base.py, vllm/distributed/parallel_state.py:892): the
+batch splits into M microbatches and the tick loop runs M + S - 1 ticks; at
+tick t, stage s runs ONLY its own layer slab on microbatch t - s, then a
+single ppermute advances every in-flight activation one stage. Per-device
+work per forward is (M + S - 1)/M slab passes (→ 1 as M grows) instead of
+the naive schedule's S passes, and all stages compute concurrently.
 
 Param/cache layout: every per-layer leaf keeps its stacked [L, ...] shape
 and is sharded on the layer axis with L % num_stages == 0; shard_map then
@@ -69,52 +72,87 @@ def shard_params_pp(params, cfg, mesh: Mesh):
 
 
 def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
-                num_stages: int, tp_axis):
-    """Stage-sharded forward: runs inside shard_map with axes
+                num_stages: int, num_micro: int, tp_axis):
+    """Stage-sharded microbatched forward: runs inside shard_map with axes
     ('pipe', 'model'). params['layers'] and the cache hold this stage's
-    layer slab; x is threaded stage to stage with ppermute."""
-    from qspec_tpu.models.llama import decoder_layer, model_forward
+    layer slab; activations flow stage to stage with one ppermute per tick.
+
+    The batch axis splits into ``num_micro`` microbatches. Tick t: stage s
+    processes microbatch m = t - s (bubble when m is out of range — its
+    KV writes are routed to the reserved null page 0 and its output is
+    dropped). After M + S - 1 ticks every microbatch has crossed all
+    stages; the last stage's activations are gathered and the shared head
+    runs once over the full batch.
+    """
+    from qspec_tpu.models.llama import AttentionBatch, decoder_layer
     from qspec_tpu.ops.rmsnorm_quant import rmsnorm
 
     B, Q = token_ids.shape
+    assert B % num_micro == 0, (B, num_micro)
+    Bm = B // num_micro
     stage = jax.lax.axis_index("pipe")
-    x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
 
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
-
     L_local = cache.num_layers
     layer_ids = jnp.arange(L_local, dtype=jnp.int32)
 
-    def run_slab(x, cache):
+    def mb(v):  # [B, ...] -> [num_micro, Bm, ...]
+        return v.reshape((num_micro, Bm) + v.shape[1:])
+
+    toks = mb(token_ids)
+    pos = mb(batch.positions)
+    slots = mb(batch.slot_mapping)
+    tables = mb(batch.block_tables)
+    ctx = mb(batch.ctx_lens)
+
+    def run_slab(x, cache, bmeta):
         def body(carry, li):
             xc, cache = carry
             xc, cache = decoder_layer(xc, params["layers"], cache, li, cfg,
-                                      batch, rope_cache, hadamards, scheme,
+                                      bmeta, rope_cache, hadamards, scheme,
                                       tp_axis)
             return (xc, cache), None
         (y, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)
         return y, cache
 
-    # naive schedule: stages take turns; non-owners pass x through untouched
-    # but still trace the same program (SPMD)
-    new_kv = cache.kv_pages
-    for s in range(num_stages):
-        y, upd = run_slab(x, cache)
-        mine = stage == s
-        x = jnp.where(mine, y, x)
-        new_kv = jnp.where(mine, upd.kv_pages, new_kv)
-        if s < num_stages - 1:
-            # move activations to the next stage
-            x = jax.lax.ppermute(x, "pipe",
-                                 [(i, (i + 1) % num_stages)
-                                  for i in range(num_stages)])
-    # bring the final activations back to every stage for the shared head
-    # (broadcast-from-last = psum of the masked value)
-    if num_stages > 1:
-        x = jax.lax.psum(jnp.where(stage == num_stages - 1, x, 0.0), "pipe")
+    n_ticks = num_micro + num_stages - 1
+    fwd = [(i, (i + 1) % num_stages) for i in range(num_stages)]
 
-    cache = cache._replace(kv_pages=new_kv)
+    def tick(carry, t):
+        x_hold, cache, x_final = carry
+        m = t - stage
+        valid = (m >= 0) & (m < num_micro)
+        mc = jnp.clip(m, 0, num_micro - 1)
+        # stage 0 ingests a fresh microbatch; others keep what ppermute
+        # delivered last tick
+        x_in = jnp.where(stage == 0,
+                         params["embed"][toks[mc].reshape(-1)].astype(jnp.bfloat16),
+                         x_hold)
+        bmeta = AttentionBatch(
+            positions=pos[mc],
+            slot_mapping=jnp.where(valid, slots[mc], 0),
+            block_tables=tables[mc],
+            ctx_lens=jnp.where(valid, ctx[mc], 0))
+        y, cache = run_slab(x_in, cache, bmeta)
+        # last stage banks the finished microbatch's activations
+        done = valid & (stage == num_stages - 1)
+        upd = jnp.where(done, y, x_final[mc])
+        x_final = jax.lax.dynamic_update_index_in_dim(x_final, upd, mc, 0)
+        if num_stages > 1:
+            y = jax.lax.ppermute(y, "pipe", fwd)
+        return (y, cache, x_final), None
+
+    x0 = jnp.zeros((Bm * Q, cfg.hidden_size), jnp.bfloat16)
+    xf0 = jnp.zeros((num_micro, Bm * Q, cfg.hidden_size), jnp.bfloat16)
+    (_, cache, x_final), _ = jax.lax.scan(
+        tick, (x0, cache, xf0), jnp.arange(n_ticks, dtype=jnp.int32))
+
+    # broadcast-from-last for the replicated head (psum of the masked value)
+    x = x_final.reshape(B * Q, cfg.hidden_size)
+    if num_stages > 1:
+        x = jax.lax.psum(jnp.where(stage == num_stages - 1, x, 0), "pipe")
+
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
     from qspec_tpu.models.llama import compute_logits
@@ -124,8 +162,15 @@ def _forward_pp(params, cfg, token_ids, cache, batch, *, scheme,
     return logits.reshape(B, Q, -1), cache
 
 
-def make_pp_prefill(mesh: Mesh, cfg, params, scheme: str = "w4a16"):
-    """Compile a PP-sharded prefill step (capability/dryrun entry point)."""
+def make_pp_prefill(mesh: Mesh, cfg, params, scheme: str = "w4a16",
+                    num_micro: int | None = None):
+    """Compile a PP-sharded prefill step (capability/dryrun entry point).
+
+    ``num_micro``: pipeline microbatches (must divide the batch; default =
+    the largest divisor of B that is <= 2*num_stages, so the bubble
+    fraction (S-1)/(M+S-1) stays small without shrinking microbatches to
+    nothing)."""
+    import math
     from jax.experimental.shard_map import shard_map
     from qspec_tpu.models.llama import AttentionBatch
     from qspec_tpu.engine.model_runner import _slot_of
@@ -138,16 +183,22 @@ def make_pp_prefill(mesh: Mesh, cfg, params, scheme: str = "w4a16"):
 
     def impl(params, cache, token_ids, positions, block_tables, ctx_len):
         page_size = cache.page_size
-        Q = token_ids.shape[1]
+        B, Q = token_ids.shape
+        if num_micro is not None:
+            M = num_micro
+        else:
+            M = max(d for d in range(1, B + 1)
+                    if B % d == 0 and d <= 2 * num_stages)
         valid = positions < ctx_len[:, None]
         slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
         batch = AttentionBatch(positions=positions, slot_mapping=slot,
                                block_tables=block_tables, ctx_lens=ctx_len)
         logits, cache = _forward_pp(params, cfg, token_ids, cache, batch,
                                     scheme=scheme, num_stages=num_stages,
+                                    num_micro=M,
                                     tp_axis="model" if tp > 1 else None)
-        last = jnp.clip(ctx_len[0] - 1 - positions[0, 0], 0, Q - 1)
-        return logits[:, last], cache
+        last = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
+        return logits[jnp.arange(B), last], cache
 
     mapped = shard_map(impl, mesh=mesh,
                        in_specs=(pspecs, cspec, R, R, R, R),

@@ -24,14 +24,19 @@ def test_pp_prefill_matches_single(rng, pp, tp):
     params_ref = init_params(cfg, seed=0, tp_size=1)
 
     kcfg = kvc.KVCacheConfig(cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
-                             num_pages=16, page_size=16)
-    T = 12
-    toks = np.zeros((1, 32), np.int32)
-    toks[0, :T] = rng.integers(1, 500, size=T)
-    positions = np.arange(32, dtype=np.int32)[None]
-    tables = np.zeros((1, 8), np.int32)
-    tables[0, :2] = [1, 2]
-    ctx = np.asarray([T], np.int32)
+                             num_pages=32, page_size=16)
+    # 4 sequences -> the microbatched schedule runs 4 microbatches through
+    # the 2-stage pipe (5 ticks, incl. 2 bubble slots routed to null page 0)
+    B, T = 4, 12
+    toks = np.zeros((B, 32), np.int32)
+    positions = np.tile(np.arange(32, dtype=np.int32)[None], (B, 1))
+    tables = np.zeros((B, 8), np.int32)
+    ctx = np.zeros((B,), np.int32)
+    for b in range(B):
+        t = T - b  # staggered lengths exercise per-microbatch metadata
+        toks[b, :t] = rng.integers(1, 500, size=t)
+        tables[b, :2] = [1 + 2 * b, 2 + 2 * b]
+        ctx[b] = t
 
     # single chip reference
     cache0 = kvc.allocate(kcfg)
