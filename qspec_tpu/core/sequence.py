@@ -54,6 +54,13 @@ class Sequence:
     pending_page_hashes: List[tuple] = field(default_factory=list)
     # final text override set when a stop *string* fired mid-token
     stop_text: Optional[str] = None
+    # grammar-guided decoding: compiled token FSM (guided/tokenfsm.TokenFSM)
+    # and the automaton state after the tokens emitted so far. The device
+    # loops advance their own state copies; the host mirror here advances in
+    # append_token, so batches can restart mid-generation (preemption,
+    # bucket changes) without a device read-back.
+    grammar_fsm: Optional[object] = None
+    grammar_state: int = 0
 
     @property
     def num_tokens(self) -> int:
@@ -91,6 +98,10 @@ class Sequence:
     def append_token(self, token_id: int, logprob: float = 0.0) -> None:
         self.output_token_ids.append(token_id)
         self.output_logprobs.append(logprob)
+        if self.grammar_fsm is not None and self.grammar_state >= 0:
+            ns = self.grammar_fsm.next_state
+            if 0 <= token_id < ns.shape[1]:
+                self.grammar_state = int(ns[self.grammar_state, token_id])
 
     def check_stop(self, eos_token_id: Optional[int]) -> None:
         sp = self.sampling_params

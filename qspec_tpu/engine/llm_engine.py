@@ -40,12 +40,17 @@ class RequestOutput:
 
 class LLMEngine:
     def __init__(self, config: EngineConfig, params, num_pages: Optional[int] = None,
-                 eos_token_id: Optional[int] = None, tokenizer=None, mesh=None):
+                 eos_token_id: Optional[int] = None, tokenizer=None, mesh=None,
+                 grammar_vocab=None):
         from qspec_tpu.utils import enable_persistent_compile_cache
         enable_persistent_compile_cache()
         self.config = config
         self.eos_token_id = eos_token_id
         self.tokenizer = tokenizer
+        # token-id -> emitted bytes, for grammar-guided decoding; derived
+        # lazily from the tokenizer if not provided
+        self._grammar_vocab = grammar_vocab
+        self._grammar_compiler = None
         self.spec = config.speculative
         lookahead = ((self.spec.num_speculative_tokens + 1)
                      * self.spec.rounds_per_step) if self.spec \
@@ -118,10 +123,33 @@ class LLMEngine:
         self._next_id = max(self._next_id, rid + 1)
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
                        sampling_params=sampling_params, lora_id=lora_id)
+        sp = sampling_params
+        if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
+            gc = self._get_grammar_compiler()
+            if sp.guided_regex:
+                seq.grammar_fsm = gc.from_regex(sp.guided_regex)
+            elif sp.guided_json is not None:
+                seq.grammar_fsm = gc.from_json_schema(sp.guided_json)
+            else:
+                seq.grammar_fsm = gc.from_choice(sp.guided_choice)
         self.scheduler.add_seq(seq)
         from qspec_tpu.tracing import RequestTrace
         self._traces[rid] = RequestTrace()
         return rid
+
+    def _get_grammar_compiler(self):
+        if self._grammar_compiler is None:
+            if self._grammar_vocab is None:
+                if self.tokenizer is None:
+                    raise ValueError(
+                        "guided decoding needs a tokenizer or grammar_vocab "
+                        "(token-id -> bytes) at engine construction")
+                from qspec_tpu.guided import hf_vocab_bytes
+                self._grammar_vocab = hf_vocab_bytes(self.tokenizer)
+            from qspec_tpu.guided import GrammarCompiler
+            self._grammar_compiler = GrammarCompiler(self._grammar_vocab,
+                                                     self.eos_token_id)
+        return self._grammar_compiler
 
     def abort_request(self, request_id: int) -> None:
         self.scheduler.abort_seq(request_id)

@@ -27,7 +27,7 @@ from qspec_tpu.config import EngineConfig
 from qspec_tpu.models.llama import AttentionBatch, model_forward
 from qspec_tpu.ops import kv_cache as kvc
 from qspec_tpu.ops.sampling import (RejectionResult, SamplingTensors,
-                                    rejection_sample, sample,
+                                    grammar_advance, rejection_sample, sample,
                                     sample_with_logprob, sampling_probs)
 
 
@@ -103,7 +103,7 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
     page_size = cache.page_size
 
     def body(carry, step_key):
-        cache, tok, pos, budget = carry
+        cache, tok, pos, budget, g = carry
         p = pos[:, None]
         slot = _slot_of(block_tables, p, page_size)
         batch = AttentionBatch(positions=p, slot_mapping=slot,
@@ -111,25 +111,40 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
                                       scheme=scheme, axis_name=axis_name,
                                       lora_ids=lora_ids)
-        nxt, lp = sample_with_logprob(logits[:, 0], st, step_key)
+        nxt, lp = sample_with_logprob(logits[:, 0], st, step_key, g)
         active = budget > 0
         out = jnp.where(active, nxt, -1)
         new_tok = jnp.where(active, nxt, tok)
+        g = jnp.where(active, grammar_advance(st, g, nxt), g) \
+            if g is not None else None
         return (cache, new_tok, pos + active.astype(jnp.int32),
-                budget - active.astype(jnp.int32)), (out, lp)
+                budget - active.astype(jnp.int32), g), (out, lp)
 
     keys = jax.random.split(key, num_steps)
-    (cache, _, _, _), (toks, lps) = jax.lax.scan(
-        body, (cache, last_tokens, start_pos, max_new), keys)
+    (cache, _, _, _, _), (toks, lps) = jax.lax.scan(
+        body, (cache, last_tokens, start_pos, max_new, st.grammar_state), keys)
     return toks, lps, cache
 
 
+def _grammar_advance_emitted(st, g, toks):
+    """Advance grammar states through one round's emitted tokens
+    (toks [B, k+1], -1 past accepted_len)."""
+    if g is None:
+        return None
+    for i in range(toks.shape[1]):
+        t = toks[:, i]
+        g = jnp.where(t >= 0, grammar_advance(st, g, jnp.maximum(t, 0)), g)
+    return g
+
+
 def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
-                *, cfg, scheme, k, axis_name=None, lora_ids=None):
+                *, cfg, scheme, k, axis_name=None, lora_ids=None, gstate=None):
     page_size = cache.page_size
+    if gstate is None:
+        gstate = st.grammar_state
 
     def body(carry, step_key):
-        cache, tok, pos = carry
+        cache, tok, pos, g = carry
         p = pos[:, None]
         slot = _slot_of(block_tables, p, page_size)
         batch = AttentionBatch(positions=p, slot_mapping=slot,
@@ -137,13 +152,16 @@ def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
                                       scheme=scheme, axis_name=axis_name,
                                       lora_ids=lora_ids)
-        probs = sampling_probs(logits[:, 0], st)
-        nxt = sample(logits[:, 0], st, step_key)
-        return (cache, nxt, pos + 1), (nxt, probs)
+        # grammar-mask the draft distribution too: proposals stay inside the
+        # grammar, so guided speculation keeps its acceptance rate
+        probs = sampling_probs(logits[:, 0], st, g)
+        nxt = sample(logits[:, 0], st, step_key, g)
+        g = grammar_advance(st, g, nxt) if g is not None else None
+        return (cache, nxt, pos + 1, g), (nxt, probs)
 
     keys = jax.random.split(key, k)
-    (cache, _, _), (toks, probs) = jax.lax.scan(
-        body, (cache, last_tokens, start_pos), keys)
+    (cache, _, _, _), (toks, probs) = jax.lax.scan(
+        body, (cache, last_tokens, start_pos, gstate), keys)
     return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(probs, 0, 1), cache
 
 
@@ -164,7 +182,7 @@ def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
 
 def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
                  block_tables, st, key, *, cfg, scheme, axis_name=None,
-                 acceptance="rejection_sampler", lora_ids=None):
+                 acceptance="rejection_sampler", lora_ids=None, gstate=None):
     page_size = cache.page_size
     B, k = draft_tokens.shape
     tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
@@ -183,8 +201,23 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
         min_p=jnp.repeat(st.min_p, k + 1),
         vocab_mask=st.vocab_mask,  # sampling_probs row-repeats 2D arrays
         logit_bias=st.logit_bias,
+        grammar_next=st.grammar_next,
+        grammar_idx=st.grammar_idx,
     )
-    target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep)
+    if gstate is None:
+        gstate = st.grammar_state
+    pos_states = None
+    if st.grammar_next is not None and gstate is not None:
+        # spec-mode re-masking: position i's target distribution is masked by
+        # the automaton state reached through draft tokens 0..i-1 (reference
+        # concept: guided logits processors applied per proposal position)
+        states = [gstate]
+        for i in range(k):
+            states.append(grammar_advance(
+                st, states[-1], jnp.maximum(draft_tokens[:, i], 0)))
+        pos_states = jnp.stack(states, axis=1).reshape(B * (k + 1))
+    target_probs = sampling_probs(logits.reshape(B * (k + 1), V), st_rep,
+                                  pos_states)
     target_probs = target_probs.reshape(B, k + 1, V)
     if acceptance == "typical_acceptance_sampler":
         from qspec_tpu.ops.sampling import typical_acceptance_sample
@@ -246,16 +279,16 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
     """
 
     def round_body(carry, round_key):
-        draft_cache, cache, last, pos, budget = carry
+        draft_cache, cache, last, pos, budget, g = carry
         dk, vk = jax.random.split(round_key)
         d_toks, d_probs, draft_cache = _draft_impl(
             params, draft_cache, last, pos, block_tables, st, dk,
             cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name,
-            lora_ids=lora_ids)
+            lora_ids=lora_ids, gstate=g)
         result, cache = _verify_impl(
             params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
             cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
-            acceptance=acceptance, lora_ids=lora_ids)
+            acceptance=acceptance, lora_ids=lora_ids, gstate=g)
         # budget mask: emit at most `budget` more tokens per seq
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
         active = budget > 0
@@ -268,12 +301,14 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
         new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
         new_last = jnp.where(active, new_last, last)
         new_pos = pos + acc
-        return ((draft_cache, cache, new_last, new_pos, budget - acc),
+        g = _grammar_advance_emitted(st, g, toks)
+        return ((draft_cache, cache, new_last, new_pos, budget - acc, g),
                 (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (draft_cache, cache, _, _, _), (toks, accs, lps) = jax.lax.scan(
-        round_body, (draft_cache, cache, last_tokens, start_pos, max_new), keys)
+    (draft_cache, cache, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
+        round_body, (draft_cache, cache, last_tokens, start_pos, max_new,
+                     st.grammar_state), keys)
     return toks, accs, lps, draft_cache, cache
 
 
@@ -307,14 +342,14 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
     Hmax = history.shape[1]
 
     def round_body(carry, round_key):
-        cache, history, last, pos, hlen, budget = carry
+        cache, history, last, pos, hlen, budget, g = carry
         hist_b = history[hist_rows]
         props = ngram_match_device(hist_b, hlen, k=k, nmin=nmin, nmax=nmax)
         props = jnp.where(enable, props, -1)
         d_probs = jax.nn.one_hot(props, cfg.vocab_size, dtype=jnp.float32)
         result, cache = _verify_impl(
             params, cache, last, props, d_probs, pos, block_tables, st,
-            round_key, cfg=cfg, scheme=scheme, axis_name=axis_name)
+            round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g)
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
         active = budget > 0
         acc = jnp.where(active, jnp.maximum(acc, 1), 0)
@@ -328,12 +363,14 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
         gather_idx = jnp.maximum(acc - 1, 0)[:, None]
         new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
         new_last = jnp.where(active, new_last, last)
+        g = _grammar_advance_emitted(st, g, toks)
         return ((cache, history, new_last, pos + acc, hlen + acc,
-                 budget - acc), (toks, acc, lps))
+                 budget - acc, g), (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (cache, history, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
-        round_body, (cache, history, last_tokens, start_pos, hist_len, max_new),
+    (cache, history, _, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
+        round_body, (cache, history, last_tokens, start_pos, hist_len, max_new,
+                     st.grammar_state),
         keys)
     return toks, accs, lps, history, cache
 
@@ -677,6 +714,13 @@ def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
         bb = np.zeros((bucket, bias.shape[1]), np.float32)
         bb[:n] = np.asarray(bias)[:n]
         bias = jnp.asarray(bb)
+    gnext, gidx, gstate = st.grammar_next, None, None
+    if gnext is not None:
+        gi = np.full(bucket, -1, np.int32)
+        gi[:n] = np.asarray(st.grammar_idx)[:n]
+        gs = np.zeros(bucket, np.int32)
+        gs[:n] = np.asarray(st.grammar_state)[:n]
+        gnext, gidx, gstate = jnp.asarray(gnext), jnp.asarray(gi), jnp.asarray(gs)
     return SamplingTensors(
         temperature=pad(np.asarray(st.temperature), 0.0),
         top_k=pad(np.asarray(st.top_k, np.int32), 0),
@@ -684,6 +728,9 @@ def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:
         min_p=pad(np.asarray(st.min_p), 0.0),
         vocab_mask=mask,
         logit_bias=bias,
+        grammar_next=gnext,
+        grammar_idx=gidx,
+        grammar_state=gstate,
     )
 
 
@@ -732,6 +779,27 @@ def make_sampling_tensors(seqs, vocab_size: Optional[int] = None,
                     t = int(tok)
                     if 0 <= t < vocab_size:
                         bias[i, t] += float(b)
+    gnext = gidx = gstate = None
+    if any(getattr(s, "grammar_fsm", None) is not None for s in seqs):
+        # stack the distinct grammars (dedup by object identity), pad state
+        # axes to the largest automaton; -1 rows stay "banned everywhere"
+        fsms, which = [], []
+        for s in seqs:
+            f = s.grammar_fsm
+            if f is None:
+                which.append(-1)
+                continue
+            if all(f is not g for g in fsms):
+                fsms.append(f)
+            which.append(next(i for i, g in enumerate(fsms) if g is f))
+        smax = max(f.num_states for f in fsms)
+        V = fsms[0].next_state.shape[1]
+        gnext = np.full((len(fsms), smax, V), -1, np.int32)
+        for i, f in enumerate(fsms):
+            gnext[i, :f.num_states] = f.next_state
+        gidx = np.asarray(which, np.int32)
+        gstate = np.asarray([getattr(s, "grammar_state", 0) for s in seqs],
+                            np.int32)
     return SamplingTensors(
         temperature=np.array([s.sampling_params.temperature for s in seqs], np.float32),
         top_k=np.array([s.sampling_params.top_k for s in seqs], np.int32),
@@ -739,4 +807,7 @@ def make_sampling_tensors(seqs, vocab_size: Optional[int] = None,
         min_p=np.array([s.sampling_params.min_p for s in seqs], np.float32),
         vocab_mask=mask,
         logit_bias=bias,
+        grammar_next=gnext,
+        grammar_idx=gidx,
+        grammar_state=gstate,
     )

@@ -39,11 +39,51 @@ class SamplingTensors(NamedTuple):
     # (reference sampler.py presence_penalty/frequency_penalty), computed
     # host-side from output-token counts; None when no row uses them
     logit_bias: Optional[jnp.ndarray] = None  # [B, V] f32 or None
+    # grammar-guided decoding (qspec_tpu/guided/): stacked token-FSM
+    # transition tables for the distinct grammars in the batch, the per-seq
+    # grammar index (-1 = unguided) and each row's automaton state at call
+    # entry. The fused loops advance local state copies on device; the host
+    # re-derives persistent per-seq states by walking emitted tokens.
+    grammar_next: Optional[jnp.ndarray] = None   # [G, S, V] int32, -1 = banned
+    grammar_idx: Optional[jnp.ndarray] = None    # [B] int32
+    grammar_state: Optional[jnp.ndarray] = None  # [B] int32
 
     @staticmethod
     def greedy(batch: int) -> "SamplingTensors":
         return SamplingTensors(jnp.zeros(batch), jnp.zeros(batch, jnp.int32),
                                jnp.ones(batch), jnp.zeros(batch))
+
+
+def _grammar_rows(st: "SamplingTensors", gstate: jnp.ndarray):
+    """(guided [rows] bool, next [rows, V] int32) for per-row states; the
+    verify path evaluates k+1 positions per sequence, so gstate may have
+    B*(k+1) rows against [B] grammar_idx."""
+    gidx = st.grammar_idx
+    if gidx.shape[0] != gstate.shape[0]:
+        gidx = jnp.repeat(gidx, gstate.shape[0] // gidx.shape[0])
+    guided = (gidx >= 0) & (gstate >= 0)
+    nxt = st.grammar_next[jnp.maximum(gidx, 0), jnp.maximum(gstate, 0)]
+    return guided, nxt
+
+
+def grammar_mask(st: "SamplingTensors", gstate: Optional[jnp.ndarray]):
+    """[rows, V] bool allowed-mask, or None when unguided. A dead state
+    (gstate < 0, reachable only if the vocab can't realize the grammar)
+    degrades to unconstrained rather than masking everything."""
+    if st.grammar_next is None or gstate is None:
+        return None
+    guided, nxt = _grammar_rows(st, gstate)
+    return jnp.where(guided[:, None], nxt >= 0, True)
+
+
+def grammar_advance(st: "SamplingTensors", gstate: Optional[jnp.ndarray],
+                    tokens: jnp.ndarray):
+    """Advance each row's automaton by one emitted token."""
+    if st.grammar_next is None or gstate is None:
+        return gstate
+    guided, nxt = _grammar_rows(st, gstate)
+    stepped = jnp.take_along_axis(nxt, tokens[:, None], axis=1)[:, 0]
+    return jnp.where(guided, stepped, gstate)
 
 
 def _apply_top_k(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
@@ -77,12 +117,17 @@ def _apply_min_p(logits: jnp.ndarray, min_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(keep, logits, NEG_INF)
 
 
-def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
+def sampling_probs(logits: jnp.ndarray, st: SamplingTensors,
+                   gstate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """logits [B, V] -> post-filter sampling distribution [B, V] (f32).
 
     Greedy rows (temperature 0) produce a one-hot argmax distribution, which
     makes rejection sampling reduce exactly to 'accept iff argmax matches' —
     the invariant behind the greedy spec == greedy AR test.
+
+    ``gstate`` [rows]: per-row grammar automaton states (defaults to the
+    call-entry states in st.grammar_state; fused loops pass their carried
+    copy, the verify path passes per-position states).
     """
     lf = logits.astype(jnp.float32)
 
@@ -96,6 +141,11 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
         lf = lf + _per_seq(st.logit_bias)
     if st.vocab_mask is not None:
         lf = jnp.where(_per_seq(st.vocab_mask), lf, NEG_INF)
+    if gstate is None and st.grammar_state is not None:
+        gstate = _per_seq(st.grammar_state)
+    gm = grammar_mask(st, gstate)
+    if gm is not None:
+        lf = jnp.where(gm, lf, NEG_INF)
     temp = jnp.where(st.temperature > 0, st.temperature, 1.0)
     lf = lf / temp[:, None]
 
@@ -110,29 +160,36 @@ def sampling_probs(logits: jnp.ndarray, st: SamplingTensors) -> jnp.ndarray:
                     | jnp.any(st.min_p > 0.0))
     lf = jax.lax.cond(needs_filter, filtered, lambda x: x, lf)
     probs = jax.nn.softmax(lf, axis=-1)
-    greedy_src = lf if (st.vocab_mask is not None or st.logit_bias is not None) \
-        else logits
+    greedy_src = lf if (st.vocab_mask is not None or st.logit_bias is not None
+                        or gm is not None) else logits
     onehot = jax.nn.one_hot(jnp.argmax(greedy_src, axis=-1), logits.shape[-1],
                             dtype=jnp.float32)
     return jnp.where((st.temperature == 0)[:, None], onehot, probs)
 
 
-def sample(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array) -> jnp.ndarray:
+def sample(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array,
+           gstate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sample one token per row. [B, V] -> [B] int32."""
-    return sample_with_logprob(logits, st, key)[0]
+    return sample_with_logprob(logits, st, key, gstate)[0]
 
 
-def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array):
+def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array,
+                        gstate: Optional[jnp.ndarray] = None):
     """[B, V] -> ([B] int32 tokens, [B] f32 logprob of the chosen token
     under the *unfiltered* softmax — the convention the reference's
     logprobs output uses)."""
-    probs = sampling_probs(logits, st)
+    probs = sampling_probs(logits, st, gstate)
     sampled = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
     greedy_src = logits.astype(jnp.float32)
     if st.logit_bias is not None:
         greedy_src = greedy_src + st.logit_bias
     if st.vocab_mask is not None:
         greedy_src = jnp.where(st.vocab_mask, greedy_src, NEG_INF)
+    if gstate is None and st.grammar_state is not None:
+        gstate = st.grammar_state
+    gm = grammar_mask(st, gstate)
+    if gm is not None:
+        greedy_src = jnp.where(gm, greedy_src, NEG_INF)
     greedy = jnp.argmax(greedy_src, axis=-1)
     toks = jnp.where(st.temperature == 0, greedy, sampled).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

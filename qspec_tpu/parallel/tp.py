@@ -183,10 +183,11 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
 
 def mr_st_spec():
     from qspec_tpu.ops.sampling import SamplingTensors
-    # all six fields: batches carrying guided-decoding vocab masks or
-    # penalty logit biases must match the pytree too (None fields are empty
-    # subtrees, so the extra P() specs are inert when unused)
-    return SamplingTensors(P(), P(), P(), P(), P(), P())
+    # one replicated spec per field (built from the NamedTuple itself so new
+    # fields can't silently fall out of sync): batches carrying guided
+    # vocab masks, penalty biases, or grammar FSM tables must match the
+    # pytree too (None fields are empty subtrees, so extra specs are inert)
+    return SamplingTensors(*([P()] * len(SamplingTensors._fields)))
 
 
 def rr_spec():

@@ -28,6 +28,11 @@ class SamplingParams:
     min_tokens: int = 0
     # additive per-token-id logit bias (OpenAI logit_bias semantics)
     logit_bias: Optional[dict] = None
+    # grammar-guided decoding (reference vllm/model_executor/guided_decoding):
+    # compiled to a token-level FSM whose transition table lives on device
+    guided_regex: Optional[str] = None
+    guided_json: Optional[object] = None   # schema dict or JSON string
+    guided_choice: Optional[List[str]] = None
 
     def __post_init__(self):
         if isinstance(self.stop, str):

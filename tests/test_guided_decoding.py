@@ -112,3 +112,95 @@ def test_presence_penalty_reduces_repetition(setup):
                                                     presence_penalty=50.0))
     pen = drain(eng1)[r1]
     assert len(set(pen)) > len(set(base))
+
+
+# ---------------------------------------------------------------- grammar
+
+def _toy_vocab(vsize=512):
+    """id 0 = eos; 1..9 digits '1'..'9'; 10 ','; 11 '['; 12 ']'; 13 '0';
+    14 'a'; 15 '"'; rest unmappable (always banned under a grammar)."""
+    vocab = [None] * vsize
+    for i in range(1, 10):
+        vocab[i] = str(i).encode()
+    vocab[10], vocab[11], vocab[12] = b",", b"[", b"]"
+    vocab[13], vocab[14], vocab[15] = b"0", b"a", b'"'
+    return vocab
+
+
+def _grammar_engine(setup, spec=None):
+    mc, params = setup
+    cfg = EngineConfig(
+        model=mc, cache=CacheConfig(page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=128,
+                                  prefill_chunk_size=32,
+                                  decode_batch_buckets=(2,),
+                                  prefill_token_buckets=(32,)),
+        speculative=spec)
+    return LLMEngine(cfg, params, eos_token_id=0, grammar_vocab=_toy_vocab())
+
+
+def _walk(fsm, toks):
+    s = 0
+    for t in toks:
+        s = int(fsm.next_state[s, t])
+        if s < 0:
+            return s
+    return s
+
+
+def test_guided_regex_prefix_valid(setup):
+    eng = _grammar_engine(setup)
+    rid = eng.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=12, guided_regex=r"\[\d(,\d)*\]"))
+    outs = drain(eng)
+    toks = outs[rid]
+    seq_fsm = eng._get_grammar_compiler().from_regex(r"\[\d(,\d)*\]")
+    body = toks[:-1] if toks and toks[-1] == 0 else toks
+    assert body, "no tokens generated"
+    assert _walk(seq_fsm, body) >= 0, f"grammar violated: {toks}"
+    assert body[0] == 11  # must open with '['
+
+
+def test_guided_two_grammars_one_batch(setup):
+    eng = _grammar_engine(setup)
+    r1 = eng.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=10, guided_regex=r"\[\d(,\d)*\]"))
+    r2 = eng.add_request([8, 9, 10], SamplingParams(
+        temperature=0.0, max_tokens=10, guided_regex=r"a+"))
+    outs = drain(eng)
+    gc = eng._get_grammar_compiler()
+    b1 = [t for t in outs[r1] if t != 0]
+    b2 = [t for t in outs[r2] if t != 0]
+    assert _walk(gc.from_regex(r"\[\d(,\d)*\]"), b1) >= 0
+    assert all(t == 14 for t in b2), b2  # only 'a' tokens
+
+
+@pytest.mark.parametrize("method", ["draft", "ngram"])
+def test_guided_spec_matches_ar(setup, method):
+    """Greedy guided generation must be identical with and without
+    speculation (spec-mode per-position re-masking)."""
+    pat = r"\[\d(,\d)*\]"
+    eng0 = _grammar_engine(setup)
+    rid0 = eng0.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=12, guided_regex=pat))
+    base = drain(eng0)[rid0]
+
+    spec = (SpeculativeConfig(num_speculative_tokens=2) if method == "draft"
+            else SpeculativeConfig(num_speculative_tokens=2, method="ngram"))
+    eng1 = _grammar_engine(setup, spec=spec)
+    rid1 = eng1.add_request([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=12, guided_regex=pat))
+    got = drain(eng1)[rid1]
+    assert got == base, (got, base)
+
+
+def test_guided_json_schema(setup):
+    eng = _grammar_engine(setup)
+    schema = {"type": "array", "items": {"type": "integer"}, "minItems": 1,
+              "maxItems": 4}
+    rid = eng.add_request([5, 6], SamplingParams(
+        temperature=0.0, max_tokens=14, guided_json=schema))
+    outs = drain(eng)
+    toks = [t for t in outs[rid] if t != 0]
+    gc = eng._get_grammar_compiler()
+    assert _walk(gc.from_json_schema(schema), toks) >= 0, toks
