@@ -414,7 +414,11 @@ class ModelRunner:
             self.fns = make_tp_step_fns(
                 mesh, self.cfg, self.params, self._verify_scheme, draft_scheme,
                 k, num_rounds=rounds,
-                decode_steps=config.scheduler.steps_per_decode_call)
+                decode_steps=config.scheduler.steps_per_decode_call,
+                nmin=(config.speculative.ngram_prompt_lookup_min
+                      if config.speculative else 1),
+                nmax=(config.speculative.ngram_prompt_lookup_max
+                      if config.speculative else 4))
         else:
             self.fns = {
                 "prefill": functools.partial(prefill_step, cfg=self.cfg,

@@ -129,7 +129,7 @@ def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_spe
 
 def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                      draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1,
-                     decode_steps: int = 1):
+                     decode_steps: int = 1, nmin: int = 1, nmax: int = 4):
     """Build shard_mapped analogues of the model_runner step functions.
 
     Returns dict with keys prefill / decode / draft / verify whose call
@@ -144,16 +144,16 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns = {}
     fns["prefill"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R), (P(), cspec), 1, scheme=scheme)
+        (R, R, R, R, R), (P(), cspec), 1, scheme=scheme)
     fns["prefill_draft"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+        (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
     fns["decode"] = _wrap(
         mr.decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1, scheme=scheme)
+        (R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme)
     fns["multi_decode"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1, scheme=scheme,
+        (R, R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme,
         num_steps=decode_steps)
     fns["verify_onehot"] = _wrap(
         mr.verify_step_onehot.__wrapped__, mesh, cfg, params,
@@ -174,10 +174,21 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                               k=k, num_rounds=num_rounds, axis_name="model")
     mapped = shard_map(inner, mesh=mesh,
                        in_specs=(pspecs, cspec, cspec, R, R, R, R,
-                                 mr_st_spec(), R),
+                                 mr_st_spec(), R, R),
                        out_specs=(P(), P(), P(), cspec, cspec),
                        check_rep=False)
     fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))
+
+    # fused ngram/null proposer rounds (device-side prompt lookup)
+    ng = functools.partial(mr.ngram_rounds_step.__wrapped__, cfg=cfg,
+                           scheme=scheme, k=k, num_rounds=num_rounds,
+                           nmin=nmin, nmax=nmax, axis_name="model")
+    ng_mapped = shard_map(ng, mesh=mesh,
+                          in_specs=(pspecs, cspec, R, R, R, R, R, R, R, R,
+                                    mr_st_spec(), R),
+                          out_specs=(P(), P(), P(), P(), cspec),
+                          check_rep=False)
+    fns["ngram_rounds"] = jax.jit(ng_mapped, donate_argnums=(1, 2))
     return fns
 
 

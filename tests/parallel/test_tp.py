@@ -46,7 +46,7 @@ def test_tp_prefill_matches_single(rng, tp, scheme):
     fns = make_tp_step_fns(mesh, cfg, sp, scheme, draft_scheme="w4a4", k=2)
     fn = fns["prefill"] if scheme == "w4a16" else fns["prefill_draft"]
     out, _ = fn(sp, cache1, jnp.asarray(toks), jnp.asarray(positions),
-                jnp.asarray(tables), jnp.asarray(ctx))
+                jnp.asarray(tables), jnp.asarray(ctx), None)
 
     out = np.asarray(out, np.float32)
     ref = np.asarray(ref, np.float32)
@@ -95,5 +95,5 @@ def test_tp_decode_with_guided_sampling():
     tables[1, 0] = 2
     toks, _lp, _cache = fns["decode"](
         sp, cache, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-        jnp.asarray(tables), st, jax.random.PRNGKey(0))
+        jnp.asarray(tables), st, jax.random.PRNGKey(0), None)
     assert np.asarray(toks).tolist() == [allowed] * B
