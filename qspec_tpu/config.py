@@ -32,6 +32,10 @@ class ModelConfig:
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
     qkv_bias: bool = False            # qwen2-style attention bias
+    # Mistral-style sliding-window attention: each query attends only to the
+    # last `sliding_window` positions (reference quarot_llama.py:125-136).
+    # None = full causal attention.
+    sliding_window: Optional[int] = None
     # quantization scheme of the stored checkpoint
     quant: str = "w4"                 # "w4" (packed int4 + scales) | "none" (bf16)
     # vocab-projection weight dtype. At decode M the dense bf16 head streams
@@ -110,6 +114,7 @@ class ModelConfig:
             max_position_embeddings=hf.get("max_position_embeddings", 8192),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
             qkv_bias=arch == "qwen2",
+            sliding_window=hf.get("sliding_window"),
         )
 
 

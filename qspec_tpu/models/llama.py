@@ -196,7 +196,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     scale = cfg.head_dim ** -0.5
     attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
                            batch.block_tables, batch.ctx_lens, scale,
-                           q_positions=batch.positions)
+                           q_positions=batch.positions,
+                           window=cfg.sliding_window)
     attn = attn.reshape(T, heads_l, cfg.head_dim)
 
     if quarot:

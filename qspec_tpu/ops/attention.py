@@ -27,13 +27,16 @@ NEG_INF = -1e30
 
 def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                         block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                        scale: float, q_positions: jnp.ndarray = None) -> jnp.ndarray:
+                        scale: float, q_positions: jnp.ndarray = None,
+                        window: int = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the new ones.
 
     ``q_positions`` [B, Q] gives each query's absolute position; query i
     attends to kv positions <= its own. When omitted, queries are assumed to
     be the *last* Q positions (decode/verify windows) — end-padded prefill
     MUST pass explicit positions or padding queries corrupt the mask.
+    ``window`` limits attention to the last `window` positions
+    (Mistral sliding window, reference quarot_llama.py:125-136).
     """
     B, Q, Hq, D = q.shape
     if q_positions is None:
@@ -49,6 +52,8 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     C = k.shape[2]
     kv_pos = jnp.arange(C)[None, :]                       # [1, C]
     mask = kv_pos[None] <= q_positions[:, :, None]        # [B, Q, C]
+    if window is not None:
+        mask = mask & (kv_pos[None] > q_positions[:, :, None] - window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -57,7 +62,8 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
 
 
 def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          scale: float, valid_len: jnp.ndarray | None = None) -> jnp.ndarray:
+                          scale: float, valid_len: jnp.ndarray | None = None,
+                          window: int = None) -> jnp.ndarray:
     """Dense causal self-attention for one padded sequence.
 
     q: [T, Hq, D], k/v: [T, Hkv, D]. valid_len masks padding tokens.
@@ -68,6 +74,9 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qf = (q.astype(jnp.float32) * scale).reshape(T, Hkv, group, D)
     scores = jnp.einsum("qhgd,chd->hgqc", qf, k.astype(jnp.float32))
     causal = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]
+    if window is not None:
+        causal = causal & (jnp.arange(T)[None, :]
+                           > jnp.arange(T)[:, None] - window)
     if valid_len is not None:
         causal = causal & (jnp.arange(T)[None, :] < valid_len)
     scores = jnp.where(causal[None, None], scores, NEG_INF)
@@ -78,7 +87,8 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
-                    scale: float, q_positions: jnp.ndarray = None) -> jnp.ndarray:
+                    scale: float, q_positions: jnp.ndarray = None,
+                    window: int = None) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
@@ -88,6 +98,7 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                                       block_tables, ctx_lens, scale,
                                       q_positions=q_positions,
                                       layer=jnp.asarray(layer, jnp.int32),
-                                      kv_scales=cache.kv_scales)
+                                      kv_scales=cache.kv_scales,
+                                      window=window)
     return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
-                               q_positions=q_positions)
+                               q_positions=q_positions, window=window)

@@ -65,6 +65,7 @@ def _paged_attn_kernel(
     max_pages: int,
     scale: float,
     quant: bool,
+    window: int,
 ):
     if quant:
         kv_scales_ref, out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
@@ -75,6 +76,11 @@ def _paged_attn_kernel(
     ctx_len = ctx_lens_ref[b]
     chunk_kv = page_size
     num_chunks = jnp.maximum(1, pl.cdiv(ctx_len, chunk_kv))
+    # sliding window: pages strictly before the earliest in-window position
+    # of the row's first query are never read (decode touches only
+    # ~window/page_size pages however long the context)
+    first_chunk = jnp.int32(0) if window is None else jnp.clip(
+        (q_start_ref[b] - window + 1) // chunk_kv, 0, num_chunks - 1)
 
     Hkv, G, D = acc.shape  # G = this query block's rows
     layer = layer_ref[0]
@@ -99,7 +105,7 @@ def _paged_attn_kernel(
         if quant:
             dma_scales(slot, chunk).wait()
 
-    issue(0, 0)
+    issue(jax.lax.rem(first_chunk, 2), first_chunk)
 
     # bf16 q with the softmax scale folded in: the MXU contracts bf16 natively
     # (an f32 q forced multi-pass f32 matmuls AND an f32 relayout of k/v that
@@ -136,7 +142,10 @@ def _paged_attn_kernel(
 
         kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
             jnp.int32, (Hkv, G, chunk_kv), 2)
-        s = jnp.where(kv_pos <= q_pos, s, NEG_INF)
+        live = kv_pos <= q_pos
+        if window is not None:
+            live = live & (kv_pos > q_pos - window)
+        s = jnp.where(live, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -159,19 +168,21 @@ def _paged_attn_kernel(
     acc[:] = jnp.zeros_like(acc)
     m0 = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
-    _, l_fin = jax.lax.fori_loop(0, num_chunks, body, (m0, l0))
+    _, l_fin = jax.lax.fori_loop(first_chunk, num_chunks, body, (m0, l0))
 
     denom = jnp.where(l_fin > 0, l_fin, 1.0)
     out_ref[0] = (acc[:] / denom).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "pages_per_chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "pages_per_chunk", "window"))
 def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 1,
                            q_positions: jnp.ndarray = None,
                            layer: jnp.ndarray = None,
-                           kv_scales: jnp.ndarray = None) -> jnp.ndarray:
+                           kv_scales: jnp.ndarray = None,
+                           window: int = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; kv_pages: [L, P, 2, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
     through scan xs/ys); block_tables: [B, PPS]; kv_scales
@@ -234,6 +245,7 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         max_pages=max_pages,
         scale=scale,
         quant=quant,
+        window=window,
     )
 
     out = pl.pallas_call(

@@ -167,3 +167,85 @@ def test_pallas_int8_kv_matches_ref(rng, Q):
                                  scale, kv_scales=cache.kv_scales)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=4e-2, rtol=4e-2)
+
+
+# -- sliding window (Mistral; reference quarot_llama.py:125-136) ------------
+
+def _dense_window_oracle(rng, q, cache, tables, ctx, scale, window, q_pos=None):
+    """Brute-force: gather tokens, mask [pos-W+1, pos], softmax."""
+    from qspec_tpu.ops.kv_cache import gather_layer
+    B, Q, Hq, D = q.shape
+    if q_pos is None:
+        q_pos = (np.asarray(ctx)[:, None] - Q) + np.arange(Q)[None, :]
+    k, v = gather_layer(cache, 0, tables)
+    k = np.asarray(k, np.float32)
+    v = np.asarray(v, np.float32)
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    qf = np.asarray(q, np.float32).reshape(B, Q, Hkv, group, D) * scale
+    s = np.einsum("bqhgd,bhcd->bhgqc", qf, k)
+    kv_pos = np.arange(k.shape[2])
+    mask = (kv_pos[None, None] <= q_pos[:, :, None]) & \
+           (kv_pos[None, None] > q_pos[:, :, None] - window)
+    s = np.where(mask[:, None, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    out = np.einsum("bhgqc,bhcd->bqhgd", p, v)
+    return out.reshape(B, Q, Hq, D)
+
+
+@pytest.mark.parametrize("Q,window", [(1, 8), (1, 12), (4, 8), (4, 5)])
+def test_sliding_window_ref_matches_oracle(rng, Q, window):
+    B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray(rng.permutation(np.arange(1, 13)).reshape(3, 4)
+                         .astype(np.int32))
+    ctx = jnp.asarray([Q + 3, S + Q, 3 * S + Q], jnp.int32)
+    scale = D ** -0.5
+    ref = paged_attention_ref(q, cache, 0, tables, ctx, scale, window=window)
+    oracle = _dense_window_oracle(rng, q, cache, tables, ctx, scale, window)
+    np.testing.assert_allclose(np.asarray(ref, np.float32), oracle,
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("Q,window", [(1, 8), (4, 8), (4, 21), (1, 40)])
+def test_sliding_window_pallas_matches_ref(rng, Q, window):
+    """Kernel (with its out-of-window page skip) == masked reference."""
+    B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D, P=32)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray(rng.permutation(np.arange(1, 25)).reshape(3, 8)
+                         .astype(np.int32))
+    # long contexts so the skip actually drops leading pages (max fits the
+    # 8-page tables)
+    ctx = jnp.asarray([Q + 3, 4 * S + Q, 8 * S - 2], jnp.int32)
+    scale = D ** -0.5
+    ref = paged_attention_ref(q, cache, 0, tables, ctx, scale, window=window)
+    out = paged_attention_pallas(q, cache.kv_pages, tables, ctx, scale,
+                                 window=window)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_sliding_window_prefill_ref(rng):
+    T, Hq, Hkv, D, W = 16, 4, 2, 64, 6
+    q = rng.standard_normal((T, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((T, Hkv, D)).astype(np.float32)
+    out = prefill_attention_ref(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                D ** -0.5, window=W)
+    # row t must ignore keys < t-W+1: zeroing key 0 can't change row 8
+    k2 = k.copy()
+    k2[0] = 77.0
+    out2 = prefill_attention_ref(jnp.asarray(q), jnp.asarray(k2),
+                                 jnp.asarray(v), D ** -0.5, window=W)
+    np.testing.assert_allclose(np.asarray(out[8:], np.float32),
+                               np.asarray(out2[8:], np.float32), atol=1e-6)
+    # ...but row 1 (keys {0, 1} visible) must see the change
+    with pytest.raises(AssertionError):
+        np.testing.assert_allclose(np.asarray(out[1], np.float32),
+                                   np.asarray(out2[1], np.float32), atol=1e-3)
