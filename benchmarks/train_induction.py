@@ -1,0 +1,211 @@
+"""Train a small REAL language model (in-image) for the honest prompt-lookup
+benchmark regime.
+
+The image has zero egress and no pretrained checkpoints, so random-weight
+models give structurally unpredictable outputs — speculative acceptance on
+them is meaningless. This script trains (with a real training loop, real
+loss, real generalization) a small llama-architecture LM on an induction
+task: sequences made of a repeated random segment, next-token loss. A
+transformer trained this way learns the classic induction-head copy
+circuit, so at inference its greedy continuations genuinely repeat
+structure found in the prompt — exactly the workload the reference's
+prompt-lookup speculation targets (vllm/spec_decode/ngram_worker.py:
+"prompt lookup assumes the generation will reuse n-grams from the
+context", e.g. summarization / code editing).
+
+The float weights are saved in HF state-dict naming so the existing offline
+QuaRot pipeline (model_loader.quantize_float) rotates + int4-quantizes them
+for the engine, same as a downloaded checkpoint.
+
+Run: python benchmarks/train_induction.py [--steps 1200] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+DEFAULT_OUT = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                           "induction_lm_v1")
+
+
+def model_cfg():
+    from qspec_tpu.config import ModelConfig
+    # head_dim 128 keeps the Pallas attention fast path; H_4 / H_1024
+    # hadamards exist for the QuaRot conversion
+    return ModelConfig(vocab_size=2048, hidden_size=512,
+                       intermediate_size=1024, num_layers=3, num_heads=4,
+                       num_kv_heads=4, head_dim=128, rope_theta=10000.0,
+                       max_position_embeddings=1024, quant="none",
+                       weightless_norm=False, lm_head_quant="bf16")
+
+
+def make_batch(rng: np.random.Generator, batch: int, seq: int, vocab: int):
+    """Sequences tiled from a random segment (period 16..64)."""
+    out = np.empty((batch, seq), np.int32)
+    for b in range(batch):
+        period = int(rng.integers(16, 65))
+        seg = rng.integers(2, vocab, size=period)
+        out[b] = np.tile(seg, seq // period + 1)[:seq]
+    return out
+
+
+def train_forward(params, cfg, tokens):
+    """Dense-causal training forward sharing the engine's float weight
+    layout and rope (models/llama.py) — weights trained here ARE engine
+    weights; tests assert logits parity with the inference path."""
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.ops.rotary import apply_rope
+
+    B, T = tokens.shape
+    H = cfg.hidden_size
+    nh, dh = cfg.num_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    def rms(x, gamma):
+        x32 = x.astype(jnp.float32)
+        n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+        return (n * gamma).astype(x.dtype)
+
+    x = params["embed"][tokens]          # [B, T, H]
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1)).reshape(-1)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+
+    L = params["layers"]["qkv"]["w"].shape[0]
+    for li in range(L):
+        lp = jax.tree.map(lambda a, i=li: a[i], params["layers"])
+        h = rms(x, lp["input_norm"])
+        qkv = h @ lp["qkv"]["w"]
+        if "b" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["b"]
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], -1)
+        q = q.reshape(B * T, nh, dh)
+        k = k.reshape(B * T, cfg.num_kv_heads, dh)
+        q, k = apply_rope(q, k, pos, params["rope_cache"])
+        q = q.reshape(B, T, nh, dh).astype(jnp.float32)
+        k = k.reshape(B, T, nh, dh).astype(jnp.float32)
+        v = v.reshape(B, T, nh, dh).astype(jnp.float32)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
+        s = jnp.where(causal[None, None], s, -1e30)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v).astype(x.dtype)
+        x = x + o.reshape(B, T, cfg.q_size) @ lp["o"]["w"]
+        h = rms(x, lp["post_norm"])
+        gu = h @ lp["gate_up"]["w"]
+        g, u = jnp.split(gu, 2, -1)
+        x = x + (jax.nn.silu(g) * u) @ lp["down"]["w"]
+    x = rms(x, params["final_norm"])
+    return x @ params["lm_head"]         # [B, T, V]
+
+
+def to_hf_state_dict(params, cfg) -> dict:
+    """Engine float pytree -> HF-named numpy state dict (the input format of
+    model_loader.quantize_float)."""
+    import jax
+
+    f32 = lambda a: np.asarray(jax.device_get(a), np.float32)
+    sd = {"model.embed_tokens.weight": f32(params["embed"]),
+          "model.norm.weight": f32(params["final_norm"]),
+          "lm_head.weight": f32(params["lm_head"]).T}
+    L = params["layers"]["qkv"]["w"].shape[0]
+    qs, ks = cfg.q_size, cfg.kv_size
+    for i in range(L):
+        p = f"model.layers.{i}."
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        qkv = f32(lp["qkv"]["w"])
+        sd[p + "self_attn.q_proj.weight"] = qkv[:, :qs].T
+        sd[p + "self_attn.k_proj.weight"] = qkv[:, qs:qs + ks].T
+        sd[p + "self_attn.v_proj.weight"] = qkv[:, qs + ks:].T
+        sd[p + "self_attn.o_proj.weight"] = f32(lp["o"]["w"]).T
+        gu = f32(lp["gate_up"]["w"])
+        I = gu.shape[1] // 2
+        sd[p + "mlp.gate_proj.weight"] = gu[:, :I].T
+        sd[p + "mlp.up_proj.weight"] = gu[:, I:].T
+        sd[p + "mlp.down_proj.weight"] = f32(lp["down"]["w"]).T
+        sd[p + "input_layernorm.weight"] = f32(lp["input_norm"])
+        sd[p + "post_attention_layernorm.weight"] = f32(lp["post_norm"])
+    return sd
+
+
+def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
+          seed: int = 0, log_every: int = 100):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from qspec_tpu.models.llama import init_params
+
+    cfg = model_cfg()
+    params = jax.tree.map(lambda a: a.astype(jnp.float32),
+                          init_params(cfg, seed=seed, dtype=jnp.float32))
+    rope = params.pop("rope_cache")  # not trained
+
+    warmup = min(50, max(1, steps // 4))
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(steps, warmup + 1)), weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, tokens):
+        logits = train_forward({**p, "rope_cache": rope}, cfg, tokens)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+        tgt = tokens[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        # grade only positions past the first period (64): earlier ones mix
+        # unpredictable first-occurrence tokens into the signal
+        mask = jnp.broadcast_to(
+            jnp.arange(nll.shape[1])[None] >= min(64, nll.shape[1] // 2),
+            nll.shape)
+        acc = (logits[:, :-1].argmax(-1) == tgt) & mask
+        return (nll * mask).sum() / mask.sum(), acc.sum() / mask.sum()
+
+    @jax.jit
+    def step(p, s, tokens):
+        (l, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(p, tokens)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l, acc
+
+    rng = np.random.default_rng(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        tokens = jnp.asarray(make_batch(rng, batch, seq, cfg.vocab_size))
+        params, opt_state, l, acc = step(params, opt_state, tokens)
+        if i % log_every == 0 or i == steps - 1:
+            l, acc = jax.device_get((l, acc))
+            print(f"step {i}: loss {float(l):.4f} copy-acc {float(acc):.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    return {**params, "rope_cache": rope}, cfg, float(acc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=6e-4)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    args = ap.parse_args()
+
+    params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr)
+    sd = to_hf_state_dict(params, cfg)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out + ".npz")),
+                exist_ok=True)
+    np.savez(args.out + ".npz", **{k: v.astype(np.float16)
+                                   for k, v in sd.items()})
+    with open(args.out + ".json", "w") as f:
+        json.dump({"copy_acc": acc,
+                   "cfg": {k: v for k, v in cfg.__dict__.items()
+                           if not k.startswith("_")}}, f, indent=1)
+    print(f"saved {args.out}.npz (final copy-acc {acc:.3f})")
+
+
+if __name__ == "__main__":
+    main()

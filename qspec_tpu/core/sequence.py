@@ -61,6 +61,11 @@ class Sequence:
     # bucket changes) without a device read-back.
     grammar_fsm: Optional[object] = None
     grammar_state: int = 0
+    # "generate" | "embed": embed requests finish at end of prefill with a
+    # pooled hidden-state vector instead of sampled tokens (reference
+    # pooling-model path, vllm/model_executor/layers/pooler.py)
+    task: str = "generate"
+    embedding: Optional[object] = None
 
     @property
     def num_tokens(self) -> int:

@@ -59,12 +59,13 @@ class AsyncLLMEngine:
     # ------------------------------------------------------------------
     async def generate(self, prompt_token_ids: List[int],
                        sampling_params: SamplingParams,
-                       request_id: Optional[int] = None) -> AsyncIterator[RequestOutput]:
+                       request_id: Optional[int] = None,
+                       task: str = "generate") -> AsyncIterator[RequestOutput]:
         if self._dead is not None:
             raise AsyncEngineDeadError("engine loop died") from self._dead
         self._ensure_loop()
         rid = self.engine.add_request(prompt_token_ids, sampling_params,
-                                      request_id=request_id)
+                                      request_id=request_id, task=task)
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
         self._wake.set()

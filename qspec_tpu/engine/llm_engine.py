@@ -36,6 +36,8 @@ class RequestOutput:
     text: str = ""
     logprobs: Optional[List[float]] = None
     metrics: dict = field(default_factory=dict)
+    # pooled hidden-state vector for task="embed" requests
+    embedding: Optional[object] = None
 
 
 class LLMEngine:
@@ -116,13 +118,15 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def add_request(self, prompt_token_ids: List[int],
                     sampling_params: Optional[SamplingParams] = None,
-                    request_id: Optional[int] = None, lora_id: int = 0) -> int:
+                    request_id: Optional[int] = None, lora_id: int = 0,
+                    task: str = "generate") -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
-                       sampling_params=sampling_params, lora_id=lora_id)
+                       sampling_params=sampling_params, lora_id=lora_id,
+                       task=task)
         sp = sampling_params
         if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
             gc = self._get_grammar_compiler()
@@ -267,7 +271,19 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def _run_prefill(self, batch: ScheduledBatch) -> None:
         chunks = [(c.seq, c.start, c.end) for c in (batch.chunks or [batch.chunk])]
-        logits = self.runner.run_prefill_chunks(chunks)
+        embed_rows = [i for i, (s, _, end) in enumerate(chunks)
+                      if s.task == "embed" and end == s.prefill_len]
+        if embed_rows:
+            logits, hidden = self.runner.run_prefill_chunks(chunks,
+                                                            want_hidden=True)
+            hidden = np.asarray(hidden)
+            for i in embed_rows:
+                s = chunks[i][0]
+                s.embedding = hidden[i].astype(np.float32)
+                s.status = SequenceStatus.FINISHED_STOPPED
+                s.finish_reason = "stop"
+        else:
+            logits = self.runner.run_prefill_chunks(chunks)
         if self.spec is not None and not self._ngram:
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
@@ -276,7 +292,8 @@ class LLMEngine:
         # resumed preempted sequence (preserved outputs) just finishes
         # recomputing KV — its last token is the next decode step's input
         completing = [i for i, (s, _, end) in enumerate(chunks)
-                      if end == s.prefill_len and not s.output_token_ids]
+                      if end == s.prefill_len and not s.output_token_ids
+                      and s.task != "embed"]
         for s, _, end in chunks:
             s.num_computed_tokens = end
             self.block_manager.mark_computed(s)
@@ -358,6 +375,7 @@ class LLMEngine:
             text=text,
             logprobs=list(seq.output_logprobs)
             if seq.sampling_params.logprobs else None,
+            embedding=seq.embedding,
         )
 
 

@@ -43,16 +43,23 @@ def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scheme", "axis_name",
+                                    "with_hidden"),
                    donate_argnames=("cache",))
 def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
-                 lora_ids=None, *, cfg, scheme, axis_name=None):
+                 lora_ids=None, *, cfg, scheme, axis_name=None,
+                 with_hidden=False):
     """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
     the final valid position ([1, V]) and the updated cache.
 
     `ctx_len` [1] counts tokens including this chunk; padded tail positions
     (>= ctx_len) write to the null page and are masked out of attention by
     the kernel's causal/length mask.
+
+    ``with_hidden`` additionally returns the final position's post-norm
+    hidden state ([B, H]) — last-token pooling for embedding requests
+    (reference vllm/model_executor/layers/pooler.py).
     """
     page_size = cache.page_size
     Q = token_ids.shape[1]
@@ -61,6 +68,12 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=ctx_len)
     last_idx = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
+    if with_hidden:
+        logits, hidden, cache = model_forward(
+            params, cfg, token_ids, cache, batch, scheme=scheme,
+            axis_name=axis_name, logits_indices=last_idx, lora_ids=lora_ids,
+            return_hidden=True)
+        return logits[:, 0], hidden[:, 0], cache
     logits, cache = model_forward(params, cfg, token_ids, cache, batch,
                                   scheme=scheme, axis_name=axis_name,
                                   logits_indices=last_idx, lora_ids=lora_ids)
@@ -423,6 +436,9 @@ class ModelRunner:
             self.fns = {
                 "prefill": functools.partial(prefill_step, cfg=self.cfg,
                                              scheme=self._verify_scheme),
+                "prefill_hidden": functools.partial(
+                    prefill_step, cfg=self.cfg, scheme=self._verify_scheme,
+                    with_hidden=True),
                 "prefill_draft": functools.partial(prefill_step, cfg=self.cfg,
                                                    scheme=draft_scheme),
                 "decode": functools.partial(decode_step, cfg=self.cfg,
@@ -498,12 +514,14 @@ class ModelRunner:
         return out
 
     # -- phases -----------------------------------------------------------
-    def run_prefill_chunks(self, chunks, *, draft: bool = False):
+    def run_prefill_chunks(self, chunks, *, draft: bool = False,
+                           want_hidden: bool = False):
         """Batched prompt chunks: one (B, Q) rectangle for several sequences.
 
         chunks: list of (seq, start, end). Returns device logits [B, V] of
         each row's final valid position (only meaningful for rows whose chunk
-        completes the prompt).
+        completes the prompt). With ``want_hidden`` also returns the pooled
+        (last-token, post-norm) hidden states [B, H] for embedding rows.
         """
         # pad the batch dim to a bucket too: staggered admissions otherwise
         # produce B=1..n-1 rectangles, each a fresh XLA compile
@@ -521,16 +539,26 @@ class ModelRunner:
             positions[i] = np.arange(start, start + Q, dtype=np.int32)
             ctx[i] = end
             tables[i] = seq.page_ids
-        fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
+        if want_hidden and not draft:
+            fn = self.fns["prefill_hidden"]
+        else:
+            fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
         cache = self.draft_cache if draft else self.cache
-        logits, new_cache = fn(
+        out = fn(
             self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx),
             self._lora_ids([c[0] for c in chunks], B))
+        hidden = None
+        if want_hidden and not draft:
+            logits, hidden, new_cache = out
+        else:
+            logits, new_cache = out
         if draft:
             self.draft_cache = new_cache
         else:
             self.cache = new_cache
+        if want_hidden:
+            return logits, hidden
         return logits
 
     def run_prefill_chunk(self, seq, start: int, end: int, *, draft: bool = False):

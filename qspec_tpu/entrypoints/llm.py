@@ -83,6 +83,19 @@ class LLM:
                     results[out.request_id] = out
         return [results[i] for i in ids]
 
+    def embed(self, prompts: Sequence[Union[str, List[int]]]) -> List:
+        """Pooled (last-token, post-final-norm) hidden-state embeddings
+        (reference LLM.encode / pooling-model path). Returns one float32
+        vector of size hidden_size per prompt."""
+        ids = [self.llm_engine.add_request(self._encode(p), SamplingParams(
+            max_tokens=1), task="embed") for p in prompts]
+        results = {}
+        while self.llm_engine.has_unfinished_requests():
+            for out in self.llm_engine.step():
+                if out.finished:
+                    results[out.request_id] = out
+        return [results[i].embedding for i in ids]
+
     def chat(self, messages, sampling_params: Optional[SamplingParams] = None,
              chat_template: Optional[str] = None) -> List[RequestOutput]:
         """messages: list of conversations (each a list of {role, content}).

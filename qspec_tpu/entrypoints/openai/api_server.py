@@ -40,6 +40,7 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
@@ -126,33 +127,81 @@ class OpenAIServer:
                 "tokens": [str(t) for t in out.output_token_ids],
                 "top_logprobs": None, "text_offset": []}
 
+    async def embeddings(self, request):
+        """/v1/embeddings: last-token pooled hidden states (reference
+        serving_embedding.py). `input` is a string, token-id list, or list
+        of either."""
+        import asyncio
+
+        body = await request.json()
+        inputs = self._encode_prompts({"prompt": body.get("input")})
+
+        async def one(i, token_ids):
+            rid = next(self._request_counter)
+            from qspec_tpu.sampling_params import SamplingParams as SP
+            final = None
+            async for out in self.engine.generate(token_ids, SP(max_tokens=1),
+                                                  request_id=rid, task="embed"):
+                final = out
+            return {"object": "embedding", "index": i,
+                    "embedding": [float(x) for x in final.embedding]}
+
+        data = await asyncio.gather(*(one(i, t) for i, t in enumerate(inputs)))
+        return web.json_response({
+            "object": "list", "data": list(data), "model": self.model_name,
+            "usage": {"prompt_tokens": sum(len(t) for t in inputs),
+                      "total_tokens": sum(len(t) for t in inputs)},
+        })
+
+    @staticmethod
+    def _nth_sp(sp, j):
+        """Per-choice sampling params for n>1: distinct seeds when seeded,
+        otherwise shared (each request draws fresh engine randomness)."""
+        if j == 0 or sp.seed is None:
+            return sp
+        import dataclasses
+        return dataclasses.replace(sp, seed=sp.seed + j)
+
+    async def _generate_one(self, token_ids, sp):
+        rid = next(self._request_counter)
+        final = None
+        async for out in self.engine.generate(token_ids, sp, request_id=rid):
+            final = out
+        return final
+
     async def completions(self, request):
+        import asyncio
+
         body = await request.json()
         prompts = self._encode_prompts(body)
         sp = self._sampling(body)
+        n = max(1, int(body.get("n", 1)))
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
         if body.get("stream"):
-            if len(prompts) > 1:
+            if len(prompts) > 1 or n > 1:
                 raise web.HTTPBadRequest(
-                    reason="streaming supports a single prompt")
+                    reason="streaming supports a single prompt with n=1")
             rid = next(self._request_counter)
             return await self._stream(request, prompts[0], sp, rid, cid,
                                       chat=False)
 
+        # n>1 fans out n engine requests per prompt; prefix caching shares
+        # the prompt KV between them (the reference's v1 n>1 semantics —
+        # independent samples, not beams). All choices run concurrently.
+        jobs = [(i * n + j, token_ids, self._nth_sp(sp, j))
+                for i, token_ids in enumerate(prompts) for j in range(n)]
+        finals = await asyncio.gather(
+            *(self._generate_one(t, s) for _, t, s in jobs))
         choices, p_toks, c_toks = [], 0, 0
-        for i, token_ids in enumerate(prompts):
-            rid = next(self._request_counter)
-            final = None
-            async for out in self.engine.generate(token_ids, sp, request_id=rid):
-                final = out
+        for (idx, token_ids, _), final in zip(jobs, finals):
             text = final.text or (self.tokenizer.decode(final.output_token_ids)
                                   if self.tokenizer else "")
-            choices.append({"index": i, "text": text,
+            choices.append({"index": idx, "text": text,
                             "logprobs": self._logprobs_payload(final, sp.logprobs),
                             "finish_reason": final.finish_reason})
-            p_toks += len(token_ids)
             c_toks += len(final.output_token_ids)
+        p_toks = sum(len(t) for t in prompts)
         return web.json_response({
             "id": cid, "object": "text_completion", "created": _now(),
             "model": self.model_name,
@@ -162,30 +211,39 @@ class OpenAIServer:
         })
 
     async def chat_completions(self, request):
+        import asyncio
+
         body = await request.json()
         token_ids = self.tokenizer.apply_chat_template(
             body["messages"], tokenize=True, add_generation_prompt=True)
         sp = self._sampling(body)
-        rid = next(self._request_counter)
+        n = max(1, int(body.get("n", 1)))
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if body.get("stream"):
+            if n > 1:
+                raise web.HTTPBadRequest(reason="streaming supports n=1")
+            rid = next(self._request_counter)
             return await self._stream(request, token_ids, sp, rid, cid, chat=True)
 
-        final = None
-        async for out in self.engine.generate(token_ids, sp, request_id=rid):
-            final = out
-        text = final.text or self.tokenizer.decode(final.output_token_ids)
+        finals = await asyncio.gather(
+            *(self._generate_one(token_ids, self._nth_sp(sp, j))
+              for j in range(n)))
+        choices = []
+        for j, final in enumerate(finals):
+            text = final.text or self.tokenizer.decode(final.output_token_ids)
+            choices.append({"index": j,
+                            "message": {"role": "assistant", "content": text},
+                            "logprobs": self._logprobs_payload(final, sp.logprobs),
+                            "finish_reason": final.finish_reason})
+        c_toks = sum(len(f.output_token_ids) for f in finals)
         return web.json_response({
             "id": cid, "object": "chat.completion", "created": _now(),
             "model": self.model_name,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "logprobs": self._logprobs_payload(final, sp.logprobs),
-                         "finish_reason": final.finish_reason}],
+            "choices": choices,
             "usage": {"prompt_tokens": len(token_ids),
-                      "completion_tokens": len(final.output_token_ids),
-                      "total_tokens": len(token_ids) + len(final.output_token_ids)},
+                      "completion_tokens": c_toks,
+                      "total_tokens": len(token_ids) + c_toks},
         })
 
     async def _stream(self, request, token_ids, sp, rid, cid, chat: bool):

@@ -276,7 +276,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
                   cache: kvc.PagedKVCache, batch: AttentionBatch, *,
                   scheme: str = "w4a16", axis_name: Optional[str] = None,
                   logits_indices: Optional[jnp.ndarray] = None,
-                  lora_ids: Optional[jnp.ndarray] = None):
+                  lora_ids: Optional[jnp.ndarray] = None,
+                  return_hidden: bool = False):
     """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
 
     Mirrors the reference call path LlamaModel.forward -> compute_logits
@@ -286,6 +287,12 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     (prefill only needs the final prompt position — skipping the [B*Q, V]
     projection saves a quarter-GB intermediate and the lm_head FLOPs).
     Output is then [B, 1, V].
+
+    ``return_hidden``: also return the post-final-norm hidden states
+    (last-token pooling for embedding tasks, reference
+    vllm/model_executor/layers/pooler.py LAST pooling; note QuaRot
+    checkpoints keep the residual stream in the rotated basis — dot/cosine
+    similarities are invariant under the orthonormal rotation).
     """
     assert scheme in SCHEMES
     if scheme != "bf16" and cfg.quant != "w4":
@@ -338,6 +345,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     logits = compute_logits(x, params["lm_head"])
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
+    if return_hidden:
+        return logits.reshape(B, Q, -1), x.reshape(B, Q, -1), cache
     return logits.reshape(B, Q, -1), cache
 
 

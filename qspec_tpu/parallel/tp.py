@@ -148,6 +148,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["prefill_draft"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+    fns["prefill_hidden"] = _wrap(
+        mr.prefill_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, R), (P(), P(), cspec), 1, scheme=scheme,
+        with_hidden=True)
     fns["decode"] = _wrap(
         mr.decode_step.__wrapped__, mesh, cfg, params,
         (R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme)

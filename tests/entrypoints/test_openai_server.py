@@ -123,3 +123,53 @@ def test_tokenize_roundtrip(server):
         assert len((await r.json())["prompt"]) == 3
 
     _run(server, body)
+
+
+def test_embeddings_endpoint(server):
+    async def body(client):
+        r = await client.post("/v1/embeddings",
+                              json={"input": ["hello world", "hello world",
+                                              "something else entirely"]})
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "list" and len(data["data"]) == 3
+        import numpy as np
+        e0, e1, e2 = (np.asarray(d["embedding"], np.float32)
+                      for d in data["data"])
+        assert e0.shape == e1.shape and e0.size > 0
+        # identical inputs embed identically; different inputs differ
+        np.testing.assert_allclose(e0, e1, atol=1e-5)
+        assert np.abs(e0 - e2).max() > 1e-3
+
+    _run(server, body)
+
+
+def test_completions_n_choices(server):
+    async def body(client):
+        r = await client.post("/v1/completions",
+                              json={"prompt": "abcd", "max_tokens": 4, "n": 3,
+                                    "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200
+        data = await r.json()
+        assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+        # greedy: all n choices identical
+        assert len({c["text"] for c in data["choices"]}) == 1
+        assert data["usage"]["completion_tokens"] == 12
+
+    _run(server, body)
+
+
+def test_chat_n_choices(server):
+    async def body(client):
+        r = await client.post("/v1/chat/completions",
+                              json={"messages": [{"role": "user",
+                                                  "content": "hi there"}],
+                                    "max_tokens": 3, "n": 2,
+                                    "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["choices"]) == 2
+        assert data["choices"][0]["message"]["content"] == \
+            data["choices"][1]["message"]["content"]
+
+    _run(server, body)
