@@ -175,6 +175,14 @@ class SpeculativeConfig:
     # proposals disabled — the bit-exact autoregressive oracle used to
     # demonstrate lossless rejection sampling on hardware
     method: str = "qspec"  # "qspec" | "ngram" | "null"
+    # SEPARATE draft model (reference draft_model_config / multi_step_worker
+    # + smaller_tp_proposer_worker.py): a smaller LM proposes, the target
+    # verifies; must share the target's vocabulary. On a TP mesh the draft's
+    # weights are REPLICATED and its forward runs collective-free on every
+    # chip — the TPU-idiomatic draft-TP=1 vs target-TP=N split (no separate
+    # process group needed; ICI carries zero draft traffic). None = QSpec
+    # shared-weights dual-scheme drafting.
+    draft_model: Optional[ModelConfig] = None
     # "rejection_sampler" (lossless) | "typical_acceptance_sampler" (lossy)
     acceptance_method: str = "rejection_sampler"
     ngram_prompt_lookup_max: int = 4

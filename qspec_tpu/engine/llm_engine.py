@@ -43,7 +43,7 @@ class RequestOutput:
 class LLMEngine:
     def __init__(self, config: EngineConfig, params, num_pages: Optional[int] = None,
                  eos_token_id: Optional[int] = None, tokenizer=None, mesh=None,
-                 grammar_vocab=None):
+                 grammar_vocab=None, draft_params=None):
         from qspec_tpu.utils import enable_persistent_compile_cache
         enable_persistent_compile_cache()
         self.config = config
@@ -67,7 +67,7 @@ class LLMEngine:
         self.runner = ModelRunner(config, params, num_pages,
                                   need_draft_cache=self.spec is not None
                                   and not self._ngram,
-                                  mesh=mesh)
+                                  mesh=mesh, draft_params=draft_params)
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
             enable_prefix_caching=config.cache.enable_prefix_caching)

@@ -269,13 +269,16 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "draft_scheme", "verify_scheme", "k",
-                                    "num_rounds", "axis_name", "acceptance"),
+                   static_argnames=("cfg", "draft_cfg", "draft_scheme",
+                                    "verify_scheme", "k", "num_rounds",
+                                    "axis_name", "draft_axis_name",
+                                    "acceptance"),
                    donate_argnames=("draft_cache", "cache"))
 def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
-                     block_tables, max_new, st, key, lora_ids=None, *, cfg,
-                     draft_scheme, verify_scheme, k, num_rounds=1, axis_name=None,
-                     acceptance="rejection_sampler"):
+                     block_tables, max_new, st, key, lora_ids=None,
+                     draft_params=None, *, cfg, draft_scheme, verify_scheme, k,
+                     num_rounds=1, axis_name=None, draft_cfg=None,
+                     draft_axis_name="inherit", acceptance="rejection_sampler"):
     """`num_rounds` full QSpec rounds (draft k + verify + rejection) in ONE
     executable — one host round-trip for up to num_rounds*(k+1) tokens.
 
@@ -288,16 +291,31 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
     on their already-allocated lookahead pages but results are discarded
     host-side).
 
+    ``draft_params``/``draft_cfg``: a SEPARATE (typically much smaller) draft
+    model (reference draft_model_config + multi_step_worker.py). When None,
+    drafting reuses the shared QSpec weights under ``draft_scheme``.
+    ``draft_axis_name`` is the draft's TP axis; the default "inherit" follows
+    the target's. Under a mesh, pass None with replicated draft weights to
+    run the draft collective-free on every chip — the TPU analogue of the
+    reference's draft-TP=1 smaller_tp_proposer_worker.py.
+
     Returns (tokens [R, B, k+1] (-1 padded), accepted_len [R, B], new caches).
     """
+    d_params = params if draft_params is None else draft_params
+    d_cfg = cfg if draft_cfg is None else draft_cfg
+    assert d_cfg.vocab_size == cfg.vocab_size, \
+        "draft and target must share a vocabulary (rejection sampling)"
+    d_axis = axis_name if draft_axis_name == "inherit" else draft_axis_name
+    # LoRA adapters live on the target weights only
+    d_lora = lora_ids if draft_params is None else None
 
     def round_body(carry, round_key):
         draft_cache, cache, last, pos, budget, g = carry
         dk, vk = jax.random.split(round_key)
         d_toks, d_probs, draft_cache = _draft_impl(
-            params, draft_cache, last, pos, block_tables, st, dk,
-            cfg=cfg, scheme=draft_scheme, k=k, axis_name=axis_name,
-            lora_ids=lora_ids, gstate=g)
+            d_params, draft_cache, last, pos, block_tables, st, dk,
+            cfg=d_cfg, scheme=draft_scheme, k=k, axis_name=d_axis,
+            lora_ids=d_lora, gstate=g)
         result, cache = _verify_impl(
             params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
             cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
@@ -397,7 +415,7 @@ class ModelRunner:
     """Owns params + paged caches and dispatches bucketed jitted steps."""
 
     def __init__(self, config: EngineConfig, params, num_pages: int,
-                 need_draft_cache: bool = False, mesh=None):
+                 need_draft_cache: bool = False, mesh=None, draft_params=None):
         self.config = config
         self.cfg = config.model
         self.params = params
@@ -408,7 +426,26 @@ class ModelRunner:
             head_dim=self.cfg.head_dim, num_pages=num_pages, page_size=page_size,
             dtype=config.cache.kv_cache_dtype)
         self.cache = kvc.allocate(kv_cfg)
-        self.draft_cache = kvc.allocate(kv_cfg) if need_draft_cache else None
+        # separate-draft-model proposer: its own cfg/params/cache geometry
+        # (same page ids/tables as the target — only the page CONTENTS and
+        # per-page byte sizes differ)
+        sep_draft = (config.speculative is not None
+                     and config.speculative.draft_model is not None)
+        self.draft_cfg = (config.speculative.draft_model if sep_draft
+                          else self.cfg)
+        self.draft_params = draft_params
+        if sep_draft and draft_params is None:
+            raise ValueError("speculative.draft_model set but no draft_params "
+                             "passed to the engine")
+        if need_draft_cache:
+            d_kv_cfg = kvc.KVCacheConfig(
+                num_layers=self.draft_cfg.num_layers,
+                num_kv_heads=self.draft_cfg.num_kv_heads,
+                head_dim=self.draft_cfg.head_dim, num_pages=num_pages,
+                page_size=page_size, dtype=config.cache.kv_cache_dtype)
+            self.draft_cache = kvc.allocate(d_kv_cfg)
+        else:
+            self.draft_cache = None
         self.page_size = page_size
         self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
         self.key = jax.random.PRNGKey(0)
@@ -416,17 +453,26 @@ class ModelRunner:
         k = config.speculative.num_speculative_tokens if config.speculative else 1
         draft_scheme = (config.speculative.draft_scheme if config.speculative
                         else "w4a4")
+        if sep_draft and self.draft_cfg.quant != "w4":
+            draft_scheme = "bf16"
         rounds = (config.speculative.rounds_per_step if config.speculative else 1)
         if mesh is not None:
-            from qspec_tpu.parallel.tp import (make_tp_step_fns, shard_cache,
-                                               shard_params)
+            from qspec_tpu.parallel.tp import (make_tp_step_fns, replicate,
+                                               shard_cache, shard_params)
             self.params = shard_params(params, self.cfg, mesh)
             self.cache = shard_cache(self.cache, mesh)
             if self.draft_cache is not None:
-                self.draft_cache = shard_cache(self.draft_cache, mesh)
+                # separate draft runs replicated (draft-TP=1): its cache too
+                self.draft_cache = (replicate(self.draft_cache, mesh)
+                                    if sep_draft
+                                    else shard_cache(self.draft_cache, mesh))
+            if sep_draft:
+                self.draft_params = replicate(draft_params, mesh)
             self.fns = make_tp_step_fns(
                 mesh, self.cfg, self.params, self._verify_scheme, draft_scheme,
                 k, num_rounds=rounds,
+                draft_cfg=self.draft_cfg if sep_draft else None,
+                draft_params=self.draft_params,
                 decode_steps=config.scheduler.steps_per_decode_call,
                 nmin=(config.speculative.ngram_prompt_lookup_min
                       if config.speculative else 1),
@@ -439,20 +485,22 @@ class ModelRunner:
                 "prefill_hidden": functools.partial(
                     prefill_step, cfg=self.cfg, scheme=self._verify_scheme,
                     with_hidden=True),
-                "prefill_draft": functools.partial(prefill_step, cfg=self.cfg,
+                "prefill_draft": functools.partial(prefill_step,
+                                                   cfg=self.draft_cfg,
                                                    scheme=draft_scheme),
                 "decode": functools.partial(decode_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
                 "multi_decode": functools.partial(
                     multi_decode_step, cfg=self.cfg, scheme=self._verify_scheme,
                     num_steps=config.scheduler.steps_per_decode_call),
-                "draft": functools.partial(draft_steps, cfg=self.cfg,
+                "draft": functools.partial(draft_steps, cfg=self.draft_cfg,
                                            scheme=draft_scheme, k=k),
                 "verify": functools.partial(verify_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
                 "spec_rounds": functools.partial(
                     spec_rounds_step, cfg=self.cfg, draft_scheme=draft_scheme,
                     verify_scheme=self._verify_scheme, k=k, num_rounds=rounds,
+                    draft_cfg=self.draft_cfg if sep_draft else None,
                     acceptance=(config.speculative.acceptance_method
                                 if config.speculative else "rejection_sampler")),
                 "verify_onehot": functools.partial(
@@ -544,10 +592,13 @@ class ModelRunner:
         else:
             fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
         cache = self.draft_cache if draft else self.cache
+        p = (self.draft_params if draft and self.draft_params is not None
+             else self.params)
         out = fn(
-            self.params, cache, jnp.asarray(toks), jnp.asarray(positions),
+            p, cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx),
-            self._lora_ids([c[0] for c in chunks], B))
+            None if draft and self.draft_params is not None
+            else self._lora_ids([c[0] for c in chunks], B))
         hidden = None
         if want_hidden and not draft:
             logits, hidden, new_cache = out
@@ -631,11 +682,12 @@ class ModelRunner:
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
 
+        extra = (() if self.draft_params is None else (self.draft_params,))
         toks, accs, lps, self.draft_cache, self.cache = self.fns["spec_rounds"](
             self.params, self.draft_cache, self.cache, jnp.asarray(last),
             jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)),
             jnp.asarray(max_new), st, self._next_key(),
-            self._lora_ids(seqs, B))
+            self._lora_ids(seqs, B), *extra)
         toks, accs, lps = jax.device_get((toks, accs, lps))
         n = len(seqs)
         return (np.asarray(toks)[:, :n], np.asarray(accs)[:, :n],

@@ -16,7 +16,8 @@ from qspec_tpu.sampling_params import SamplingParams
 
 class LLM:
     def __init__(self, model: str = "tiny", params=None, mesh=None,
-                 tokenizer=None, seed: int = 0, **engine_kwargs):
+                 tokenizer=None, seed: int = 0, draft_model: Optional[str] = None,
+                 draft_params=None, **engine_kwargs):
         args = EngineArgs(model=model, **engine_kwargs)
         self.engine_config = args.create_engine_config()
         cfg = self.engine_config.model
@@ -55,8 +56,29 @@ class LLM:
                 from qspec_tpu.models.llama import init_params_device
                 params = init_params_device(cfg, seed=seed)
 
+        if draft_model is not None and draft_params is None:
+            # separate draft checkpoint (reference speculative_model=<path>):
+            # load it and record its config in the speculative section
+            import dataclasses
+            import os
+            from qspec_tpu.model_loader.loader import (config_from_hf_dir,
+                                                       load_hf_float,
+                                                       quantize_float)
+            assert os.path.isdir(draft_model), draft_model
+            dcfg = config_from_hf_dir(draft_model)
+            if dcfg.quant == "w4":
+                draft_params, dcfg = quantize_float(draft_model, dcfg)
+            else:
+                draft_params, dcfg = load_hf_float(draft_model, dcfg)
+            spec = self.engine_config.speculative
+            assert spec is not None, "draft_model requires speculative config"
+            self.engine_config = dataclasses.replace(
+                self.engine_config,
+                speculative=dataclasses.replace(spec, draft_model=dcfg))
+
         self.llm_engine = LLMEngine(self.engine_config, params, eos_token_id=eos,
-                                    tokenizer=self.tokenizer, mesh=mesh)
+                                    tokenizer=self.tokenizer, mesh=mesh,
+                                    draft_params=draft_params)
 
     # ------------------------------------------------------------------
     def _encode(self, prompt: Union[str, List[int]]) -> List[int]:

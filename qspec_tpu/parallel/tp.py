@@ -111,6 +111,14 @@ def shard_cache(cache, mesh: Mesh):
         cache, spec, is_leaf=lambda x: x is None)
 
 
+def replicate(tree, mesh: Mesh):
+    """Place every leaf fully replicated on the mesh (draft-TP=1 weights)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh) if x is not None else None, tree,
+        is_leaf=lambda x: x is None)
+
+
 def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_specs,
           donate_cache_index: int, **static):
     """shard_map a step impl over the mesh. Cache arg is sharded; everything
@@ -129,25 +137,52 @@ def _wrap(fn_impl, mesh: Mesh, cfg: ModelConfig, params, extra_in_specs, out_spe
 
 def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                      draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1,
-                     decode_steps: int = 1, nmin: int = 1, nmax: int = 4):
+                     decode_steps: int = 1, nmin: int = 1, nmax: int = 4,
+                     draft_cfg: Optional[ModelConfig] = None,
+                     draft_params=None):
     """Build shard_mapped analogues of the model_runner step functions.
 
     Returns dict with keys prefill / decode / draft / verify whose call
     signatures match the single-chip jitted versions (minus the static
     kwargs, already bound).
+
+    ``draft_cfg``/``draft_params``: separate-draft-model mode. The draft's
+    weights and KV cache are REPLICATED and its forward runs with
+    axis_name=None — every chip computes the full (small) draft with zero
+    collectives while the target stays TP-sharded: the TPU analogue of the
+    reference's smaller_tp_proposer_worker.py draft-TP=1 split.
     """
+    from jax.experimental.shard_map import shard_map
+
     from qspec_tpu.engine import model_runner as mr
 
     R = P()  # replicated
     cspec = cache_pspec()
+    sep_draft = draft_cfg is not None
+    if sep_draft:
+        dpspecs = jax.tree.map(lambda x: P(), draft_params,
+                               is_leaf=lambda x: x is None)
+        from qspec_tpu.ops.kv_cache import PagedKVCache
+        dcspec = PagedKVCache(kv_pages=P(), kv_scales=None)
 
     fns = {}
     fns["prefill"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), cspec), 1, scheme=scheme)
-    fns["prefill_draft"] = _wrap(
-        mr.prefill_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+    if sep_draft:
+        # replicated draft prefill: no collectives, replicated cache
+        d_inner = functools.partial(mr.prefill_step.__wrapped__,
+                                    cfg=draft_cfg, axis_name=None,
+                                    scheme=draft_scheme)
+        fns["prefill_draft"] = jax.jit(shard_map(
+            d_inner, mesh=mesh,
+            in_specs=(dpspecs, dcspec, R, R, R, R, R),
+            out_specs=(P(), dcspec), check_rep=False),
+            donate_argnums=(1,))
+    else:
+        fns["prefill_draft"] = _wrap(
+            mr.prefill_step.__wrapped__, mesh, cfg, params,
+            (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
     fns["prefill_hidden"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), P(), cspec), 1, scheme=scheme,
@@ -162,25 +197,41 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["verify_onehot"] = _wrap(
         mr.verify_step_onehot.__wrapped__, mesh, cfg, params,
         (R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)
-    fns["draft"] = _wrap(
-        mr.draft_steps.__wrapped__, mesh, cfg, params,
-        (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,
-        scheme=draft_scheme, k=k)
+    if sep_draft:
+        dr_inner = functools.partial(mr.draft_steps.__wrapped__,
+                                     cfg=draft_cfg, axis_name=None,
+                                     scheme=draft_scheme, k=k)
+        fns["draft"] = jax.jit(shard_map(
+            dr_inner, mesh=mesh,
+            in_specs=(dpspecs, dcspec, R, R, R, mr_st_spec(), R),
+            out_specs=(P(), P(), dcspec), check_rep=False),
+            donate_argnums=(1,))
+    else:
+        fns["draft"] = _wrap(
+            mr.draft_steps.__wrapped__, mesh, cfg, params,
+            (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,
+            scheme=draft_scheme, k=k)
     fns["verify"] = _wrap(
         mr.verify_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)
 
-    # fused multi-round spec step: two sharded caches in/out
-    from jax.experimental.shard_map import shard_map
+    # fused multi-round spec step: two sharded caches in/out (draft cache and
+    # draft params replicated instead when a separate draft model is set)
     pspecs = param_pspecs(cfg, params)
     inner = functools.partial(mr.spec_rounds_step.__wrapped__, cfg=cfg,
                               draft_scheme=draft_scheme, verify_scheme=scheme,
-                              k=k, num_rounds=num_rounds, axis_name="model")
-    mapped = shard_map(inner, mesh=mesh,
-                       in_specs=(pspecs, cspec, cspec, R, R, R, R,
-                                 mr_st_spec(), R, R),
-                       out_specs=(P(), P(), P(), cspec, cspec),
-                       check_rep=False)
+                              k=k, num_rounds=num_rounds, axis_name="model",
+                              draft_cfg=draft_cfg,
+                              draft_axis_name=None if sep_draft else "inherit")
+    if sep_draft:
+        in_specs = (pspecs, dcspec, cspec, R, R, R, R, mr_st_spec(), R, R,
+                    dpspecs)
+        out_specs = (P(), P(), P(), dcspec, cspec)
+    else:
+        in_specs = (pspecs, cspec, cspec, R, R, R, R, mr_st_spec(), R, R)
+        out_specs = (P(), P(), P(), cspec, cspec)
+    mapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
     fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))
 
     # fused ngram/null proposer rounds (device-side prompt lookup)
