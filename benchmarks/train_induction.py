@@ -190,11 +190,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seq", type=int, default=256,
+                    help="training sequence length — the copy circuit only "
+                         "generalizes to positions it has seen, so bench "
+                         "prompt+output must fit inside this window")
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--out", default=DEFAULT_OUT)
     args = ap.parse_args()
 
-    params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr)
+    params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr,
+                             seq=args.seq)
     sd = to_hf_state_dict(params, cfg)
     os.makedirs(os.path.dirname(os.path.abspath(args.out + ".npz")),
                 exist_ok=True)

@@ -34,6 +34,12 @@ class EngineArgs:
     num_speculative_tokens: Optional[int] = None
     speculative_draft_scheme: str = "w4a4"
     speculative_disable_by_batch_size: Optional[int] = None
+    # reference --speculative-model: "[ngram]" selects prompt-lookup
+    # proposals; a directory path selects a separate draft checkpoint
+    # (loaded by the LLM entrypoint); None = QSpec shared-weights drafting
+    speculative_model: Optional[str] = None
+    ngram_prompt_lookup_max: int = 4
+    ngram_prompt_lookup_min: int = 1
     seed: int = 0
     enforce_eager: bool = False          # accepted for reference CLI compat; no-op on XLA
     trust_remote_code: bool = False      # idem
@@ -74,10 +80,17 @@ class EngineArgs:
     def create_engine_config(self) -> EngineConfig:
         spec = None
         if self.num_speculative_tokens:
+            method = "qspec"
+            if self.speculative_model and \
+                    self.speculative_model.strip("[]").lower() == "ngram":
+                method = "ngram"
             spec = SpeculativeConfig(
                 num_speculative_tokens=self.num_speculative_tokens,
                 draft_scheme=self.speculative_draft_scheme,
-                disable_by_batch_size=self.speculative_disable_by_batch_size)
+                disable_by_batch_size=self.speculative_disable_by_batch_size,
+                method=method,
+                ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
+                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min)
         return EngineConfig(
             model=self.model_config(),
             cache=CacheConfig(page_size=self.block_size,

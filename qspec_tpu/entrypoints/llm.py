@@ -21,6 +21,11 @@ class LLM:
         args = EngineArgs(model=model, **engine_kwargs)
         self.engine_config = args.create_engine_config()
         cfg = self.engine_config.model
+        # reference --speculative-model <dir>: a separate draft checkpoint
+        if draft_model is None and args.speculative_model:
+            import os as _os
+            if _os.path.isdir(args.speculative_model):
+                draft_model = args.speculative_model
 
         self.tokenizer = tokenizer
         eos = None
