@@ -149,19 +149,25 @@ def _w4a4_kernel(x_lo_ref, x_hi_ref, sx_ref, w_ref, sw_ref, out_ref):
 def _choose_bn(m: int, k_half: int, n: int, x_bytes: int):
     """N-tile width: full-K weight tile (k_half bytes per column) plus the
     whole activation must fit comfortably in VMEM (~10 MB with double
-    buffering headroom)."""
+    buffering headroom).
+
+    Mosaic requires the last block dim to be a multiple of 128 (or equal to
+    the whole array dim), so only 128-multiple divisors of n are candidates
+    (a plain halving loop produced e.g. 1536 -> 192, which compiles on CPU
+    interpret but is rejected by the TPU lowering)."""
+    cands = [c for c in range(128, min(n, 2048) + 1, 128) if n % c == 0]
+    if not cands:
+        return n  # n < 128 or no 128-multiple divisor: one full-width tile
     budget = 10 * 1024 * 1024 - 2 * m * k_half * x_bytes
-    bn = min(n, 2048)
-    while bn > 128 and 2 * k_half * bn > budget:
-        bn //= 2
+    fit = [c for c in cands if 2 * k_half * c <= budget]
+    bn = max(fit) if fit else cands[0]
     # deepen short grids: small-N shapes (qkv/o) at 2-3 tiles leave the
     # first tile's DMA exposed and the pipeline shallow; >=8 stages measured
     # ~10-20% faster on chip for N <= 8k
-    while bn > 128 and n // bn < 8:
-        bn //= 2
-    while n % bn:
-        bn //= 2
-    return max(bn, 128)
+    deeper = [c for c in fit if n // c >= 8]
+    if deeper:
+        bn = max(deeper)
+    return bn
 
 
 def _stacked_kernel(kernel):

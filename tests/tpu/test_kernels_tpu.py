@@ -22,7 +22,7 @@ def _bf16(rng, shape, scale=1.0):
                        jnp.bfloat16)
 
 
-def make_cache(rng, Hkv=4, P=40, S=128, D=128, L=2, dtype="bfloat16"):
+def make_cache(rng, Hkv=4, P=80, S=128, D=128, L=2, dtype="bfloat16"):
     cfg = kvc.KVCacheConfig(num_layers=L, num_kv_heads=Hkv, head_dim=D,
                             num_pages=P, page_size=S, dtype=dtype)
     cache = kvc.allocate(cfg)
