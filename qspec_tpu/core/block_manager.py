@@ -185,11 +185,16 @@ class BlockManager:
         seq.pending_page_hashes = remaining
 
     def append_slots(self, seq: Sequence, lookahead: int = 1) -> bool:
-        """Ensure pages exist for num_tokens + lookahead new tokens."""
+        """Ensure pages exist for num_tokens + lookahead new tokens.
+
+        Transactional: on failure the sequence keeps exactly its prior
+        pages (a partial append used to strand pages on sequences that were
+        then preempted, leaking them into the waiting queue)."""
         total = self.pages_needed(seq.num_tokens + lookahead)
-        while len(seq.page_ids) < total:
-            if self.allocator.num_free == 0:
-                return False
+        need = total - len(seq.page_ids)
+        if need > self.allocator.num_free:
+            return False
+        for _ in range(need):
             seq.page_ids.append(self.allocator.allocate_page())
         return True
 

@@ -143,6 +143,12 @@ class Scheduler:
         # decode: all running seqs; ensure lookahead slots, preempting if needed
         decode_seqs: List[Sequence] = []
         for s in list(self.running):
+            # an earlier iteration's page pressure may have preempted s
+            # (this snapshot is stale): touching it here would hand pages to
+            # a WAITING sequence, which leaks them and double-allocates on
+            # its re-admission
+            if s.status != SequenceStatus.RUNNING:
+                continue
             while not self.bm.append_slots(s, lookahead=self.lookahead):
                 if not self._preempt_one() or s not in self.running:
                     break

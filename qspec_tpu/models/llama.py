@@ -80,6 +80,13 @@ def _linear(x, w, scheme, xq=None, li=None):
         v = w[name]
         return v if li is None else v[li]
 
+    def _fast_ok():
+        # the Pallas GEMMs require K % 256 == 0 and a 128-multiple N tile
+        # (Mosaic block constraints); all production dims qualify — tiny
+        # test models fall back to the jnp reference path
+        kdim = (x.shape[-1] if x is not None else xq.values.shape[-1])
+        return backend_is_tpu() and kdim % 256 == 0
+
     if scheme == "bf16" or (scheme == "w4a16" and "qw" not in w):
         # second case: rotated-but-unquantized params (algebra testing)
         if x is None:
@@ -87,12 +94,12 @@ def _linear(x, w, scheme, xq=None, li=None):
             x = sym_dequant(xq)
         out = jnp.dot(x, _take("w"), preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     elif scheme == "w4a16":
-        if backend_is_tpu():
+        if _fast_ok():
             out = matmul_w4a16(x, w["qw"], w["qs"], layer_idx=li)
         else:
             out = matmul_w4a16_ref(x, _take("qw"), _take("qs"))
     else:  # w4a4 / w4a8: int activations on the int8 MXU pipe
-        if backend_is_tpu():
+        if _fast_ok():
             out = matmul_w4a4(xq.values, xq.scales, w["qw"], w["qs"], layer_idx=li)
         else:
             out = matmul_w4a4_ref(xq.values, xq.scales, _take("qw"), _take("qs"))
@@ -159,12 +166,45 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
 
     def _maybe_lora(name, x_fp, out):
         """Add the per-token LoRA delta (see qspec_tpu/lora/layers.py).
-        Single-chip only this round (adapters replicated; TP sharding of
-        adapter stripes is round-2 work)."""
+
+        TP design: the adapters stay REPLICATED (they are MBs; sharding them
+        would trade negligible HBM for extra collectives — reference punica
+        shards because GPU kernels demand it, an MXU matmul does not), but
+        the delta math must match the projection's sharding:
+        - column-parallel (qkv / gate_up): full delta computed everywhere,
+          then this shard's column blocks are sliced out to mirror
+          pack_proj_weight's per-shard (q|k|v) / (gate|up) layout;
+        - row-parallel (o / down): A's rows (and a full gathered input) are
+          sliced to this shard's input stripe so the partial delta joins the
+          SAME psum as the base projection (adding the full delta would
+          count it ntp times)."""
         if lora is None:
             return out
         from qspec_tpu.lora.layers import lora_delta
-        d = lora_delta(x_fp, lora[name]["A"], lora[name]["B"], lora_ids)
+        A, Bm = lora[name]["A"], lora[name]["B"]
+        if axis_name is None or ntp == 1:
+            d = lora_delta(x_fp, A, Bm, lora_ids)
+            return out + d.astype(out.dtype)
+        idx = jax.lax.axis_index(axis_name)
+        if name in ("o", "down"):
+            in_full = A.shape[1]
+            in_l = in_full // ntp
+            x_loc = (jax.lax.dynamic_slice_in_dim(x_fp, idx * in_l, in_l, 1)
+                     if x_fp.shape[-1] == in_full else x_fp)
+            A_loc = jax.lax.dynamic_slice_in_dim(A, idx * in_l, in_l, 1)
+            d = lora_delta(x_loc, A_loc, Bm, lora_ids)
+            return out + d.astype(out.dtype)
+        # column-parallel: slice each global block's shard stripe
+        d = lora_delta(x_fp, A, Bm, lora_ids)
+        blocks = ((cfg.q_size, cfg.kv_size, cfg.kv_size) if name == "qkv"
+                  else (cfg.intermediate_size, cfg.intermediate_size))
+        parts, off = [], 0
+        for blk in blocks:
+            blk_l = blk // ntp
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                d, off + idx * blk_l, blk_l, 1))
+            off += blk
+        d = jnp.concatenate(parts, axis=-1)
         return out + d.astype(out.dtype)
 
     def _fp_input(xn, xq):

@@ -86,6 +86,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         specs["final_norm"] = P(None)
         specs["layers"]["input_norm"] = P(None, None)
         specs["layers"]["post_norm"] = P(None, None)
+    if "lora" in params:
+        # adapters stay replicated (MBs; sharding buys nothing on TPU);
+        # models/llama.py _maybe_lora shards the DELTA math per projection
+        specs["lora"] = jax.tree.map(lambda x: P(), params["lora"])
     return specs
 
 

@@ -138,3 +138,44 @@ def test_ignore_eos_and_stop_tokens(setup):
     assert outs2[rid2].output_token_ids[-1] == first
     assert outs2[rid2].finish_reason == "stop"
     assert len(outs2[rid2].output_token_ids) == 1
+
+
+def test_penalties_in_spec_mode(setup):
+    """Presence/frequency penalties must be applied inside the fused spec
+    rounds (reference: penalties run in the target sampler regardless of
+    proposer). Granularity is per host call (commit 'per-call granularity'),
+    so the oracle is effect, not bit-equality: a strong presence penalty
+    must suppress already-emitted tokens in both AR and spec modes."""
+    mc, params, sched = setup
+    ps = prompts(2)
+
+    def distinct_ratio(outs):
+        return min(len(set(v)) / max(len(v), 1) for v in outs.values())
+
+    from qspec_tpu.sampling_params import SamplingParams
+    from qspec_tpu.config import CacheConfig, EngineConfig
+
+    def run_pen(spec, presence):
+        cfg = EngineConfig(model=mc, cache=CacheConfig(page_size=16),
+                           scheduler=sched, speculative=spec)
+        eng = LLMEngine(cfg, params)
+        for p in ps:
+            eng.add_request(p, SamplingParams(
+                temperature=0.0, max_tokens=24, ignore_eos=True,
+                presence_penalty=presence, frequency_penalty=0.5 * presence))
+        outs = {}
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    outs[o.request_id] = o.output_token_ids
+        return outs
+
+    spec = SpeculativeConfig(num_speculative_tokens=3)
+    plain = run_pen(spec, 0.0)
+    pen = run_pen(spec, 8.0)
+    # greedy tiny models loop hard without penalties; with a crushing
+    # presence penalty the spec-mode outputs must diversify
+    assert distinct_ratio(pen) > distinct_ratio(plain)
+    # and match the AR behaviour under the same (per-call) granularity
+    ar_pen = run_pen(None, 8.0)
+    assert distinct_ratio(ar_pen) > distinct_ratio(run_pen(None, 0.0))
