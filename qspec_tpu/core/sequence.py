@@ -40,6 +40,10 @@ class Sequence:
     arrival_time: float = field(default_factory=time.monotonic)
     output_token_ids: List[int] = field(default_factory=list)
     output_logprobs: List[float] = field(default_factory=list)
+    # per-position top-N alternatives {token_id: logprob} when the request
+    # set logprobs > 1 (reference Logprob dicts, vllm/sequence.py); None
+    # entries when not requested / unavailable (fused spec rounds)
+    output_top_logprobs: List[Optional[dict]] = field(default_factory=list)
     status: SequenceStatus = SequenceStatus.WAITING
     # paged-KV bookkeeping
     page_ids: List[int] = field(default_factory=list)
@@ -100,9 +104,11 @@ class Sequence:
     def last_token(self) -> int:
         return self.token_ids[-1]
 
-    def append_token(self, token_id: int, logprob: float = 0.0) -> None:
+    def append_token(self, token_id: int, logprob: float = 0.0,
+                     top: Optional[dict] = None) -> None:
         self.output_token_ids.append(token_id)
         self.output_logprobs.append(logprob)
+        self.output_top_logprobs.append(top)
         if self.grammar_fsm is not None and self.grammar_state >= 0:
             ns = self.grammar_fsm.next_state
             if 0 <= token_id < ns.shape[1]:
@@ -137,11 +143,13 @@ class Sequence:
             if tok in stop_set:
                 self.output_token_ids = self.output_token_ids[:i + 1]
                 self.output_logprobs = self.output_logprobs[:i + 1]
+                self.output_top_logprobs = self.output_top_logprobs[:i + 1]
                 self.status = SequenceStatus.FINISHED_STOPPED
                 self.finish_reason = "stop"
                 return
         if len(self.output_token_ids) >= sp.max_tokens:
             self.output_token_ids = self.output_token_ids[:sp.max_tokens]
             self.output_logprobs = self.output_logprobs[:sp.max_tokens]
+            self.output_top_logprobs = self.output_top_logprobs[:sp.max_tokens]
             self.status = SequenceStatus.FINISHED_LENGTH
             self.finish_reason = "length"

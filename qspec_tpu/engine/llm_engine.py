@@ -35,6 +35,8 @@ class RequestOutput:
     finish_reason: Optional[str] = None
     text: str = ""
     logprobs: Optional[List[float]] = None
+    # per-position {token_id: logprob} dicts when logprobs > 1 was requested
+    top_logprobs: Optional[List[Optional[dict]]] = None
     metrics: dict = field(default_factory=dict)
     # pooled hidden-state vector for task="embed" requests
     embedding: Optional[object] = None
@@ -46,6 +48,8 @@ class LLMEngine:
                  grammar_vocab=None, draft_params=None):
         from qspec_tpu.utils import enable_persistent_compile_cache
         enable_persistent_compile_cache()
+        from qspec_tpu.plugins import load_general_plugins
+        load_general_plugins()   # entry-point extensions (model archs etc.)
         self.config = config
         self.eos_token_id = eos_token_id
         self.tokenizer = tokenizer
@@ -258,6 +262,7 @@ class LLMEngine:
             idx, stop = hit
             seq.output_token_ids = seq.output_token_ids[:m]
             seq.output_logprobs = seq.output_logprobs[:m]
+            seq.output_top_logprobs = seq.output_top_logprobs[:m]
             seq.stop_text = t[:idx + len(stop)] if sp.include_stop_str_in_output \
                 else t[:idx]
             seq.status = SequenceStatus.FINISHED_STOPPED
@@ -306,9 +311,24 @@ class LLMEngine:
                                       self.config.model.vocab_size,
                                       self.eos_token_id),
                 len(chunks), logits.shape[0])
-            toks, lps = self.runner.sample_tokens(logits, st)
+            want_top = self._wants_top([chunks[i][0] for i in completing])
+            out = self.runner.sample_tokens(logits, st, want_top=want_top)
+            toks, lps = out[0], out[1]
+            top = out[2] if want_top else None
             for i in completing:
-                chunks[i][0].append_token(int(toks[i]), float(lps[i]))
+                s = chunks[i][0]
+                s.append_token(int(toks[i]), float(lps[i]),
+                               top=self._top_dict(s, top[0][i], top[1][i])
+                               if top is not None else None)
+
+    @staticmethod
+    def _wants_top(seqs) -> bool:
+        return any((s.sampling_params.logprobs or 0) > 1 for s in seqs)
+
+    @staticmethod
+    def _top_dict(s, topv, topi):
+        n = min(int(s.sampling_params.logprobs or 0), topi.shape[-1])
+        return {int(topi[j]): float(topv[j]) for j in range(n)}
 
     def _run_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:
@@ -316,12 +336,16 @@ class LLMEngine:
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
         steps = self.config.scheduler.steps_per_decode_call
-        tokens, lps = self.runner.run_decode(seqs, st, num_steps=steps)
+        tokens, lps, top = self.runner.run_decode(
+            seqs, st, num_steps=steps, want_top=self._wants_top(seqs))
         for i, s in enumerate(seqs):
             for r in range(tokens.shape[0]):
                 t = int(tokens[r, i])
                 if t >= 0:
-                    s.append_token(t, float(lps[r, i]))
+                    s.append_token(t, float(lps[r, i]),
+                                   top=self._top_dict(s, top[0][r, i],
+                                                      top[1][r, i])
+                                   if top is not None else None)
             s.num_computed_tokens = s.num_tokens - 1
             if steps > 1:
                 s.truncate_stop_overshoot(self.eos_token_id)
@@ -375,6 +399,8 @@ class LLMEngine:
             text=text,
             logprobs=list(seq.output_logprobs)
             if seq.sampling_params.logprobs else None,
+            top_logprobs=list(seq.output_top_logprobs)
+            if (seq.sampling_params.logprobs or 0) > 1 else None,
             embedding=seq.embedding,
         )
 

@@ -28,7 +28,8 @@ from qspec_tpu.models.llama import AttentionBatch, model_forward
 from qspec_tpu.ops import kv_cache as kvc
 from qspec_tpu.ops.sampling import (RejectionResult, SamplingTensors,
                                     grammar_advance, rejection_sample, sample,
-                                    sample_with_logprob, sampling_probs)
+                                    sample_with_logprob, sampling_probs,
+                                    top_logprobs)
 
 
 def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp.ndarray:
@@ -80,14 +81,17 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     return logits[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name"),
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "axis_name",
+                                             "num_top"),
                    donate_argnames=("cache",))
 def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
-                lora_ids=None, *, cfg, scheme, axis_name=None):
+                lora_ids=None, *, cfg, scheme, axis_name=None, num_top=0):
     """Autoregressive decode: one token per sequence.
 
     last_tokens [B] (not yet processed), start_pos [B] = their positions.
-    Returns (next_tokens [B], logprobs [B], cache).
+    Returns (next_tokens [B], logprobs [B], cache); with ``num_top`` > 0 also
+    the top-n alternative logprobs (values [B, n], ids [B, n]) before the
+    cache — the reference's per-position Logprob dicts (vllm/sequence.py).
     """
     page_size = cache.page_size
     pos = start_pos[:, None]
@@ -98,14 +102,18 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
                                   scheme=scheme, axis_name=axis_name,
                                   lora_ids=lora_ids)
     next_tokens, lp = sample_with_logprob(logits[:, 0], st, key)
+    if num_top:
+        topv, topi = top_logprobs(logits[:, 0], num_top)
+        return next_tokens, lp, topv, topi, cache
     return next_tokens, lp, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "num_steps", "axis_name"),
+@functools.partial(jax.jit, static_argnames=("cfg", "scheme", "num_steps",
+                                             "axis_name", "num_top"),
                    donate_argnames=("cache",))
 def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
                       max_new, st, key, lora_ids=None, *, cfg, scheme, num_steps,
-                      axis_name=None):
+                      axis_name=None, num_top=0):
     """num_steps autoregressive decode steps in one executable.
 
     TPU-native analogue of the reference's multi-step model runner
@@ -130,12 +138,19 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
         new_tok = jnp.where(active, nxt, tok)
         g = jnp.where(active, grammar_advance(st, g, nxt), g) \
             if g is not None else None
+        ys = (out, lp)
+        if num_top:
+            ys = ys + top_logprobs(logits[:, 0], num_top)
         return (cache, new_tok, pos + active.astype(jnp.int32),
-                budget - active.astype(jnp.int32), g), (out, lp)
+                budget - active.astype(jnp.int32), g), ys
 
     keys = jax.random.split(key, num_steps)
-    (cache, _, _, _, _), (toks, lps) = jax.lax.scan(
+    (cache, _, _, _, _), ys = jax.lax.scan(
         body, (cache, last_tokens, start_pos, max_new, st.grammar_state), keys)
+    if num_top:
+        toks, lps, topv, topi = ys
+        return toks, lps, topv, topi, cache
+    toks, lps = ys
     return toks, lps, cache
 
 
@@ -490,9 +505,16 @@ class ModelRunner:
                                                    scheme=draft_scheme),
                 "decode": functools.partial(decode_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
+                "decode_top": functools.partial(
+                    decode_step, cfg=self.cfg, scheme=self._verify_scheme,
+                    num_top=TOPN),
                 "multi_decode": functools.partial(
                     multi_decode_step, cfg=self.cfg, scheme=self._verify_scheme,
                     num_steps=config.scheduler.steps_per_decode_call),
+                "multi_decode_top": functools.partial(
+                    multi_decode_step, cfg=self.cfg, scheme=self._verify_scheme,
+                    num_steps=config.scheduler.steps_per_decode_call,
+                    num_top=TOPN),
                 "draft": functools.partial(draft_steps, cfg=self.draft_cfg,
                                            scheme=draft_scheme, k=k),
                 "verify": functools.partial(verify_step, cfg=self.cfg,
@@ -624,18 +646,25 @@ class ModelRunner:
         tok, _ = _sample_jit(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
-    def sample_tokens(self, logits, st: SamplingTensors):
+    def sample_tokens(self, logits, st: SamplingTensors, want_top: bool = False):
         """Sample one token per row of [B, V] device logits (jitted — the
         eager path costs dozens of per-op compiles on this platform).
-        Returns (tokens [B], logprobs [B]) numpy."""
+        Returns (tokens [B], logprobs [B][, top (vals [B, TOPN], ids)])."""
         toks, lps = _sample_jit(logits, st, self._next_key())
+        if want_top:
+            topv, topi = _top_jit(logits, n=TOPN)
+            toks, lps, topv, topi = jax.device_get((toks, lps, topv, topi))
+            return (np.asarray(toks), np.asarray(lps),
+                    (np.asarray(topv), np.asarray(topi)))
         toks, lps = jax.device_get((toks, lps))
         return np.asarray(toks), np.asarray(lps)
 
     def run_decode(self, seqs, sampling: SamplingTensors,
-                   num_steps: int = 1) -> np.ndarray:
+                   num_steps: int = 1, want_top: bool = False) -> np.ndarray:
         """Autoregressive decode. num_steps == 1 returns [1, B] next tokens;
-        otherwise runs the fused multi-step executable -> [N, B] (-1 padded)."""
+        otherwise runs the fused multi-step executable -> [N, B] (-1 padded).
+        Returns (tokens, logprobs, top) where top is None or
+        (vals [N, B, TOPN], ids [N, B, TOPN])."""
         B = self._bucket_batch(len(seqs))
         last = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
@@ -648,20 +677,36 @@ class ModelRunner:
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
         lora = self._lora_ids(seqs, B)
+        n = len(seqs)
         if num_steps == 1:
-            next_tokens, lp, self.cache = self.fns["decode"](
+            out = self.fns["decode_top" if want_top else "decode"](
                 self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
                 jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
                 lora)
-            next_tokens, lp = jax.device_get((next_tokens, lp))
-            toks = np.asarray(next_tokens)[None, :len(seqs)]
-            return toks, np.asarray(lp)[None, :len(seqs)]
-        toks, lps, self.cache = self.fns["multi_decode"](
+            if want_top:
+                next_tokens, lp, topv, topi, self.cache = out
+                next_tokens, lp, topv, topi = jax.device_get(
+                    (next_tokens, lp, topv, topi))
+                top = (np.asarray(topv)[None, :n], np.asarray(topi)[None, :n])
+            else:
+                next_tokens, lp, self.cache = out
+                next_tokens, lp = jax.device_get((next_tokens, lp))
+                top = None
+            toks = np.asarray(next_tokens)[None, :n]
+            return toks, np.asarray(lp)[None, :n], top
+        out = self.fns["multi_decode_top" if want_top else "multi_decode"](
             self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
             st, self._next_key(), lora)
-        toks, lps = jax.device_get((toks, lps))
-        return np.asarray(toks)[:, :len(seqs)], np.asarray(lps)[:, :len(seqs)]
+        if want_top:
+            toks, lps, topv, topi, self.cache = out
+            toks, lps, topv, topi = jax.device_get((toks, lps, topv, topi))
+            top = (np.asarray(topv)[:, :n], np.asarray(topi)[:, :n])
+        else:
+            toks, lps, self.cache = out
+            toks, lps = jax.device_get((toks, lps))
+            top = None
+        return np.asarray(toks)[:, :n], np.asarray(lps)[:, :n], top
 
     def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
                         num_rounds: int = 1):
@@ -780,6 +825,13 @@ class ModelRunner:
 
 
 _sample_jit = jax.jit(sample_with_logprob)
+
+# bucketed top-N width for logprob dicts: one extra executable pair instead
+# of one per requested N, matching the reference's max_logprobs=20 default
+# (OpenAI allows 5; beam search asks for 2*beam_width). Requests asking for
+# fewer get a host-side slice.
+TOPN = 20
+_top_jit = jax.jit(top_logprobs, static_argnames=("n",))
 
 
 def _pad_sampling(st: SamplingTensors, n: int, bucket: int) -> SamplingTensors:

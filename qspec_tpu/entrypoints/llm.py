@@ -123,6 +123,17 @@ class LLM:
                     results[out.request_id] = out
         return [results[i].embedding for i in ids]
 
+    def beam_search(self, prompts: Sequence[Union[str, List[int]]],
+                    params=None):
+        """Deterministic beam search (reference LLM.beam_search,
+        vllm/entrypoints/llm.py:507). Returns one BeamSearchOutput per
+        prompt with beam_width sequences, best-first."""
+        from qspec_tpu.beam_search import BeamSearchParams, beam_search
+        if params is None:
+            params = BeamSearchParams()
+        ids = [self._encode(p) for p in prompts]
+        return beam_search(self.llm_engine, ids, params)
+
     def chat(self, messages, sampling_params: Optional[SamplingParams] = None,
              chat_template: Optional[str] = None) -> List[RequestOutput]:
         """messages: list of conversations (each a list of {role, content}).

@@ -123,9 +123,13 @@ class OpenAIServer:
     def _logprobs_payload(out, want):
         if not want:
             return None
+        top = None
+        if out.top_logprobs is not None:
+            top = [None if d is None else {str(t): lp for t, lp in d.items()}
+                   for d in out.top_logprobs]
         return {"token_logprobs": list(out.logprobs or []),
                 "tokens": [str(t) for t in out.output_token_ids],
-                "top_logprobs": None, "text_offset": []}
+                "top_logprobs": top, "text_offset": []}
 
     async def embeddings(self, request):
         """/v1/embeddings: last-token pooled hidden states (reference

@@ -53,3 +53,7 @@ def resolve(hf_config: dict) -> ModelConfig:
 
 def supported_architectures():
     return sorted(_REGISTRY)
+
+
+# documented plugin-facing name (see qspec_tpu/plugins.py)
+register_model = register

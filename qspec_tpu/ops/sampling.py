@@ -197,6 +197,15 @@ def sample_with_logprob(logits: jnp.ndarray, st: SamplingTensors, key: jax.Array
     return toks, chosen
 
 
+def top_logprobs(logits: jnp.ndarray, n: int):
+    """Top-n alternatives under the unfiltered softmax (the convention the
+    reference's Logprob dicts use, vllm/sequence.py Logprob): [B, V] ->
+    (values [B, n] f32, ids [B, n] int32)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(logp, n)
+    return vals, ids.astype(jnp.int32)
+
+
 class RejectionResult(NamedTuple):
     tokens: jnp.ndarray        # [B, k+1] int32, -1 past accepted_len
     accepted_len: jnp.ndarray  # [B] int32 in [1, k+1]: accepted draft + 1

@@ -194,10 +194,18 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["decode"] = _wrap(
         mr.decode_step.__wrapped__, mesh, cfg, params,
         (R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme)
+    fns["decode_top"] = _wrap(
+        mr.decode_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, mr_st_spec(), R, R), (P(), P(), P(), P(), cspec), 1,
+        scheme=scheme, num_top=mr.TOPN)
     fns["multi_decode"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme,
         num_steps=decode_steps)
+    fns["multi_decode_top"] = _wrap(
+        mr.multi_decode_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, mr_st_spec(), R, R), (P(), P(), P(), P(), cspec), 1,
+        scheme=scheme, num_steps=decode_steps, num_top=mr.TOPN)
     fns["verify_onehot"] = _wrap(
         mr.verify_step_onehot.__wrapped__, mesh, cfg, params,
         (R, R, R, R, mr_st_spec(), R), (rr_spec(), cspec), 1, scheme=scheme)

@@ -53,7 +53,7 @@ key = jax.random.PRNGKey(0)
 page_size = kcfg.page_size
 
 
-def full_body(carry, _):
+def full_body(carry, _, params):
     cache, tok, pos = carry
     p = pos[:, None]
     slot = _slot_of(block_tables, p, page_size)
@@ -67,14 +67,16 @@ def full_body(carry, _):
 
 def mk_full(n):
     @jax.jit
-    def run(cache, tok):
-        (cache, tok, _), _ = jax.lax.scan(full_body, (cache, tok, start_pos),
+    def run(params_, cache, tok):
+        def body(c, _):
+            return full_body(c, _, params_)
+        (cache, tok, _), _ = jax.lax.scan(body, (cache, tok, start_pos),
                                           None, length=n)
         return tok + (cache.kv_pages.reshape(-1)[0] * 0).astype(jnp.int32)
-    return lambda x: run(cache, x)
+    return lambda x: run(params, cache, x)
 
 
-def trunk_body(carry, _):
+def trunk_body(carry, _, params):
     cache, x, pos = carry
     p = pos[:, None]
     slot = _slot_of(block_tables, p, page_size)
@@ -94,15 +96,17 @@ def trunk_body(carry, _):
 
 def mk_trunk(n):
     @jax.jit
-    def run(cache, x):
-        (cache, x, _), _ = jax.lax.scan(trunk_body, (cache, x, start_pos),
+    def run(params_, cache, x):
+        def body(c, _):
+            return trunk_body(c, _, params_)
+        (cache, x, _), _ = jax.lax.scan(body, (cache, x, start_pos),
                                         None, length=n)
         return x
     x0 = jnp.zeros((B, cfg.hidden_size), jnp.bfloat16)
-    return lambda _: run(cache, x0)
+    return lambda _: run(params, cache, x0)
 
 
-def head_body(x, _):
+def head_body(x, _, params):
     xn = rmsnorm(x, None, eps=cfg.rms_norm_eps)
     logits = compute_logits(xn, params["lm_head"])
     nxt, _ = sample_with_logprob(logits, st, key)
@@ -112,11 +116,13 @@ def head_body(x, _):
 
 def mk_head(n):
     @jax.jit
-    def run(x):
-        x, _ = jax.lax.scan(head_body, x, None, length=n)
+    def run(params_, x):
+        def body(c, _):
+            return head_body(c, _, params_)
+        x, _ = jax.lax.scan(body, x, None, length=n)
         return x
     xh = jnp.ones((B, cfg.hidden_size), jnp.bfloat16)
-    return lambda _: run(xh)
+    return lambda _: run(params, xh)
 
 
 def attn_body(carry, _):
@@ -141,7 +147,7 @@ def mk_attn(n):
     return lambda _: run(cache, q0)
 
 
-def gemm_body(x, _):
+def gemm_body(x, _, params):
     from qspec_tpu.models.llama import _linear
     ly = params["layers"]
     def body(xx, li):
@@ -157,11 +163,13 @@ def gemm_body(x, _):
 
 def mk_gemm(n):
     @jax.jit
-    def run(x):
-        x, _ = jax.lax.scan(gemm_body, x, None, length=n)
+    def run(params_, x):
+        def body(c, _):
+            return gemm_body(c, _, params_)
+        x, _ = jax.lax.scan(body, x, None, length=n)
         return x
     x0 = jnp.zeros((B, cfg.hidden_size), jnp.bfloat16)
-    return lambda _: run(x0)
+    return lambda _: run(params, x0)
 
 
 H, I, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
