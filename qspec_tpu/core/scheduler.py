@@ -75,10 +75,14 @@ class Scheduler:
         return self.num_unfinished > 0
 
     # ------------------------------------------------------------------
-    def free_finished(self) -> List[Sequence]:
+    def free_finished(self, hold=None) -> List[Sequence]:
+        """Drop finished seqs from running and free their pages. ``hold``:
+        predicate marking seqs whose pages the caller will extract first
+        (KV handoff) — they are returned but NOT freed."""
         done = [s for s in self.running if s.is_finished]
         for s in done:
-            self.bm.free(s)
+            if hold is None or not hold(s):
+                self.bm.free(s)
         self.running = [s for s in self.running if not s.is_finished]
         return done
 

@@ -85,6 +85,10 @@ class LLMEngine:
         self._num_total_pages = num_pages
         self.tracer = None            # set via enable_tracing()
         self._traces = {}
+        # disaggregated prefill (kv_transfer.py): rids whose pages must be
+        # held at finish for extraction, and the finished held sequences
+        self._kv_pending: set = set()
+        self._kv_held: Dict[int, Sequence] = {}
 
     def enable_tracing(self, otlp_endpoint: Optional[str] = None,
                        service_name: str = "qspec_tpu") -> bool:
@@ -159,6 +163,66 @@ class LLMEngine:
                                                      self.eos_token_id)
         return self._grammar_compiler
 
+    # -- disaggregated prefill (kv_transfer.py) ------------------------
+    def prefill_for_transfer(self, prompt_token_ids: List[int],
+                             request_id: Optional[int] = None) -> int:
+        """Submit a prompt whose KV pages will be extracted after prefill
+        (reference kv_transfer: the prefill instance's side)."""
+        rid = self.add_request(prompt_token_ids,
+                               SamplingParams(temperature=0.0, max_tokens=1,
+                                              ignore_eos=True),
+                               request_id=request_id)
+        self._kv_pending.add(rid)
+        return rid
+
+    def extract_kv(self, request_id: int):
+        """Gather the finished prefill's pages to host and free them.
+        Returns a KVHandoff (the decode instance feeds it to inject_kv)."""
+        from qspec_tpu.kv_transfer import KVHandoff
+        seq = self._kv_held.pop(request_id)
+        n_pages = self.block_manager.pages_needed(seq.prompt_len)
+        pages, scales = self.runner.gather_pages(seq.page_ids[:n_pages])
+        self.block_manager.free(seq)
+        return KVHandoff(
+            prompt_token_ids=list(seq.prompt_token_ids),
+            first_token=seq.output_token_ids[0],
+            first_logprob=seq.output_logprobs[0],
+            page_size=self.config.cache.page_size,
+            kv_dtype=self.config.cache.kv_cache_dtype,
+            pages=pages, scales=scales)
+
+    def inject_kv(self, handoff, sampling_params: Optional[SamplingParams] = None,
+                  request_id: Optional[int] = None) -> int:
+        """Adopt a transferred prefill: allocate pages, scatter the KV in,
+        and enter decode directly (reference kv_transfer: the decode
+        instance's side). The request continues from token 1."""
+        assert handoff.page_size == self.config.cache.page_size, \
+            "page_size mismatch between prefill and decode engines"
+        assert handoff.kv_dtype == self.config.cache.kv_cache_dtype, \
+            "kv cache dtype mismatch between prefill and decode engines"
+        sp = sampling_params or SamplingParams()
+        rid = request_id if request_id is not None else self._next_id
+        self._next_id = max(self._next_id, rid + 1)
+        seq = Sequence(seq_id=rid,
+                       prompt_token_ids=list(handoff.prompt_token_ids),
+                       sampling_params=sp)
+        lookahead = self.scheduler.lookahead
+        if not self.block_manager.can_allocate(seq, lookahead=lookahead):
+            raise RuntimeError("no free pages for injected KV")
+        self.block_manager.allocate_prompt(seq, lookahead=lookahead)
+        n_pages = self.block_manager.pages_needed(seq.prompt_len)
+        self.runner.write_pages(seq.page_ids[:n_pages], handoff.pages,
+                                handoff.scales)
+        seq.append_token(handoff.first_token, handoff.first_logprob)
+        seq.num_computed_tokens = seq.prompt_len
+        self.block_manager.mark_computed(seq)
+        seq.status = SequenceStatus.RUNNING
+        seq.check_stop(self.eos_token_id)
+        self.scheduler.running.append(seq)
+        from qspec_tpu.tracing import RequestTrace
+        self._traces[rid] = RequestTrace()
+        return rid
+
     def abort_request(self, request_id: int) -> None:
         self.scheduler.abort_seq(request_id)
         self._traces.pop(request_id, None)
@@ -201,7 +265,13 @@ class LLMEngine:
                 tr.mark_scheduled()
                 if s.output_token_ids:
                     tr.mark_first_token()
-        finished = self.scheduler.free_finished()
+        finished = self.scheduler.free_finished(
+            hold=(lambda s: s.seq_id in self._kv_pending)
+            if self._kv_pending else None)
+        for s in finished:
+            if s.seq_id in self._kv_pending:
+                self._kv_pending.discard(s.seq_id)
+                self._kv_held[s.seq_id] = s
         for s in finished:
             tr = self._traces.pop(s.seq_id, None)
             if tr is not None:

@@ -646,6 +646,30 @@ class ModelRunner:
         tok, _ = _sample_jit(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
+    def gather_pages(self, page_ids):
+        """[L, n, 2, Hkv, S, D] (+ scales) host copy of one seq's pages —
+        the payload of a KV handoff (kv_transfer.py)."""
+        ids = jnp.asarray(np.asarray(page_ids, np.int32))
+        pages = jax.device_get(_gather_pages_jit(self.cache.kv_pages, ids))
+        scales = None
+        if self.cache.kv_scales is not None:
+            scales = jax.device_get(
+                _gather_pages_jit(self.cache.kv_scales, ids))
+        return np.asarray(pages), (np.asarray(scales)
+                                   if scales is not None else None)
+
+    def write_pages(self, page_ids, pages, scales=None):
+        """Scatter transferred pages into this runner's cache."""
+        ids = jnp.asarray(np.asarray(page_ids, np.int32))
+        kv = _write_pages_jit(self.cache.kv_pages, ids,
+                              jnp.asarray(pages, self.cache.kv_pages.dtype))
+        new_scales = self.cache.kv_scales
+        if scales is not None and new_scales is not None:
+            new_scales = _write_pages_jit(new_scales, ids,
+                                          jnp.asarray(scales,
+                                                      new_scales.dtype))
+        self.cache = self.cache._replace(kv_pages=kv, kv_scales=new_scales)
+
     def sample_tokens(self, logits, st: SamplingTensors, want_top: bool = False):
         """Sample one token per row of [B, V] device logits (jitted — the
         eager path costs dozens of per-op compiles on this platform).
@@ -825,6 +849,16 @@ class ModelRunner:
 
 
 _sample_jit = jax.jit(sample_with_logprob)
+
+
+@jax.jit
+def _gather_pages_jit(cache_array, ids):
+    return jnp.take(cache_array, ids, axis=1)
+
+
+@functools.partial(jax.jit, donate_argnames=("cache_array",))
+def _write_pages_jit(cache_array, ids, pages):
+    return cache_array.at[:, ids].set(pages)
 
 # bucketed top-N width for logprob dicts: one extra executable pair instead
 # of one per requested N, matching the reference's max_logprobs=20 default

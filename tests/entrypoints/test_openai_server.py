@@ -173,3 +173,36 @@ def test_chat_n_choices(server):
             data["choices"][1]["message"]["content"]
 
     _run(server, body)
+
+
+def test_batch_runner(server, tmp_path):
+    """Offline Batch-API runner (reference run_batch.py): JSONL in/out."""
+    import asyncio
+
+    from qspec_tpu.entrypoints.openai.run_batch import run_batch
+
+    inp = tmp_path / "in.jsonl"
+    outp = tmp_path / "out.jsonl"
+    reqs = [
+        {"custom_id": "c1", "method": "POST", "url": "/v1/completions",
+         "body": {"prompt": "abcd", "max_tokens": 4, "temperature": 0.0,
+                  "ignore_eos": True}},
+        {"custom_id": "c2", "method": "POST", "url": "/v1/chat/completions",
+         "body": {"messages": [{"role": "user", "content": "hi"}],
+                  "max_tokens": 3, "ignore_eos": True}},
+        {"custom_id": "c3", "method": "POST", "url": "/v1/embeddings",
+         "body": {"input": "hello"}},
+        {"custom_id": "bad", "method": "POST", "url": "/v1/nope", "body": {}},
+    ]
+    inp.write_text("\n".join(json.dumps(r) for r in reqs))
+
+    ok = asyncio.new_event_loop().run_until_complete(
+        run_batch(server, str(inp), str(outp)))
+    assert ok == 3
+    lines = [json.loads(l) for l in outp.read_text().splitlines()]
+    assert len(lines) == 4
+    by_id = {l["custom_id"]: l for l in lines}
+    assert by_id["c1"]["response"]["body"]["choices"][0]["text"]
+    assert by_id["c2"]["response"]["body"]["choices"][0]["message"]["content"]
+    assert by_id["c3"]["response"]["body"]["data"][0]["embedding"]
+    assert by_id["bad"]["error"] is not None
