@@ -176,7 +176,10 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         cfg = build(model)
         n_prompts = args.prompts or (4 if model == "tiny" else 8)
         prompt_len = args.prompt_len or (24 if model == "tiny" else 700)
-        max_tokens = args.max_tokens or (16 if model == "tiny" else 64)
+        # long-ish outputs as in the reference demo (max_tokens=1024,
+        # demo.py:42-77): with 700-token prompts and short outputs the
+        # wall is all prefill and decode throughput is invisible
+        max_tokens = args.max_tokens or (16 if model == "tiny" else 256)
         from qspec_tpu.models.llama import init_params_device
         t0 = time.perf_counter()
         params = init_params_device(cfg, seed=0)
