@@ -46,6 +46,11 @@ class ModelConfig:
     # QuaRot models fold RMSNorm gammas into the rotated weights offline, so
     # the live norms are weightless (reference quarot_nn/normalization.py:5).
     weightless_norm: bool = True
+    # Mixtral-style sparse MoE: each layer's MLP is `num_experts` expert
+    # MLPs with a top-k softmax router (reference MixtralForCausalLM +
+    # fused_moe). 0 = dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def resolved_lm_head_quant(self) -> str:
@@ -95,11 +100,25 @@ class ModelConfig:
         return ModelConfig(**d)
 
     @staticmethod
+    def mixtral_8x7b(**over) -> "ModelConfig":
+        d = dict(arch="mixtral", vocab_size=32000, hidden_size=4096,
+                 intermediate_size=14336, num_layers=32, num_heads=32,
+                 num_kv_heads=8, rope_theta=1000000.0,
+                 max_position_embeddings=32768, num_experts=8,
+                 num_experts_per_tok=2)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
     def from_hf_config(hf: dict) -> "ModelConfig":
         """Build from a HuggingFace config.json dict."""
-        arch = "qwen2" if "qwen2" in hf.get("model_type", "") else "llama"
+        mt = hf.get("model_type", "")
+        arch = ("qwen2" if "qwen2" in mt
+                else "mixtral" if "mixtral" in mt else "llama")
         nh = hf["num_attention_heads"]
         return ModelConfig(
+            num_experts=hf.get("num_local_experts", 0),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
             arch=arch,
             vocab_size=hf["vocab_size"],
             hidden_size=hf["hidden_size"],

@@ -85,16 +85,30 @@ def load_hf_float(path: str, cfg: Optional[ModelConfig] = None,
         qkv = np.concatenate([t(p + "self_attn.q_proj.weight"),
                               t(p + "self_attn.k_proj.weight"),
                               t(p + "self_attn.v_proj.weight")], axis=1)
-        gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
-                                  t(p + "mlp.up_proj.weight")], axis=1)
         layer = {
             "qkv": {"w": jnp.asarray(qkv, dtype)},
             "o": {"w": jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)},
-            "gate_up": {"w": jnp.asarray(gate_up, dtype)},
-            "down": {"w": jnp.asarray(t(p + "mlp.down_proj.weight"), dtype)},
             "input_norm": jnp.asarray(sd[p + "input_layernorm.weight"], dtype),
             "post_norm": jnp.asarray(sd[p + "post_attention_layernorm.weight"], dtype),
         }
+        if cfg.num_experts:
+            # Mixtral naming: block_sparse_moe.gate + experts.{e}.w1/w3/w2
+            # (w1=gate, w3=up, w2=down — reference mixtral.py)
+            m = p + "block_sparse_moe."
+            layer["router"] = jnp.asarray(t(m + "gate.weight"), dtype)
+            gu = [np.concatenate([t(f"{m}experts.{e}.w1.weight"),
+                                  t(f"{m}experts.{e}.w3.weight")], axis=1)
+                  for e in range(cfg.num_experts)]
+            dn = [t(f"{m}experts.{e}.w2.weight")
+                  for e in range(cfg.num_experts)]
+            layer["experts_gate_up"] = {"w": jnp.asarray(np.stack(gu), dtype)}
+            layer["experts_down"] = {"w": jnp.asarray(np.stack(dn), dtype)}
+        else:
+            gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
+                                      t(p + "mlp.up_proj.weight")], axis=1)
+            layer["gate_up"] = {"w": jnp.asarray(gate_up, dtype)}
+            layer["down"] = {"w": jnp.asarray(t(p + "mlp.down_proj.weight"),
+                                              dtype)}
         if cfg.qkv_bias:
             b = np.concatenate([sd[p + "self_attn.q_proj.bias"],
                                 sd[p + "self_attn.k_proj.bias"],
@@ -175,15 +189,6 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         o_w = np.einsum("jh,hdk->jdk", H_heads, o_w)  # undo online H_heads
         o_w = o_w.reshape(cfg.num_heads * cfg.head_dim, H) @ Q
 
-        gate = Q.T @ (gpost[:, None] * t(p + "mlp.gate_proj.weight"))
-        up = Q.T @ (gpost[:, None] * t(p + "mlp.up_proj.weight"))
-        gate_up = np.concatenate([gate, up], axis=1)
-
-        # online transform acts as y_row = a_row @ H_I^T, so the weight gets
-        # the un-transposed H_I (matters for non-symmetric Paley factors,
-        # e.g. H_28 in llama's 14336 = 28 * 512)
-        down = (H_I @ t(p + "mlp.down_proj.weight")) @ Q
-
         quant_kind = "w4" if bits == 4 else "none"
         layer = {
             "qkv": pack_proj_weight(qkv, quant_kind, col_blocks=(cfg.q_size, cfg.kv_size,
@@ -194,11 +199,44 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                                                     g(p + "self_attn.k_proj.bias"),
                                                     g(p + "self_attn.v_proj.bias")])),
             "o": pack_proj_weight(o_w, quant_kind, shard_in=True, tp_size=tp_size, dtype=dtype),
-            "gate_up": pack_proj_weight(gate_up, quant_kind, col_blocks=(I, I),
-                                        tp_size=tp_size, dtype=dtype),
-            "down": pack_proj_weight(down, quant_kind, shard_in=True, tp_size=tp_size,
-                                     dtype=dtype),
         }
+        if cfg.num_experts:
+            # Mixtral MoE: identical QuaRot algebra per expert (w1/w3 take
+            # the Q-rotated, gamma-folded input; w2 rows get H_I, output
+            # rotated by Q); the router reads the same rotated hidden
+            m = p + "block_sparse_moe."
+            layer["router"] = jnp.asarray(
+                Q.T @ (gpost[:, None] * t(m + "gate.weight")), dtype)
+            gu_list, dn_list = [], []
+            for e in range(cfg.num_experts):
+                gate = Q.T @ (gpost[:, None] * t(f"{m}experts.{e}.w1.weight"))
+                up = Q.T @ (gpost[:, None] * t(f"{m}experts.{e}.w3.weight"))
+                dn = (H_I @ t(f"{m}experts.{e}.w2.weight")) @ Q
+                # experts pack whole (tp_size=1): parallelism is EP over the
+                # expert dim, not TP inside one expert
+                gu_list.append(pack_proj_weight(
+                    np.concatenate([gate, up], axis=1), quant_kind,
+                    col_blocks=(I, I), dtype=dtype))
+                dn_list.append(pack_proj_weight(dn, quant_kind,
+                                                shard_in=True, dtype=dtype))
+            layer["experts_gate_up"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *gu_list)
+            layer["experts_down"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *dn_list)
+        else:
+            gate = Q.T @ (gpost[:, None] * t(p + "mlp.gate_proj.weight"))
+            up = Q.T @ (gpost[:, None] * t(p + "mlp.up_proj.weight"))
+            gate_up = np.concatenate([gate, up], axis=1)
+
+            # online transform acts as y_row = a_row @ H_I^T, so the weight
+            # gets the un-transposed H_I (matters for non-symmetric Paley
+            # factors, e.g. H_28 in llama's 14336 = 28 * 512)
+            down = (H_I @ t(p + "mlp.down_proj.weight")) @ Q
+            layer["gate_up"] = pack_proj_weight(gate_up, quant_kind,
+                                                col_blocks=(I, I),
+                                                tp_size=tp_size, dtype=dtype)
+            layer["down"] = pack_proj_weight(down, quant_kind, shard_in=True,
+                                             tp_size=tp_size, dtype=dtype)
         layers.append(layer)
 
     gfin = g("model.norm.weight")

@@ -147,6 +147,81 @@ def _mlp_hadamard(x, hK, hP):
     return (xf.reshape(x.shape) * (1.0 / math.sqrt(n))).astype(x.dtype)
 
 
+def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
+               axis_name):
+    """Mixtral-style sparse-MoE MLP (reference MixtralForCausalLM +
+    fused_moe triton kernels, vllm/model_executor/layers/fused_moe/).
+
+    TPU shape of the computation: a lax.scan over the (local) experts —
+    every expert's stacked weights stream from HBM exactly once per step
+    (the bandwidth floor at decode, where nearly every expert has >= 1
+    routed token), computing all T tokens and masking by the router's
+    combine weight. No gather/scatter bookkeeping, static shapes, and the
+    same Pallas stacked-weight kernels as the dense path (expert index
+    rides the scalar-prefetched leading dim, flattened to [L*E_local, ...]).
+
+    Expert parallelism under a mesh: the expert dim is sharded
+    (param_pspecs), each shard runs its local experts over ALL tokens with
+    the combine matrix sliced to its stripe, and one psum joins the dense
+    row-parallel projections' reduction — no all_to_all needed because
+    activations are replicated under TP.
+
+    Returns the residual delta [T, H] (f32)."""
+    quarot = cfg.quant == "w4"
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+
+    def _fp(xn, xq):
+        if xn is not None:
+            return xn
+        from qspec_tpu.ops.quant import sym_dequant
+        return sym_dequant(xq)
+
+    x_fp = _fp(xn, xq)
+    T = x_fp.shape[0]
+    # router on the float hidden (reference gate: nn.Linear on hidden_states)
+    logits = jnp.dot(x_fp, layers["router"][li].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # [T, E]
+    topv, topi = jax.lax.top_k(logits, k)
+    w = jax.nn.softmax(topv, axis=-1)                          # [T, k]
+    combine = jnp.zeros((T, E), jnp.float32)
+    combine = combine.at[jnp.arange(T)[:, None], topi].add(w)
+
+    ntp = 1 if axis_name is None else jax.lax.axis_size(axis_name)
+    E_local = E // ntp
+    if ntp > 1:
+        shift = jax.lax.axis_index(axis_name) * E_local
+        combine = jax.lax.dynamic_slice_in_dim(combine, shift, E_local, 1)
+
+    # [L, E_local, ...] -> [L*E_local, ...] so the stacked-weight kernels
+    # index (layer, expert) through one scalar-prefetched leading dim
+    gu_w = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
+                        layers["experts_gate_up"])
+    dn_w = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
+                        layers["experts_down"])
+
+    def body(acc, e):
+        idx = li * E_local + e
+        gu = _linear(xn, gu_w, scheme, xq, li=idx)             # [T, 2I]
+        i_sz = gu.shape[-1] // 2
+        gate, up = gu[:, :i_sz], gu[:, i_sz:]
+        act = (jax.nn.silu(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(jnp.bfloat16)
+        if quarot:
+            act = _mlp_hadamard(act, hadamards["mlp_K"], hadamards["mlp_P"])
+            if scheme in QUANT_ACT_SCHEMES:
+                d = _linear(None, dn_w, scheme, _act_quant(act, scheme),
+                            li=idx)
+            else:
+                d = _linear(act, dn_w, scheme, li=idx)
+        else:
+            d = _linear(act, dn_w, scheme, li=idx)
+        return acc + d.astype(jnp.float32) * combine[:, e][:, None], None
+
+    delta, _ = jax.lax.scan(body, jnp.zeros((T, cfg.hidden_size), jnp.float32),
+                            jnp.arange(E_local, dtype=jnp.int32))
+    return delta
+
+
 def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
                   rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
                   lora=None, lora_ids=None):
@@ -277,6 +352,13 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
 
     # --- mlp block ---
     xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme)
+    if cfg.num_experts:
+        delta = _moe_block(xn, xq, layers, li, cfg, scheme, hadamards,
+                           axis_name)
+        if axis_name is not None:
+            delta = jax.lax.psum(delta, axis_name)
+        x = x + delta.astype(x.dtype)
+        return x, cache
     gate_up = _linear(xn, layers["gate_up"], scheme, xq, li)  # [T, 2*I/ntp]
     if lora is not None:
         gate_up = _maybe_lora("gate_up", _fp_input(xn, xq), gate_up)
@@ -586,15 +668,32 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
                                 col_blocks=col_blocks, tp_size=tp_size, bias=b,
                                 dtype=dtype)
 
+    def make_experts():
+        """[E, ...] stacked expert projections. Each expert is packed WHOLE
+        (tp_size=1): parallelism is over the expert dim (EP), not inside an
+        expert."""
+        gu, dn = [], []
+        for _ in range(cfg.num_experts):
+            gu.append(pack_proj_weight(dense(H, 2 * I), cfg.quant,
+                                       col_blocks=(I, I), dtype=dtype))
+            dn.append(pack_proj_weight(dense(I, H), cfg.quant, shard_in=True,
+                                       dtype=dtype))
+        return (jax.tree.map(lambda *xs: jnp.stack(xs), *gu),
+                jax.tree.map(lambda *xs: jnp.stack(xs), *dn))
+
     layers = []
     for _ in range(cfg.num_layers):
         layer = {
             "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias,
                              col_blocks=(cfg.q_size, cfg.kv_size, cfg.kv_size)),
             "o": make_proj(cfg.q_size, H, shard_in=True),
-            "gate_up": make_proj(H, 2 * I, col_blocks=(I, I)),
-            "down": make_proj(I, H, shard_in=True),
         }
+        if cfg.num_experts:
+            layer["router"] = jnp.asarray(dense(H, cfg.num_experts), dtype)
+            layer["experts_gate_up"], layer["experts_down"] = make_experts()
+        else:
+            layer["gate_up"] = make_proj(H, 2 * I, col_blocks=(I, I))
+            layer["down"] = make_proj(I, H, shard_in=True)
         if cfg.quant != "w4":
             layer["input_norm"] = jnp.ones((H,), dtype)
             layer["post_norm"] = jnp.ones((H,), dtype)

@@ -43,6 +43,14 @@ def _mistral(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("MixtralForCausalLM")
+@register("mixtral")
+def _mixtral(hf: dict) -> ModelConfig:
+    # sparse-MoE MLP (num_local_experts / num_experts_per_tok picked up by
+    # from_hf_config); attention identical to llama/mistral
+    return ModelConfig.from_hf_config(hf)
+
+
 def resolve(hf_config: dict) -> ModelConfig:
     archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
     for a in archs:

@@ -75,10 +75,20 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         "layers": {
             "qkv": proj_col(layer_p["qkv"]),
             "o": proj_row(layer_p["o"]),
-            "gate_up": proj_col(layer_p["gate_up"]),
-            "down": proj_row(layer_p["down"]),
         },
     }
+    if "router" in layer_p:
+        # MoE: expert parallelism — the expert dim (axis 1 of every expert
+        # leaf [L, E, ...]) is sharded; the router is replicated
+        def proj_ep(p):
+            return jax.tree.map(
+                lambda a: P(*([None, "model"] + [None] * (a.ndim - 2))), p)
+        specs["layers"]["router"] = P(None, None, None)
+        specs["layers"]["experts_gate_up"] = proj_ep(layer_p["experts_gate_up"])
+        specs["layers"]["experts_down"] = proj_ep(layer_p["experts_down"])
+    else:
+        specs["layers"]["gate_up"] = proj_col(layer_p["gate_up"])
+        specs["layers"]["down"] = proj_row(layer_p["down"])
     if quant:
         specs["hadamards"] = {"heads": P(None, None), "mlp_K": P(None, None),
                               "mlp_P": P(None, None)}
