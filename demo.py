@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--no-spec", action="store_true")
     args = ap.parse_args()
 
-    from bench import build
+    from bench import build, induction_prompts, load_induction
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
                                   SpeculativeConfig)
     from qspec_tpu.engine.llm_engine import LLMEngine
@@ -35,8 +35,16 @@ def main():
     from qspec_tpu.models.llama import init_params_device
     from qspec_tpu.sampling_params import SamplingParams
 
-    cfg = build(args.model)
-    params = init_params_device(cfg, seed=0)
+    if args.model == "induction":
+        # REAL weights: the in-image-trained induction LM (see
+        # benchmarks/train_induction.py and BENCH_NOTES.md)
+        cfg, params = load_induction()
+        assert cfg is not None, "train it first: python benchmarks/train_induction.py"
+        args.prompt_len = min(args.prompt_len, 512)
+        args.max_tokens = min(args.max_tokens, 224)
+    else:
+        cfg = build(args.model)
+        params = init_params_device(cfg, seed=0)
 
     spec = None if args.no_spec else SpeculativeConfig(
         num_speculative_tokens=args.num_speculative_tokens,
@@ -53,9 +61,14 @@ def main():
     eng.stat_loggers.append(LoggingStatLogger(interval_s=5.0))
 
     rng = np.random.default_rng(0)
-    for _ in range(args.prompts):
-        toks = list(map(int, rng.integers(1, min(cfg.vocab_size, 30000),
-                                          size=args.prompt_len)))
+    if args.model == "induction":
+        prompts = induction_prompts(args.prompts, args.prompt_len,
+                                    cfg.vocab_size)
+    else:
+        prompts = [list(map(int, rng.integers(1, min(cfg.vocab_size, 30000),
+                                              size=args.prompt_len)))
+                   for _ in range(args.prompts)]
+    for toks in prompts:
         eng.add_request(toks, SamplingParams(temperature=0.0,
                                              max_tokens=args.max_tokens,
                                              ignore_eos=True))
