@@ -206,3 +206,30 @@ def test_batch_runner(server, tmp_path):
     assert by_id["c2"]["response"]["body"]["choices"][0]["message"]["content"]
     assert by_id["c3"]["response"]["body"]["data"][0]["embedding"]
     assert by_id["bad"]["error"] is not None
+
+
+def test_stream_content_matches_nonstream(server):
+    """Concatenated SSE deltas must equal the non-streaming completion text
+    (VERDICT: streaming content correctness)."""
+    async def body(client):
+        req = {"prompt": "stream me", "max_tokens": 8, "temperature": 0.0,
+               "ignore_eos": True}
+        r = await client.post("/v1/completions", json=req)
+        full = (await r.json())["choices"][0]["text"]
+
+        r = await client.post("/v1/completions", json={**req, "stream": True})
+        assert r.status == 200
+        text, finish = "", None
+        async for line in r.content:
+            line = line.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            payload = json.loads(line[6:])
+            ch = payload["choices"][0]
+            text += ch["text"]
+            if ch["finish_reason"]:
+                finish = ch["finish_reason"]
+        assert text == full
+        assert finish == "length"
+
+    _run(server, body)
