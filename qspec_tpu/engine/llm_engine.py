@@ -90,6 +90,27 @@ class LLMEngine:
         self._kv_pending: set = set()
         self._kv_held: Dict[int, Sequence] = {}
 
+    def profile_steps(self, num_steps: int, trace_dir: str) -> dict:
+        """Capture an xprof/TensorBoard device trace of `num_steps` engine
+        steps (reference: torch-profiler start/stop endpoints,
+        vllm worker.profile). Under jit the per-layer breakdown lives in the
+        device trace itself — the stage_range annotations (tracing.py) name
+        the engine phases inside it."""
+        import time as _time
+
+        import jax.profiler
+
+        t0 = _time.perf_counter()
+        done = 0
+        with jax.profiler.trace(trace_dir):
+            for _ in range(num_steps):
+                if not self.has_unfinished_requests():
+                    break
+                self.step()
+                done += 1
+        return {"trace_dir": trace_dir, "steps": done,
+                "wall_s": _time.perf_counter() - t0}
+
     def enable_tracing(self, otlp_endpoint: Optional[str] = None,
                        service_name: str = "qspec_tpu") -> bool:
         from qspec_tpu.tracing import init_tracer

@@ -64,3 +64,32 @@ def test_prometheus_metrics():
     assert val == 3
     assert registry.get_sample_value("qspec_generation_tokens_total",
                                      {"model_name": "m"}) == 4
+
+
+def test_profile_steps(tmp_path):
+    """profile_steps captures an xprof trace around N engine steps."""
+    import os
+
+    import numpy as np
+
+    from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.models.llama import init_params
+    from qspec_tpu.sampling_params import SamplingParams
+
+    mc = ModelConfig.tiny(quant="w4")
+    cfg = EngineConfig(
+        model=mc, cache=CacheConfig(page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                                  prefill_chunk_size=32,
+                                  decode_batch_buckets=(2,),
+                                  prefill_token_buckets=(32,)))
+    eng = LLMEngine(cfg, init_params(mc, seed=0))
+    eng.add_request(list(range(1, 9)), SamplingParams(max_tokens=4,
+                                                      temperature=0.0,
+                                                      ignore_eos=True))
+    out = eng.profile_steps(3, str(tmp_path / "trace"))
+    assert out["steps"] >= 1 and out["wall_s"] > 0
+    found = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "no trace files written"
