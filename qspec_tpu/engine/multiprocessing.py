@@ -31,6 +31,8 @@ class RPCGenerateRequest:
     request_id: int
     prompt_token_ids: list
     sampling_params: Any
+    task: str = "generate"      # "generate" | "embed"
+    lora_id: int = 0
 
 
 @dataclass
@@ -71,7 +73,9 @@ def run_mq_engine(engine_factory_bytes: bytes, input_addr: str, output_addr: str
                 msg = pickle.loads(inp.recv())
                 if isinstance(msg, RPCGenerateRequest):
                     engine.add_request(msg.prompt_token_ids, msg.sampling_params,
-                                       request_id=msg.request_id)
+                                       request_id=msg.request_id,
+                                       task=getattr(msg, "task", "generate"),
+                                       lora_id=getattr(msg, "lora_id", 0))
                 elif isinstance(msg, RPCAbortRequest):
                     engine.abort_request(msg.request_id)
                 elif msg == "SHUTDOWN":
@@ -132,13 +136,16 @@ class MQLLMEngineClient:
         return True
 
     def generate(self, prompt_token_ids: list, sampling_params,
-                 timeout_s: float = 300.0) -> Iterator[Any]:
+                 timeout_s: float = 300.0, task: str = "generate",
+                 lora_id: int = 0) -> Iterator[Any]:
         if self._dead_reason:
             raise MQEngineDeadError(self._dead_reason)
         rid = self._next_id
         self._next_id += 1
         self.inp.send(pickle.dumps(RPCGenerateRequest(rid, prompt_token_ids,
-                                                      sampling_params)))
+                                                      sampling_params,
+                                                      task=task,
+                                                      lora_id=lora_id)))
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
             if not self.out.poll(timeout=1000):

@@ -69,3 +69,25 @@ def test_mq_engine_death_reported():
     finally:
         proc.kill()
         client.close()
+
+
+def test_mq_embed_task():
+    """task="embed" rides the MQ protocol: the reply carries the pooled
+    embedding instead of generated tokens."""
+    client, proc = start_mq_engine(_tiny_engine)
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if client.check_health(timeout_ms=2000):
+                break
+            time.sleep(0.5)
+        outs = list(client.generate(list(range(1, 9)),
+                                    SamplingParams(max_tokens=1),
+                                    task="embed"))
+        final = outs[-1]
+        assert final.finished and final.embedding is not None
+        assert len(final.embedding) > 0 and not final.output_token_ids
+    finally:
+        client.shutdown_engine()
+        client.close()
+        proc.join(timeout=30)
