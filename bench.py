@@ -164,16 +164,21 @@ def bench_model(model: str, args, *, ngram_default_k=4):
             print("# induction checkpoint missing — run "
                   "benchmarks/train_induction.py", file=sys.stderr, flush=True)
             return None
-        n_prompts = args.prompts or 8
+        n_prompts = args.prompts or 24
         # stay inside the trained position window (the copy circuit only
         # generalizes to positions it has seen)
         prompt_len = args.prompt_len or 512
         max_tokens = args.max_tokens or 224
         prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
-        # zero-cost proposals: larger k pays off at high acceptance
-        ngram_default_k = 8
+        # zero-cost proposals: larger k pays off at high acceptance, and
+        # more fused rounds per host call amortize the ~30 ms tunnel
+        # dispatch that dominates a 3-layer model's step (measured: k=12 +
+        # rounds=8 -> 4074 tok/s vs k=8 + rounds=4 -> 3048)
+        ngram_default_k = 12
+        args.rounds = args.rounds or 8
     else:
         cfg = build(model)
+        args.rounds = args.rounds or 4
         n_prompts = args.prompts or (4 if model == "tiny" else 8)
         prompt_len = args.prompt_len or (24 if model == "tiny" else 700)
         # long-ish outputs as in the reference demo (max_tokens=1024,
@@ -213,7 +218,7 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     results = []
     for label, method, k in runs:
         sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
-                      max_num_seqs=args.max_num_seqs,
+                      max_num_seqs=args.max_num_seqs, rounds=args.rounds,
                       draft_scheme=args.draft_scheme, method=method, spec_k=k)
         print(f"# [{model}] {label} (k={k}): {sp['tokens_per_sec']:.2f} tok/s "
               f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
@@ -249,6 +254,9 @@ def main():
                          "JSON reports the best of the runs")
     ap.add_argument("--spec-k", type=int, default=None,
                     help="speculative tokens per round (default 3 model / 4 ngram)")
+    ap.add_argument("--rounds", type=int, default=None,
+                    help="fused spec rounds per host call (default 4; 8 for "
+                         "the induction regime)")
     args = ap.parse_args()
 
     import jax
