@@ -102,8 +102,11 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
     sched = SchedulerConfig(max_num_seqs=max_num_seqs,
                             max_model_len=max_len,
                             prefill_chunk_size=512,
+                            max_num_batched_tokens=4096,
                             decode_batch_buckets=(max_num_seqs,),
-                            prefill_token_buckets=(512, 1024),
+                            # a 256 bucket catches the 188-token tail chunks
+                            # of 700-token prompts (they padded 2.7x to 512)
+                            prefill_token_buckets=(256, 512, 1024),
                             steps_per_decode_call=1 if spec else rounds * 4)
     ec = EngineConfig(model=cfg, cache=CacheConfig(page_size=page_size),
                       scheduler=sched,
