@@ -427,8 +427,10 @@ class LLMEngine:
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
         steps = self.config.scheduler.steps_per_decode_call
+        chain = self._chain_for(seqs, steps) if steps > 1 else 1
         tokens, lps, top = self.runner.run_decode(
-            seqs, st, num_steps=steps, want_top=self._wants_top(seqs))
+            seqs, st, num_steps=steps, want_top=self._wants_top(seqs),
+            chain=chain)
         for i, s in enumerate(seqs):
             for r in range(tokens.shape[0]):
                 t = int(tokens[r, i])
@@ -441,19 +443,52 @@ class LLMEngine:
             if steps > 1:
                 s.truncate_stop_overshoot(self.eos_token_id)
 
+    def _chain_for(self, seqs: List[Sequence], per_call: int) -> int:
+        """How many fused device calls to dispatch back-to-back without
+        reading tokens back in between (run_*_rounds `chain`). Hiding the
+        host round-trip this way is only safe when no host-side control
+        depends on mid-chain tokens: EOS/stop handling, stop strings, and
+        grammar FSMs all read tokens between calls, so any of them forces
+        chain=1. Overshoot past max_tokens is already budget-masked on
+        device. Pages for the whole chain must be reservable up front."""
+        MAXCHAIN = 8
+        rem = 0
+        for s in seqs:
+            sp = s.sampling_params
+            if ((not sp.ignore_eos and self.eos_token_id is not None)
+                    or sp.stop or sp.stop_token_ids
+                    or s.grammar_fsm is not None
+                    # penalties rebuild the logit bias from emitted tokens
+                    # on the host between calls
+                    or sp.presence_penalty or sp.frequency_penalty
+                    or sp.repetition_penalty != 1.0):
+                return 1
+            rem = max(rem, sp.max_tokens - len(s.output_token_ids))
+        chain = min(MAXCHAIN, max(1, -(-rem // max(per_call, 1))))
+        look = self.scheduler.lookahead
+        while chain > 1:
+            if all(self.block_manager.append_slots(s, lookahead=chain * look)
+                   for s in seqs):
+                break
+            chain -= 1
+        return chain
+
     def _run_spec_decode(self, seqs: List[Sequence]) -> None:
         if not seqs:
             return
         k = self.spec.num_speculative_tokens
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
+        per_call = (k + 1) * self.spec.rounds_per_step
+        chain = self._chain_for(seqs, per_call)
         t0 = time.perf_counter()
         if self._ngram:
             tokens, accepted, lps = self.runner.run_ngram_rounds(
-                seqs, st, enable=self.spec.method == "ngram")
+                seqs, st, enable=self.spec.method == "ngram", chain=chain)
         else:
             tokens, accepted, lps = self.runner.run_spec_rounds(
-                seqs, st, k, num_rounds=self.spec.rounds_per_step)
+                seqs, st, k, num_rounds=self.spec.rounds_per_step,
+                chain=chain)
         dt = time.perf_counter() - t0
         R = tokens.shape[0]
         for i, s in enumerate(seqs):

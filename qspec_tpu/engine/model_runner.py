@@ -145,13 +145,14 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
                 budget - active.astype(jnp.int32), g), ys
 
     keys = jax.random.split(key, num_steps)
-    (cache, _, _, _, _), ys = jax.lax.scan(
+    (cache, f_last, f_pos, f_budget, _), ys = jax.lax.scan(
         body, (cache, last_tokens, start_pos, max_new, st.grammar_state), keys)
+    adv = (f_last, f_pos, f_budget)
     if num_top:
         toks, lps, topv, topi = ys
-        return toks, lps, topv, topi, cache
+        return toks, lps, topv, topi, adv, cache
     toks, lps = ys
-    return toks, lps, cache
+    return toks, lps, adv, cache
 
 
 def _grammar_advance_emitted(st, g, toks):
@@ -352,10 +353,11 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
                 (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (draft_cache, cache, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
+    (draft_cache, cache, f_last, f_pos, f_budget, _), (toks, accs, lps) = \
+        jax.lax.scan(
         round_body, (draft_cache, cache, last_tokens, start_pos, max_new,
                      st.grammar_state), keys)
-    return toks, accs, lps, draft_cache, cache
+    return toks, accs, lps, (f_last, f_pos, f_budget), draft_cache, cache
 
 
 @functools.partial(jax.jit,
@@ -414,11 +416,12 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
                  budget - acc, g), (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (cache, history, _, _, _, _, _), (toks, accs, lps) = jax.lax.scan(
+    (cache, history, f_last, f_pos, f_hlen, f_budget, _), (toks, accs, lps) = \
+        jax.lax.scan(
         round_body, (cache, history, last_tokens, start_pos, hist_len, max_new,
                      st.grammar_state),
         keys)
-    return toks, accs, lps, history, cache
+    return toks, accs, lps, (f_last, f_pos, f_hlen, f_budget), history, cache
 
 
 # ---------------------------------------------------------------------------
@@ -684,7 +687,8 @@ class ModelRunner:
         return np.asarray(toks), np.asarray(lps)
 
     def run_decode(self, seqs, sampling: SamplingTensors,
-                   num_steps: int = 1, want_top: bool = False) -> np.ndarray:
+                   num_steps: int = 1, want_top: bool = False,
+                   chain: int = 1) -> np.ndarray:
         """Autoregressive decode. num_steps == 1 returns [1, B] next tokens;
         otherwise runs the fused multi-step executable -> [N, B] (-1 padded).
         Returns (tokens, logprobs, top) where top is None or
@@ -718,25 +722,38 @@ class ModelRunner:
                 top = None
             toks = np.asarray(next_tokens)[None, :n]
             return toks, np.asarray(lp)[None, :n], top
-        out = self.fns["multi_decode_top" if want_top else "multi_decode"](
-            self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
-            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
-            st, self._next_key(), lora)
+        fname = "multi_decode_top" if want_top else "multi_decode"
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        budget_d = jnp.asarray(max_new)
+        parts = []
+        for _ in range(max(1, chain)):
+            out = self.fns[fname](
+                self.params, self.cache, last_d, pos_d, tables_d, budget_d,
+                st, self._next_key(), lora)
+            if want_top:
+                toks, lps, topv, topi, adv, self.cache = out
+                parts.append((toks, lps, topv, topi))
+            else:
+                toks, lps, adv, self.cache = out
+                parts.append((toks, lps))
+            last_d, pos_d, budget_d = adv
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        top = None
         if want_top:
-            toks, lps, topv, topi, self.cache = out
-            toks, lps, topv, topi = jax.device_get((toks, lps, topv, topi))
-            top = (np.asarray(topv)[:, :n], np.asarray(topi)[:, :n])
-        else:
-            toks, lps, self.cache = out
-            toks, lps = jax.device_get((toks, lps))
-            top = None
-        return np.asarray(toks)[:, :n], np.asarray(lps)[:, :n], top
+            top = (np.concatenate([np.asarray(p[2]) for p in parts], 0)[:, :n],
+                   np.concatenate([np.asarray(p[3]) for p in parts], 0)[:, :n])
+        return toks[:, :n], lps[:, :n], top
 
     def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
-                        num_rounds: int = 1):
-        """`num_rounds` fused QSpec rounds in one device call.
+                        num_rounds: int = 1, chain: int = 1):
+        """`num_rounds` fused QSpec rounds per device call; ``chain`` calls
+        dispatched back-to-back on device-resident advance state (see
+        run_ngram_rounds — hides the host round-trip).
 
-        Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B]) numpy,
+        Returns (tokens [chain*R, B, k+1] (-1 padded), accepted) numpy,
         cropped to the live batch.
         """
         B = self._bucket_batch(len(seqs))
@@ -752,15 +769,24 @@ class ModelRunner:
         st = _pad_sampling(sampling, len(seqs), B)
 
         extra = (() if self.draft_params is None else (self.draft_params,))
-        toks, accs, lps, self.draft_cache, self.cache = self.fns["spec_rounds"](
-            self.params, self.draft_cache, self.cache, jnp.asarray(last),
-            jnp.asarray(pos), jnp.asarray(self._pad_block_tables(tables)),
-            jnp.asarray(max_new), st, self._next_key(),
-            self._lora_ids(seqs, B), *extra)
-        toks, accs, lps = jax.device_get((toks, accs, lps))
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        lora = self._lora_ids(seqs, B)
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        budget_d = jnp.asarray(max_new)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, accs, lps, adv, self.draft_cache, self.cache = \
+                self.fns["spec_rounds"](
+                    self.params, self.draft_cache, self.cache, last_d, pos_d,
+                    tables_d, budget_d, st, self._next_key(), lora, *extra)
+            last_d, pos_d, budget_d = adv
+            parts.append((toks, accs, lps))
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
         n = len(seqs)
-        return (np.asarray(toks)[:, :n], np.asarray(accs)[:, :n],
-                np.asarray(lps)[:, :n])
+        return toks[:, :n], accs[:, :n], lps[:, :n]
 
     def _hist_row_for(self, seq, live_ids) -> int:
         """Assign (or reuse) a device-history row for a sequence; evict rows
@@ -778,12 +804,19 @@ class ModelRunner:
         return row
 
     def run_ngram_rounds(self, seqs, sampling: SamplingTensors,
-                         enable: bool = True):
+                         enable: bool = True, chain: int = 1):
         """Fused device-side prompt-lookup rounds (one host call for
         num_rounds * (k+1) potential tokens). ``enable=False`` runs the same
         executable with null proposals — the bit-exact AR oracle.
 
-        Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs).
+        ``chain`` > 1 dispatches that many executions back-to-back, feeding
+        each call the previous one's DEVICE-resident advance state
+        (last/pos/hist_len/budget) — no host read-back between them, so the
+        tunnel round-trip leaves the critical path (the async-dispatch
+        analogue of the reference's async output processing,
+        vllm --async-output-proc). One device_get at the end.
+
+        Returns (tokens [chain*R, B, k+1] (-1 padded), accepted, logprobs).
         """
         B = self._bucket_batch(len(seqs))
         live_ids = {s.seq_id for s in seqs}
@@ -806,18 +839,29 @@ class ModelRunner:
             hist_rows[i] = row
             hist_len[i] = s.num_tokens
         st = _pad_sampling(sampling, len(seqs), B)
-        toks, accs, lps, self._hist, self.cache = self.fns["ngram_rounds"](
-            self.params, self.cache, self._hist, jnp.asarray(hist_rows),
-            jnp.asarray(hist_len), jnp.asarray(last), jnp.asarray(pos),
-            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(max_new),
-            jnp.asarray(bool(enable)), st, self._next_key())
-        toks, accs, lps = jax.device_get((toks, accs, lps))
+        rows_d = jnp.asarray(hist_rows)
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        en_d = jnp.asarray(bool(enable))
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        hlen_d, budget_d = jnp.asarray(hist_len), jnp.asarray(max_new)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, accs, lps, adv, self._hist, self.cache = \
+                self.fns["ngram_rounds"](
+                    self.params, self.cache, self._hist, rows_d, hlen_d,
+                    last_d, pos_d, tables_d, budget_d, en_d, st,
+                    self._next_key())
+            last_d, pos_d, hlen_d, budget_d = adv
+            parts.append((toks, accs, lps))
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
         n = len(seqs)
-        accs = np.asarray(accs)
         for i, s in enumerate(seqs):
             self._hist_synced[s.seq_id] = int(self._hist_synced[s.seq_id]
                                               + accs[:, i].sum())
-        return np.asarray(toks)[:, :n], accs[:, :n], np.asarray(lps)[:, :n]
+        return toks[:, :n], accs[:, :n], lps[:, :n]
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,
                         draft_tokens: np.ndarray):

@@ -210,11 +210,12 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
         scheme=scheme, num_top=mr.TOPN)
     fns["multi_decode"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R, mr_st_spec(), R, R), (P(), P(), cspec), 1, scheme=scheme,
-        num_steps=decode_steps)
+        (R, R, R, R, mr_st_spec(), R, R), (P(), P(), (P(), P(), P()), cspec),
+        1, scheme=scheme, num_steps=decode_steps)
     fns["multi_decode_top"] = _wrap(
         mr.multi_decode_step.__wrapped__, mesh, cfg, params,
-        (R, R, R, R, mr_st_spec(), R, R), (P(), P(), P(), P(), cspec), 1,
+        (R, R, R, R, mr_st_spec(), R, R),
+        (P(), P(), P(), P(), (P(), P(), P()), cspec), 1,
         scheme=scheme, num_steps=decode_steps, num_top=mr.TOPN)
     fns["verify_onehot"] = _wrap(
         mr.verify_step_onehot.__wrapped__, mesh, cfg, params,
@@ -248,10 +249,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     if sep_draft:
         in_specs = (pspecs, dcspec, cspec, R, R, R, R, mr_st_spec(), R, R,
                     dpspecs)
-        out_specs = (P(), P(), P(), dcspec, cspec)
+        out_specs = (P(), P(), P(), (P(), P(), P()), dcspec, cspec)
     else:
         in_specs = (pspecs, cspec, cspec, R, R, R, R, mr_st_spec(), R, R)
-        out_specs = (P(), P(), P(), cspec, cspec)
+        out_specs = (P(), P(), P(), (P(), P(), P()), cspec, cspec)
     mapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
     fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))
@@ -263,7 +264,8 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     ng_mapped = shard_map(ng, mesh=mesh,
                           in_specs=(pspecs, cspec, R, R, R, R, R, R, R, R,
                                     mr_st_spec(), R),
-                          out_specs=(P(), P(), P(), P(), cspec),
+                          out_specs=(P(), P(), P(), (P(), P(), P(), P()),
+                                     P(), cspec),
                           check_rep=False)
     fns["ngram_rounds"] = jax.jit(ng_mapped, donate_argnums=(1, 2))
     return fns

@@ -179,3 +179,40 @@ def test_penalties_in_spec_mode(setup):
     # and match the AR behaviour under the same (per-call) granularity
     ar_pen = run_pen(None, 8.0)
     assert distinct_ratio(ar_pen) > distinct_ratio(run_pen(None, 0.0))
+
+
+@pytest.mark.parametrize("method", ["qspec", "ngram"])
+def test_chained_dispatch_equivalence(setup, method):
+    """Back-to-back chained device calls (no host read-back between fused
+    calls) must be transcript-identical to per-call dispatch. An unreachable
+    stop_token_id forces chain=1 without altering sampling."""
+    mc, params, sched = setup
+    ps = prompts()
+    spec = SpeculativeConfig(num_speculative_tokens=3, rounds_per_step=2,
+                             method=method)
+
+    def go(stop_ids):
+        cfg = EngineConfig(model=mc,
+                           cache=__import__("qspec_tpu.config",
+                                            fromlist=["CacheConfig"]
+                                            ).CacheConfig(page_size=16),
+                           scheduler=sched, speculative=spec)
+        eng = LLMEngine(cfg, params)
+        for p in ps:
+            eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=24,
+                                              ignore_eos=True,
+                                              stop_token_ids=stop_ids))
+        outs = {}
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    outs[o.request_id] = o.output_token_ids
+        return outs
+
+    chained = go(None)           # eligible for chain > 1
+    unchained = go([511])        # forces chain=1 (id 511 excluded by prompts)
+    # token 511 could legitimately be sampled; strip any early stop effect
+    for r in unchained:
+        if unchained[r] and unchained[r][-1] == 511:
+            pytest.skip("stop id sampled; oracle void for this seed")
+    assert chained == unchained
