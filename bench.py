@@ -72,7 +72,9 @@ def load_induction(base: str = INDUCTION_CKPT):
     cfg = ModelConfig(**meta["cfg"])
     sd = dict(np.load(base + ".npz"))
     params, cfg = quantize_float(sd, cfg)
-    return cfg, params
+    # the copy circuit only generalizes to positions seen in training:
+    # the bench must keep prompt+output inside this window
+    return cfg, params, int(meta.get("train_seq", 768))
 
 
 def induction_prompts(n: int, prompt_len: int, vocab: int, seed: int = 0):
@@ -162,7 +164,7 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     import jax
 
     if model == "induction":
-        cfg, params = load_induction()
+        cfg, params, train_seq = load_induction()
         if cfg is None:
             print("# induction checkpoint missing — run "
                   "benchmarks/train_induction.py", file=sys.stderr, flush=True)
@@ -170,18 +172,18 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         n_prompts = args.prompts or 24
         # stay inside the trained position window (the copy circuit only
         # generalizes to positions it has seen)
-        prompt_len = args.prompt_len or 512
-        max_tokens = args.max_tokens or 224
+        prompt_len = args.prompt_len or min(512, train_seq // 2)
+        max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
         prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
         # zero-cost proposals: larger k pays off at high acceptance, and
         # more fused rounds per host call amortize the ~30 ms tunnel
         # dispatch that dominates a 3-layer model's step (measured: k=12 +
         # rounds=8 -> 4074 tok/s vs k=8 + rounds=4 -> 3048)
         ngram_default_k = 12
-        args.rounds = args.rounds or 8
+        rounds = args.rounds or 8
     else:
         cfg = build(model)
-        args.rounds = args.rounds or 4
+        rounds = args.rounds or 4
         n_prompts = args.prompts or (4 if model == "tiny" else 8)
         prompt_len = args.prompt_len or (24 if model == "tiny" else 700)
         # long-ish outputs as in the reference demo (max_tokens=1024,
@@ -204,7 +206,7 @@ def bench_model(model: str, args, *, ngram_default_k=4):
           file=sys.stderr, flush=True)
 
     ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
-                  max_num_seqs=args.max_num_seqs)
+                  max_num_seqs=args.max_num_seqs, rounds=rounds)
     print(f"# [{model}] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s "
           f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s)",
           file=sys.stderr, flush=True)
@@ -221,7 +223,7 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     results = []
     for label, method, k in runs:
         sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
-                      max_num_seqs=args.max_num_seqs, rounds=args.rounds,
+                      max_num_seqs=args.max_num_seqs, rounds=rounds,
                       draft_scheme=args.draft_scheme, method=method, spec_k=k)
         print(f"# [{model}] {label} (k={k}): {sp['tokens_per_sec']:.2f} tok/s "
               f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "

@@ -37,10 +37,22 @@ DEFAULT_OUT = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
                            "induction_lm_v1")
 
 
-def model_cfg():
+def model_cfg(preset: str = "small"):
     from qspec_tpu.config import ModelConfig
-    # head_dim 128 keeps the Pallas attention fast path; H_4 / H_1024
-    # hadamards exist for the QuaRot conversion
+    # head_dim 128 keeps the Pallas attention fast path; the hidden /
+    # intermediate sizes must decompose into constructible Hadamard factors
+    # for the QuaRot conversion
+    if preset == "big":
+        # ~360M params (~180 MB int4): a DECODE-BANDWIDTH-BOUND model, so
+        # speculation wins on physics (a verify pass streams the weights
+        # once for k+1 tokens) rather than on dispatch amortization; sized
+        # so f32 AdamW training fits the 16 GB HBM alongside remat'd
+        # activations
+        return ModelConfig(vocab_size=4096, hidden_size=1536,
+                           intermediate_size=6144, num_layers=10,
+                           num_heads=12, num_kv_heads=4, head_dim=128,
+                           rope_theta=10000.0, max_position_embeddings=1024,
+                           quant="none", weightless_norm=False)
     return ModelConfig(vocab_size=2048, hidden_size=512,
                        intermediate_size=1024, num_layers=3, num_heads=4,
                        num_kv_heads=4, head_dim=128, rope_theta=10000.0,
@@ -82,8 +94,8 @@ def train_forward(params, cfg, tokens):
     causal = jnp.tril(jnp.ones((T, T), bool))
 
     L = params["layers"]["qkv"]["w"].shape[0]
-    for li in range(L):
-        lp = jax.tree.map(lambda a, i=li: a[i], params["layers"])
+
+    def layer_fn(x, lp):
         h = rms(x, lp["input_norm"])
         qkv = h @ lp["qkv"]["w"]
         if "b" in lp["qkv"]:
@@ -92,8 +104,13 @@ def train_forward(params, cfg, tokens):
         q = q.reshape(B * T, nh, dh)
         k = k.reshape(B * T, cfg.num_kv_heads, dh)
         q, k = apply_rope(q, k, pos, params["rope_cache"])
+        # GQA: repeat kv heads up to the query head count for the dense
+        # training einsum (inference reads the grouped heads natively)
+        rep = nh // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
         q = q.reshape(B, T, nh, dh).astype(jnp.float32)
         k = k.reshape(B, T, nh, dh).astype(jnp.float32)
+        v = jnp.repeat(v.reshape(B * T, cfg.num_kv_heads, dh), rep, axis=1)
         v = v.reshape(B, T, nh, dh).astype(jnp.float32)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
         s = jnp.where(causal[None, None], s, -1e30)
@@ -103,7 +120,14 @@ def train_forward(params, cfg, tokens):
         h = rms(x, lp["post_norm"])
         gu = h @ lp["gate_up"]["w"]
         g, u = jnp.split(gu, 2, -1)
-        x = x + (jax.nn.silu(g) * u) @ lp["down"]["w"]
+        return x + (jax.nn.silu(g) * u) @ lp["down"]["w"]
+
+    # remat each layer: recompute activations in backward instead of
+    # retaining them (the big preset trains inside 16 GB HBM this way)
+    ckpt = jax.checkpoint(layer_fn)
+    for li in range(L):
+        lp = jax.tree.map(lambda a, i=li: a[i], params["layers"])
+        x = ckpt(x, lp)
     x = rms(x, params["final_norm"])
     return x @ params["lm_head"]         # [B, T, V]
 
@@ -138,21 +162,22 @@ def to_hf_state_dict(params, cfg) -> dict:
 
 
 def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
-          seed: int = 0, log_every: int = 100):
+          seed: int = 0, log_every: int = 100, preset: str = "small"):
     import jax
     import jax.numpy as jnp
     import optax
 
     from qspec_tpu.models.llama import init_params
 
-    cfg = model_cfg()
+    cfg = model_cfg(preset)
     params = jax.tree.map(lambda a: a.astype(jnp.float32),
                           init_params(cfg, seed=seed, dtype=jnp.float32))
     rope = params.pop("rope_cache")  # not trained
 
     warmup = min(50, max(1, steps // 4))
-    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup, max(steps, warmup + 1)), weight_decay=0.01)
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup,
+                                               max(steps, warmup + 1))
+    tx = optax.adamw(sched, weight_decay=0.01)
     opt_state = tx.init(params)
 
     def loss_fn(p, tokens):
@@ -195,18 +220,19 @@ def main():
                          "generalizes to positions it has seen, so bench "
                          "prompt+output must fit inside this window")
     ap.add_argument("--lr", type=float, default=6e-4)
+    ap.add_argument("--preset", default="small", choices=["small", "big"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     args = ap.parse_args()
 
     params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr,
-                             seq=args.seq)
+                             seq=args.seq, preset=args.preset)
     sd = to_hf_state_dict(params, cfg)
     os.makedirs(os.path.dirname(os.path.abspath(args.out + ".npz")),
                 exist_ok=True)
     np.savez(args.out + ".npz", **{k: v.astype(np.float16)
                                    for k, v in sd.items()})
     with open(args.out + ".json", "w") as f:
-        json.dump({"copy_acc": acc,
+        json.dump({"copy_acc": acc, "train_seq": args.seq,
                    "cfg": {k: v for k, v in cfg.__dict__.items()
                            if not k.startswith("_")}}, f, indent=1)
     print(f"saved {args.out}.npz (final copy-acc {acc:.3f})")

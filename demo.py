@@ -38,10 +38,10 @@ def main():
     if args.model == "induction":
         # REAL weights: the in-image-trained induction LM (see
         # benchmarks/train_induction.py and BENCH_NOTES.md)
-        cfg, params = load_induction()
+        cfg, params, train_seq = load_induction()
         assert cfg is not None, "train it first: python benchmarks/train_induction.py"
-        args.prompt_len = min(args.prompt_len, 512)
-        args.max_tokens = min(args.max_tokens, 224)
+        args.prompt_len = min(args.prompt_len, train_seq // 2)
+        args.max_tokens = min(args.max_tokens, train_seq - args.prompt_len - 32)
     else:
         cfg = build(args.model)
         params = init_params_device(cfg, seed=0)

@@ -22,9 +22,9 @@ def _load():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
     from bench import induction_prompts, load_induction
     for base in ("checkpoints/induction_lm_v2", "checkpoints/induction_lm_v1"):
-        cfg, params = load_induction(base)
-        if cfg is not None:
-            return cfg, params
+        out = load_induction(base)
+        if out[0] is not None:
+            return out[0], out[1]
     pytest.skip("no induction checkpoint (run benchmarks/train_induction.py)")
 
 
