@@ -34,10 +34,17 @@ class ScheduledBatch:
     seqs: List[Sequence] = field(default_factory=list)
     chunk: Optional[PrefillChunk] = None          # first chunk (compat)
     chunks: List[PrefillChunk] = field(default_factory=list)
+    # swap-mode preemption actions the engine must execute BEFORE running
+    # the batch (reference blocks_to_swap_out/in in SchedulerOutputs):
+    # swap_out: (seq, page_ids snapshot) gathered device->host; swap_in:
+    # resumed seqs whose parked KV is scattered into their fresh page_ids
+    swap_out: List[tuple] = field(default_factory=list)
+    swap_in: List[Sequence] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
-        return not self.seqs and not self.chunks and self.chunk is None
+        return (not self.seqs and not self.chunks and self.chunk is None
+                and not self.swap_out and not self.swap_in)
 
 
 class Scheduler:
@@ -48,6 +55,11 @@ class Scheduler:
         self.lookahead = lookahead  # k+1 for spec decode, 1 otherwise
         self.waiting: List[Sequence] = []
         self.running: List[Sequence] = []
+        # preempted with KV parked in host RAM (swap mode), FIFO resume
+        self.swapped: List[Sequence] = []
+        # capacity probe set by the engine when preemption_mode == "swap"
+        # (HostSwapPool.can_reserve); None keeps pure recompute preemption
+        self.swap_ok = None
         # sequences rejected before ever running (e.g. prompt too long);
         # drained by the engine so the client still gets a final output
         self.rejected: List[Sequence] = []
@@ -57,7 +69,7 @@ class Scheduler:
         self.waiting.append(seq)
 
     def abort_seq(self, seq_id: int) -> None:
-        for q in (self.waiting, self.running):
+        for q in (self.waiting, self.running, self.swapped):
             for s in q:
                 if s.seq_id == seq_id:
                     s.status = SequenceStatus.FINISHED_ABORTED
@@ -69,7 +81,7 @@ class Scheduler:
 
     @property
     def num_unfinished(self) -> int:
-        return len(self.waiting) + len(self.running)
+        return len(self.waiting) + len(self.running) + len(self.swapped)
 
     def has_unfinished(self) -> bool:
         return self.num_unfinished > 0
@@ -86,8 +98,30 @@ class Scheduler:
         self.running = [s for s in self.running if not s.is_finished]
         return done
 
+    def _try_swap_in(self, swap_in: List[Sequence]) -> None:
+        """Resume swapped sequences (FIFO) while pages + slots allow. The
+        engine scatters their parked KV into the fresh pages before the
+        batch runs (reference blocks_to_swap_in)."""
+        while self.swapped and len(self.running) < self.cfg.max_num_seqs:
+            s = self.swapped[0]
+            total = self.bm.pages_needed(s.num_tokens + self.lookahead)
+            if self.bm.num_free_pages < total:
+                break
+            self.swapped.pop(0)
+            assert not s.page_ids
+            for _ in range(total):
+                s.page_ids.append(self.bm.allocator.allocate_page())
+            s.status = SequenceStatus.RUNNING
+            self.running.append(s)
+            swap_in.append(s)
+
     def _admit(self) -> None:
-        """Move waiting -> running while pages + batch slots allow."""
+        """Move waiting -> running while pages + batch slots allow.
+        Swapped sequences resume first: new prompts are not admitted while
+        preempted work is parked (the reference schedules swapped_in before
+        new prefills to avoid starvation)."""
+        if self.swapped:
+            return
         while self.waiting and len(self.running) < self.cfg.max_num_seqs:
             seq = self.waiting[0]
             if seq.prompt_len > self.cfg.max_model_len:
@@ -104,25 +138,54 @@ class Scheduler:
             seq.status = SequenceStatus.RUNNING
             self.running.append(seq)
 
-    def _preempt_one(self) -> bool:
-        """Preempt the most recent sequence (recompute mode, reference
-        PreemptionMode.RECOMPUTE, core/scheduler.py:31). Generated tokens
-        are preserved; on resume, prefill recomputes KV for prompt+outputs
-        (Sequence.prefill_len) so streaming clients see a consistent
-        continuation, exactly as the reference's recompute preemption."""
+    def _preempt_one(self, swap_out: Optional[list] = None,
+                     protect: Optional[set] = None) -> bool:
+        """Preempt the most recent decode-phase sequence.
+
+        Recompute mode (reference PreemptionMode.RECOMPUTE,
+        core/scheduler.py:31): generated tokens are preserved; on resume,
+        prefill recomputes KV for prompt+outputs (Sequence.prefill_len).
+
+        Swap mode (reference PreemptionMode.SWAP): the pages holding the
+        victim's computed KV are snapshotted into ``swap_out`` for the
+        engine to gather device->host before this batch runs; the sequence
+        parks in the swapped queue and resumes via _try_swap_in. Falls back
+        to recompute when the host pool is full. ``protect``: seq_ids that
+        must not be victimized (sequences swapped IN this same step — their
+        parked KV has not been restored to the device yet, so there is
+        nothing valid to gather)."""
         for s in reversed(self.running):
-            if s.num_computed_tokens >= s.prefill_len:  # prefer decode-phase victims
-                self.running.remove(s)
+            if s.num_computed_tokens < s.prefill_len:  # prefer decode-phase victims
+                continue
+            if protect and s.seq_id in protect:
+                continue
+            self.running.remove(s)
+            n_keep = self.bm.pages_needed(s.num_computed_tokens)
+            use_swap = (self.cfg.preemption_mode == "swap"
+                        and swap_out is not None and self.swap_ok is not None
+                        and self.swap_ok(n_keep))
+            if use_swap:
+                swap_out.append((s, list(s.page_ids[:n_keep])))
+                self.bm.free(s)
+                s.status = SequenceStatus.SWAPPED
+                self.swapped.append(s)
+            else:
                 self.bm.free(s)
                 s.status = SequenceStatus.WAITING
                 s.num_computed_tokens = 0
                 self.waiting.insert(0, s)
-                return True
+            return True
         return False
 
     # ------------------------------------------------------------------
     def schedule(self) -> ScheduledBatch:
+        swap_in: List[Sequence] = []
+        swap_out: List[tuple] = []
+        self._try_swap_in(swap_in)
         self._admit()
+        # seqs swapped in THIS step must not be swap-out victims before the
+        # engine restores their KV (see _preempt_one)
+        protect = {s.seq_id for s in swap_in}
 
         # prefill first: any running seq with unprefilled prompt tokens.
         # Batch several sequences' chunks into one (B, Q) rectangle as long
@@ -142,7 +205,8 @@ class Scheduler:
                 chunks.append(PrefillChunk(seq, start, end))
                 total += end - start
             return ScheduledBatch(kind="prefill", seqs=[c.seq for c in chunks],
-                                  chunk=chunks[0], chunks=chunks)
+                                  chunk=chunks[0], chunks=chunks,
+                                  swap_out=swap_out, swap_in=swap_in)
 
         # decode: all running seqs; ensure lookahead slots, preempting if needed
         decode_seqs: List[Sequence] = []
@@ -153,10 +217,14 @@ class Scheduler:
             # its re-admission
             if s.status != SequenceStatus.RUNNING:
                 continue
-            while not self.bm.append_slots(s, lookahead=self.lookahead):
-                if not self._preempt_one() or s not in self.running:
+            ok = self.bm.append_slots(s, lookahead=self.lookahead)
+            while not ok:
+                if not self._preempt_one(swap_out, protect) \
+                        or s not in self.running:
                     break
-            if s in self.running and s.status == SequenceStatus.RUNNING:
+                ok = self.bm.append_slots(s, lookahead=self.lookahead)
+            if ok and s in self.running and s.status == SequenceStatus.RUNNING:
                 decode_seqs.append(s)
         decode_seqs = decode_seqs[:self.cfg.max_num_seqs]
-        return ScheduledBatch(kind="decode", seqs=decode_seqs)
+        return ScheduledBatch(kind="decode", seqs=decode_seqs,
+                              swap_out=swap_out, swap_in=swap_in)

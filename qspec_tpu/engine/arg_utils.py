@@ -28,6 +28,10 @@ class EngineArgs:
     block_size: int = 128
     kv_cache_dtype: str = "bfloat16"
     gpu_memory_utilization: float = 0.9
+    # reference --swap-space / --preemption-mode: swap parks preempted KV
+    # in host RAM instead of recomputing it
+    swap_space: float = 4.0              # GiB
+    preemption_mode: str = "recompute"   # "recompute" | "swap"
     enable_chunked_prefill: bool = True
     enable_prefix_caching: bool = True
     tensor_parallel_size: int = 1
@@ -95,12 +99,14 @@ class EngineArgs:
             model=self.model_config(),
             cache=CacheConfig(page_size=self.block_size,
                               kv_cache_dtype=self.kv_cache_dtype,
-                              gpu_memory_utilization=self.gpu_memory_utilization),
+                              gpu_memory_utilization=self.gpu_memory_utilization,
+                              swap_space_gb=self.swap_space),
             scheduler=SchedulerConfig(
                 max_num_seqs=self.max_num_seqs,
                 max_num_batched_tokens=self.max_num_batched_tokens,
                 max_model_len=self.max_model_len,
-                enable_chunked_prefill=self.enable_chunked_prefill),
+                enable_chunked_prefill=self.enable_chunked_prefill,
+                preemption_mode=self.preemption_mode),
             parallel=ParallelConfig(tensor_parallel_size=self.tensor_parallel_size),
             speculative=spec,
         )

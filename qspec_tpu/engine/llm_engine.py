@@ -77,6 +77,23 @@ class LLMEngine:
             enable_prefix_caching=config.cache.enable_prefix_caching)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)
+        # swap-mode preemption: host parking lot sized by swap_space_gb
+        # (reference CacheEngine CPU cache, vllm/worker/cache_engine.py)
+        self._swap_pool = None
+        if config.scheduler.preemption_mode == "swap":
+            from qspec_tpu.core.swap import HostSwapPool
+            mc, cc = config.model, config.cache
+            per = 1 if cc.kv_cache_dtype == "int8" else 2
+            page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
+                          * mc.head_dim * per)
+            if cc.kv_cache_dtype == "int8":   # per-(head, token) f32 scales
+                page_bytes += 2 * mc.num_layers * cc.page_size * mc.num_kv_heads * 4
+            if self.runner.draft_cache is not None:
+                page_bytes *= 2
+            self._swap_pool = HostSwapPool(
+                max_bytes=int(cc.swap_space_gb * (1 << 30)),
+                page_bytes=page_bytes)
+            self.scheduler.swap_ok = self._swap_pool.can_reserve
         self._next_id = 0
         self._outputs: Dict[int, RequestOutput] = {}
         self.spec_metrics = SpecDecodeMetrics()
@@ -246,6 +263,8 @@ class LLMEngine:
 
     def abort_request(self, request_id: int) -> None:
         self.scheduler.abort_seq(request_id)
+        if self._swap_pool is not None:
+            self._swap_pool.discard(request_id)
         self._traces.pop(request_id, None)
 
     def has_unfinished_requests(self) -> bool:
@@ -254,6 +273,8 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def step(self) -> List[RequestOutput]:
         batch = self.scheduler.schedule()
+        if batch.swap_out or batch.swap_in:
+            self._process_swaps(batch)
         rejected = [self._to_output(s) for s in self.scheduler.rejected]
         self.scheduler.rejected = []
         if batch.is_empty:
@@ -306,6 +327,41 @@ class LLMEngine:
         if self.stat_loggers:
             self._log_stats(batch)
         return outputs
+
+    def _process_swaps(self, batch: ScheduledBatch) -> None:
+        """Execute the scheduler's swap decisions BEFORE the batch runs
+        (reference: Worker executes blocks_to_swap_out/in ahead of the
+        forward pass). Order matters: all device->host gathers first —
+        a victim's pages may have been reallocated to a swapped-in
+        sequence in the same step, and the gather must read the old
+        contents before the swap-in scatter overwrites them."""
+        swapped_in_ids = {s.seq_id for s in batch.swap_in}
+        for seq, page_ids in batch.swap_out:
+            if seq.seq_id in swapped_in_ids:
+                # swapped in and re-preempted within one schedule(): its
+                # parked payload never reached the device, so the pool
+                # entry is still the valid copy — nothing to gather
+                continue
+            pages, scales = self.runner.gather_pages(page_ids)
+            payload = {"n_pages": len(page_ids), "pages": pages,
+                       "scales": scales}
+            if self.runner.draft_cache is not None:
+                dp, ds = self.runner.gather_pages(page_ids, draft=True)
+                payload.update(draft_pages=dp, draft_scales=ds)
+            self._swap_pool.put(seq.seq_id, len(page_ids), payload)
+        for seq in batch.swap_in:
+            if seq.status != SequenceStatus.RUNNING:
+                # re-preempted in the same schedule(): SWAPPED keeps its
+                # pool entry; recompute (WAITING) restarts from scratch
+                if seq.status == SequenceStatus.WAITING:
+                    self._swap_pool.discard(seq.seq_id)
+                continue
+            payload = self._swap_pool.pop(seq.seq_id)
+            ids = seq.page_ids[:payload["n_pages"]]
+            self.runner.write_pages(ids, payload["pages"], payload["scales"])
+            if "draft_pages" in payload:
+                self.runner.write_pages(ids, payload["draft_pages"],
+                                        payload["draft_scales"], draft=True)
 
     def _log_stats(self, batch) -> None:
         from qspec_tpu.engine.metrics import Stats

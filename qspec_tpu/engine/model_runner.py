@@ -649,29 +649,37 @@ class ModelRunner:
         tok, _ = _sample_jit(logits, st_row, self._next_key())
         return int(jax.device_get(tok)[0])
 
-    def gather_pages(self, page_ids):
+    def gather_pages(self, page_ids, draft: bool = False):
         """[L, n, 2, Hkv, S, D] (+ scales) host copy of one seq's pages —
-        the payload of a KV handoff (kv_transfer.py)."""
+        the payload of a KV handoff (kv_transfer.py) or of swap-mode
+        preemption (core/swap.py). ``draft`` reads the draft-model cache
+        (same page ids, different contents/geometry)."""
+        cache = self.draft_cache if draft else self.cache
         ids = jnp.asarray(np.asarray(page_ids, np.int32))
-        pages = jax.device_get(_gather_pages_jit(self.cache.kv_pages, ids))
+        pages = jax.device_get(_gather_pages_jit(cache.kv_pages, ids))
         scales = None
-        if self.cache.kv_scales is not None:
+        if cache.kv_scales is not None:
             scales = jax.device_get(
-                _gather_pages_jit(self.cache.kv_scales, ids))
+                _gather_pages_jit(cache.kv_scales, ids))
         return np.asarray(pages), (np.asarray(scales)
                                    if scales is not None else None)
 
-    def write_pages(self, page_ids, pages, scales=None):
+    def write_pages(self, page_ids, pages, scales=None, draft: bool = False):
         """Scatter transferred pages into this runner's cache."""
+        cache = self.draft_cache if draft else self.cache
         ids = jnp.asarray(np.asarray(page_ids, np.int32))
-        kv = _write_pages_jit(self.cache.kv_pages, ids,
-                              jnp.asarray(pages, self.cache.kv_pages.dtype))
-        new_scales = self.cache.kv_scales
+        kv = _write_pages_jit(cache.kv_pages, ids,
+                              jnp.asarray(pages, cache.kv_pages.dtype))
+        new_scales = cache.kv_scales
         if scales is not None and new_scales is not None:
             new_scales = _write_pages_jit(new_scales, ids,
                                           jnp.asarray(scales,
                                                       new_scales.dtype))
-        self.cache = self.cache._replace(kv_pages=kv, kv_scales=new_scales)
+        cache = cache._replace(kv_pages=kv, kv_scales=new_scales)
+        if draft:
+            self.draft_cache = cache
+        else:
+            self.cache = cache
 
     def sample_tokens(self, logits, st: SamplingTensors, want_top: bool = False):
         """Sample one token per row of [B, V] device logits (jitted — the
