@@ -32,6 +32,14 @@ class ModelConfig:
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
     qkv_bias: bool = False            # qwen2-style attention bias
+    # MLP activation: "silu" (llama/qwen/mistral) | "gelu_tanh" (gemma's
+    # approximate GeGLU, HF gelu_pytorch_tanh)
+    hidden_act: str = "silu"
+    # multiply embeddings by this after lookup (gemma: sqrt(hidden_size))
+    embed_scale: Optional[float] = None
+    # gemma RMSNorm computes x * (1 + w): loaders fold the +1 into the
+    # stored gamma so the runtime norm stays the standard x * gamma
+    norm_weight_offset: float = 0.0
     # Mistral-style sliding-window attention: each query attends only to the
     # last `sliding_window` positions (reference quarot_llama.py:125-136).
     # None = full causal attention.
@@ -51,12 +59,24 @@ class ModelConfig:
     # fused_moe). 0 = dense MLP.
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # qwen2-moe variations (reference Qwen2MoeForCausalLM): experts sized
+    # separately from the dense MLP, softmax over ALL experts before
+    # top-k (mixtral softmaxes after), optional top-k renormalization,
+    # and an always-on shared expert gated by sigmoid(x @ w_gate)
+    moe_intermediate_size: Optional[int] = None   # None -> intermediate_size
+    shared_expert_intermediate_size: int = 0      # 0 -> no shared expert
+    moe_norm_topk_prob: bool = False
+    moe_softmax_before_topk: bool = False
 
     @property
     def resolved_lm_head_quant(self) -> str:
         if self.lm_head_quant != "auto":
             return self.lm_head_quant
         return "int8" if self.quant == "w4" else "bf16"
+
+    @property
+    def expert_intermediate_size(self) -> int:
+        return self.moe_intermediate_size or self.intermediate_size
 
     @property
     def q_size(self) -> int:
@@ -100,6 +120,41 @@ class ModelConfig:
         return ModelConfig(**d)
 
     @staticmethod
+    def gemma_7b(**over) -> "ModelConfig":
+        d = dict(arch="gemma", vocab_size=256000, hidden_size=3072,
+                 intermediate_size=24576, num_layers=28, num_heads=16,
+                 num_kv_heads=16, head_dim=256, rope_theta=10000.0,
+                 max_position_embeddings=8192, tie_word_embeddings=True,
+                 hidden_act="gelu_tanh", embed_scale=3072.0 ** 0.5,
+                 norm_weight_offset=1.0)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def gemma_2b(**over) -> "ModelConfig":
+        d = dict(arch="gemma", vocab_size=256000, hidden_size=2048,
+                 intermediate_size=16384, num_layers=18, num_heads=8,
+                 num_kv_heads=1, head_dim=256, rope_theta=10000.0,
+                 max_position_embeddings=8192, tie_word_embeddings=True,
+                 hidden_act="gelu_tanh", embed_scale=2048.0 ** 0.5,
+                 norm_weight_offset=1.0)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
+    def qwen15_moe_a2_7b(**over) -> "ModelConfig":
+        d = dict(arch="qwen2moe", vocab_size=151936, hidden_size=2048,
+                 intermediate_size=5632, num_layers=24, num_heads=16,
+                 num_kv_heads=16, head_dim=128, rope_theta=1000000.0,
+                 max_position_embeddings=8192, qkv_bias=True,
+                 num_experts=60, num_experts_per_tok=4,
+                 moe_intermediate_size=1408,
+                 shared_expert_intermediate_size=5632,
+                 moe_softmax_before_topk=True)
+        d.update(over)
+        return ModelConfig(**d)
+
+    @staticmethod
     def mixtral_8x7b(**over) -> "ModelConfig":
         d = dict(arch="mixtral", vocab_size=32000, hidden_size=4096,
                  intermediate_size=14336, num_layers=32, num_heads=32,
@@ -113,11 +168,26 @@ class ModelConfig:
     def from_hf_config(hf: dict) -> "ModelConfig":
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
-        arch = ("qwen2" if "qwen2" in mt
-                else "mixtral" if "mixtral" in mt else "llama")
+        arch = ("qwen2moe" if "qwen2_moe" in mt
+                else "qwen2" if "qwen2" in mt
+                else "mixtral" if "mixtral" in mt
+                else "gemma" if "gemma" in mt else "llama")
         nh = hf["num_attention_heads"]
+        gemma = arch == "gemma"
+        qwen2moe = arch == "qwen2moe"
         return ModelConfig(
-            num_experts=hf.get("num_local_experts", 0),
+            moe_intermediate_size=hf.get("moe_intermediate_size"),
+            shared_expert_intermediate_size=hf.get(
+                "shared_expert_intermediate_size", 0) if qwen2moe else 0,
+            moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+            moe_softmax_before_topk=qwen2moe,
+            hidden_act=("gelu_tanh" if gemma or "gelu" in
+                        hf.get("hidden_act", hf.get("hidden_activation", ""))
+                        else "silu"),
+            embed_scale=hf["hidden_size"] ** 0.5 if gemma else None,
+            norm_weight_offset=1.0 if gemma else 0.0,
+            num_experts=hf.get("num_local_experts",
+                               hf.get("num_experts", 0) if qwen2moe else 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
             arch=arch,
             vocab_size=hf["vocab_size"],
@@ -132,7 +202,7 @@ class ModelConfig:
             rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
             max_position_embeddings=hf.get("max_position_embeddings", 8192),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
-            qkv_bias=arch == "qwen2",
+            qkv_bias=arch in ("qwen2", "qwen2moe"),
             sliding_window=hf.get("sliding_window"),
         )
 
@@ -149,6 +219,10 @@ class CacheConfig:
     kv_cache_dtype: str = "bfloat16"     # "bfloat16" | "int8"
     enable_prefix_caching: bool = True
     gpu_memory_utilization: float = 0.9  # kept name-compatible; means HBM here
+    # host RAM budget for swap-mode preemption (reference swap_space,
+    # vllm/config.py:950): preempted sequences' KV pages park in host
+    # memory instead of being recomputed
+    swap_space_gb: float = 4.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +234,12 @@ class SchedulerConfig:
     max_model_len: int = 4096
     enable_chunked_prefill: bool = True
     prefill_chunk_size: int = 512
+    # "recompute" re-prefills preempted sequences (reference RECOMPUTE,
+    # the TPU worker default); "swap" parks their KV pages in host RAM
+    # (reference PreemptionMode.SWAP + CacheEngine swap_in/swap_out) and
+    # restores them device-side on resume — cheaper than recompute for
+    # long contexts at the cost of PCIe/host traffic
+    preemption_mode: str = "recompute"
     # fused AR decode steps per host call (multi-step runner analogue)
     steps_per_decode_call: int = 1
     # static-shape buckets for the jitted step fns (TPU-specific)

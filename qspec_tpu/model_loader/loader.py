@@ -68,16 +68,27 @@ def _common(cfg: ModelConfig, dtype=jnp.bfloat16):
                                           cfg.rope_theta, rope_scaling=cfg.rope_scaling)}
 
 
-def load_hf_float(path: str, cfg: Optional[ModelConfig] = None,
+def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                   dtype=jnp.bfloat16):
-    """Standard float checkpoint -> bf16 params (quant='none')."""
-    if cfg is None:
-        cfg = config_from_hf_dir(path)
+    """Standard float checkpoint (path or state-dict) -> bf16 params
+    (quant='none')."""
+    if isinstance(path_or_sd, dict):
+        sd = path_or_sd
+        assert cfg is not None
+    else:
+        if cfg is None:
+            cfg = config_from_hf_dir(path_or_sd)
+        sd = _read_safetensors(path_or_sd)
     cfg = ModelConfig(**{**cfg.__dict__, "quant": "none", "weightless_norm": False})
-    sd = _read_safetensors(path)
 
     def t(name):
         return np.asarray(sd[name], np.float32).T
+
+    def norm_w(name):
+        # gemma RMSNorm is x * (offset + w): store gamma = offset + w so the
+        # runtime norm stays standard (reference GemmaRMSNorm)
+        w = np.asarray(sd[name], np.float32) + cfg.norm_weight_offset
+        return jnp.asarray(w, dtype)
 
     layers = []
     for i in range(cfg.num_layers):
@@ -88,8 +99,8 @@ def load_hf_float(path: str, cfg: Optional[ModelConfig] = None,
         layer = {
             "qkv": {"w": jnp.asarray(qkv, dtype)},
             "o": {"w": jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)},
-            "input_norm": jnp.asarray(sd[p + "input_layernorm.weight"], dtype),
-            "post_norm": jnp.asarray(sd[p + "post_attention_layernorm.weight"], dtype),
+            "input_norm": norm_w(p + "input_layernorm.weight"),
+            "post_norm": norm_w(p + "post_attention_layernorm.weight"),
         }
         if cfg.num_experts:
             # Mixtral naming: block_sparse_moe.gate + experts.{e}.w1/w3/w2
@@ -120,7 +131,7 @@ def load_hf_float(path: str, cfg: Optional[ModelConfig] = None,
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"], dtype),
         "lm_head": jnp.asarray(np.asarray(lm_head, np.float32).T, dtype),
-        "final_norm": jnp.asarray(sd["model.norm.weight"], dtype),
+        "final_norm": norm_w("model.norm.weight"),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         **_common(cfg),
     }
@@ -170,11 +181,15 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
     def g(name):
         return np.asarray(sd[name], np.float32)
 
+    def gnorm(name):
+        # gemma (1 + w) norms: fold the offset along with the gamma
+        return g(name) + cfg.norm_weight_offset
+
     layers = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        gin = g(p + "input_layernorm.weight")
-        gpost = g(p + "post_attention_layernorm.weight")
+        gin = gnorm(p + "input_layernorm.weight")
+        gpost = gnorm(p + "post_attention_layernorm.weight")
 
         # fold gamma into the input side, rotate input basis by Q
         q_w = Q.T @ (gin[:, None] * t(p + "self_attn.q_proj.weight"))
@@ -239,7 +254,7 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                                              tp_size=tp_size, dtype=dtype)
         layers.append(layer)
 
-    gfin = g("model.norm.weight")
+    gfin = gnorm("model.norm.weight")
     lm = np.asarray(sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
                     np.float32).T  # [H, V]
     params = {

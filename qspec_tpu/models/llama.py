@@ -126,6 +126,15 @@ def _act_quant(x, scheme):
     return sym_quant_int4(x) if scheme == "w4a4" else sym_quant_int8(x)
 
 
+def _glu_act(gate, up, hidden_act: str):
+    """Gated-MLP activation: silu (llama family) or tanh-approx gelu
+    (gemma's GeGLU, reference GemmaMLP / hf gelu_pytorch_tanh)."""
+    g32 = gate.astype(jnp.float32)
+    a = (jax.nn.silu(g32) if hidden_act == "silu"
+         else jax.nn.gelu(g32, approximate=True))
+    return (a * up.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def _head_hadamard(attn, h_heads):
     """Mix across the head axis: reference applies H_{num_heads}/sqrt(nh) to
     [.., heads] slices (quarot_llama.py:230-233, hadamard_dim=num_heads)."""
@@ -181,8 +190,17 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
     # router on the float hidden (reference gate: nn.Linear on hidden_states)
     logits = jnp.dot(x_fp, layers["router"][li].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)      # [T, E]
-    topv, topi = jax.lax.top_k(logits, k)
-    w = jax.nn.softmax(topv, axis=-1)                          # [T, k]
+    if cfg.moe_softmax_before_topk:
+        # qwen2-moe: softmax over ALL experts, then top-k (+ optional
+        # renormalization, reference Qwen2MoeSparseMoeBlock)
+        probs = jax.nn.softmax(logits, axis=-1)
+        w, topi = jax.lax.top_k(probs, k)                      # [T, k]
+        if cfg.moe_norm_topk_prob:
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+    else:
+        # mixtral: top-k first, softmax over the k winners
+        topv, topi = jax.lax.top_k(logits, k)
+        w = jax.nn.softmax(topv, axis=-1)                      # [T, k]
     combine = jnp.zeros((T, E), jnp.float32)
     combine = combine.at[jnp.arange(T)[:, None], topi].add(w)
 
@@ -204,8 +222,7 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
         gu = _linear(xn, gu_w, scheme, xq, li=idx)             # [T, 2I]
         i_sz = gu.shape[-1] // 2
         gate, up = gu[:, :i_sz], gu[:, i_sz:]
-        act = (jax.nn.silu(gate.astype(jnp.float32))
-               * up.astype(jnp.float32)).astype(jnp.bfloat16)
+        act = _glu_act(gate, up, cfg.hidden_act)
         if quarot:
             act = _mlp_hadamard(act, hadamards["mlp_K"], hadamards["mlp_P"])
             if scheme in QUANT_ACT_SCHEMES:
@@ -364,7 +381,7 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         gate_up = _maybe_lora("gate_up", _fp_input(xn, xq), gate_up)
     i_local = gate_up.shape[-1] // 2
     gate, up = gate_up[:, :i_local], gate_up[:, i_local:]
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(jnp.bfloat16)
+    act = _glu_act(gate, up, cfg.hidden_act)
 
     if quarot:
         if axis_name is not None and ntp > 1:
@@ -421,6 +438,10 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         raise ValueError("quantized scheme on an unquantized checkpoint")
     B, Q = token_ids.shape
     x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
+    if cfg.embed_scale is not None:
+        # gemma scales embeddings by sqrt(hidden) in the hidden dtype
+        # (reference GemmaModel.forward normalizer)
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
 
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")

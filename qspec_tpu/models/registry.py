@@ -43,6 +43,17 @@ def _mistral(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("GemmaForCausalLM")
+@register("gemma")
+def _gemma(hf: dict) -> ModelConfig:
+    # gemma specifics handled by from_hf_config: GeGLU (gelu_tanh),
+    # sqrt(hidden) embedding scale, (1+w) norms (folded at load),
+    # tied lm_head, head_dim 256 (reference
+    # vllm/model_executor/models/gemma.py)
+    hf = {**hf, "model_type": "gemma"}
+    return ModelConfig.from_hf_config(hf)
+
+
 @register("MixtralForCausalLM")
 @register("mixtral")
 def _mixtral(hf: dict) -> ModelConfig:
