@@ -72,6 +72,13 @@ def load_induction(base: str = INDUCTION_CKPT):
     cfg = ModelConfig(**meta["cfg"])
     sd = dict(np.load(base + ".npz"))
     params, cfg = quantize_float(sd, cfg)
+    # attach trained Medusa heads when present (benchmarks/train_medusa.py);
+    # they are trained in the same rotated basis quantize_float produces
+    mcands = sorted(glob.glob(os.path.join(here, "checkpoints",
+                                           "induction_medusa_v*.npz")))
+    if mcands:
+        from qspec_tpu.spec_decode.medusa import load_medusa
+        params = {**params, "medusa": load_medusa(mcands[-1])}
     # the copy circuit only generalizes to positions seen in training:
     # the bench must keep prompt+output inside this window
     return cfg, params, int(meta.get("train_seq", 768))
@@ -212,13 +219,19 @@ def bench_model(model: str, args, *, ngram_default_k=4):
           file=sys.stderr, flush=True)
 
     runs = []
-    if args.proposer in ("model", "both"):
+    if args.proposer in ("model", "both", "all"):
         runs.append(("qspec", "qspec", args.spec_k or 3))
-    if args.proposer in ("ngram", "both"):
+    if args.proposer in ("ngram", "both", "all"):
         # the reference's prompt-lookup regime (ngram_worker.py): zero-cost
         # proposals, so spec wins whenever acceptance beats the small
         # verify-vs-decode overhead
         runs.append(("ngram", "ngram", args.spec_k or ngram_default_k))
+    if args.proposer in ("medusa", "all") and "medusa" in params:
+        # trained-in-image Medusa heads (benchmarks/train_medusa.py):
+        # proposals ride the verify pass's hidden state — zero extra
+        # forwards, works on any workload (not just copy-heavy ones)
+        n_heads = int(np.asarray(params["medusa"]["b1"]).shape[0])
+        runs.append(("medusa", "medusa", args.spec_k or n_heads))
 
     results = []
     for label, method, k in runs:
@@ -253,9 +266,10 @@ def main():
     ap.add_argument("--max-num-seqs", type=int, default=4)
     ap.add_argument("--draft-scheme", default="w4a8",
                     choices=["w4a4", "w4a8", "w4a16"])
-    ap.add_argument("--proposer", default="both",
-                    choices=["model", "ngram", "both"],
-                    help="speculative proposer(s) to benchmark; the headline "
+    ap.add_argument("--proposer", default="all",
+                    choices=["model", "ngram", "medusa", "both", "all"],
+                    help="speculative proposer(s) to benchmark ('all' adds "
+                         "medusa when trained heads exist); the headline "
                          "JSON reports the best of the runs")
     ap.add_argument("--spec-k", type=int, default=None,
                     help="speculative tokens per round (default 3 model / 4 ngram)")

@@ -70,10 +70,14 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int, vocab: int):
     return out
 
 
-def train_forward(params, cfg, tokens):
+def train_forward(params, cfg, tokens, return_residual: bool = False):
     """Dense-causal training forward sharing the engine's float weight
     layout and rope (models/llama.py) — weights trained here ARE engine
-    weights; tests assert logits parity with the inference path."""
+    weights; tests assert logits parity with the inference path.
+
+    ``return_residual``: return the final PRE-norm residual stream [B, T, H]
+    instead of logits (feature source for Medusa-head training,
+    benchmarks/train_medusa.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,6 +132,8 @@ def train_forward(params, cfg, tokens):
     for li in range(L):
         lp = jax.tree.map(lambda a, i=li: a[i], params["layers"])
         x = ckpt(x, lp)
+    if return_residual:
+        return x
     x = rms(x, params["final_norm"])
     return x @ params["lm_head"]         # [B, T, V]
 

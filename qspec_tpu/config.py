@@ -272,8 +272,11 @@ class SpeculativeConfig:
     # "qspec": w4a4 model draft; "ngram": device-side prompt lookup
     # (ngram_worker.py analogue); "null": same executable as "ngram" with
     # proposals disabled — the bit-exact autoregressive oracle used to
-    # demonstrate lossless rejection sampling on hardware
-    method: str = "qspec"  # "qspec" | "ngram" | "null"
+    # demonstrate lossless rejection sampling on hardware; "medusa":
+    # trained multi-token heads riding the verify pass's hidden state
+    # (medusa_worker.py analogue; heads in params["medusa"], see
+    # spec_decode/medusa.py + benchmarks/train_medusa.py)
+    method: str = "qspec"  # "qspec" | "ngram" | "null" | "medusa"
     # SEPARATE draft model (reference draft_model_config / multi_step_worker
     # + smaller_tp_proposer_worker.py): a smaller LM proposes, the target
     # verifies; must share the target's vocabulary. On a TP mesh the draft's

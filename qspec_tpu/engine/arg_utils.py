@@ -39,8 +39,10 @@ class EngineArgs:
     speculative_draft_scheme: str = "w4a4"
     speculative_disable_by_batch_size: Optional[int] = None
     # reference --speculative-model: "[ngram]" selects prompt-lookup
-    # proposals; a directory path selects a separate draft checkpoint
-    # (loaded by the LLM entrypoint); None = QSpec shared-weights drafting
+    # proposals; "[medusa]" selects trained Medusa heads (params must carry
+    # a "medusa" subtree, spec_decode/medusa.load_medusa); a directory path
+    # selects a separate draft checkpoint (loaded by the LLM entrypoint);
+    # None = QSpec shared-weights drafting
     speculative_model: Optional[str] = None
     ngram_prompt_lookup_max: int = 4
     ngram_prompt_lookup_min: int = 1
@@ -86,8 +88,9 @@ class EngineArgs:
         if self.num_speculative_tokens:
             method = "qspec"
             if self.speculative_model and \
-                    self.speculative_model.strip("[]").lower() == "ngram":
-                method = "ngram"
+                    self.speculative_model.strip("[]").lower() in ("ngram",
+                                                                   "medusa"):
+                method = self.speculative_model.strip("[]").lower()
             spec = SpeculativeConfig(
                 num_speculative_tokens=self.num_speculative_tokens,
                 draft_scheme=self.speculative_draft_scheme,

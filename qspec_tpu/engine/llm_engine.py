@@ -63,14 +63,18 @@ class LLMEngine:
             else config.scheduler.steps_per_decode_call
 
         # "ngram"/"null" run the device-side fused proposer rounds (no draft
-        # model, no draft cache); "null" is the bit-exact AR oracle mode
+        # model, no draft cache); "null" is the bit-exact AR oracle mode.
+        # "medusa" proposes from trained heads riding the verify pass's
+        # hidden state — also draft-cache-free (spec_decode/medusa.py)
         self._ngram = (self.spec is not None
                        and self.spec.method in ("ngram", "null"))
+        self._medusa = (self.spec is not None
+                        and self.spec.method == "medusa")
         if num_pages is None:
             num_pages = self._derive_num_pages()
         self.runner = ModelRunner(config, params, num_pages,
                                   need_draft_cache=self.spec is not None
-                                  and not self._ngram,
+                                  and not (self._ngram or self._medusa),
                                   mesh=mesh, draft_params=draft_params)
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
@@ -153,7 +157,8 @@ class LLMEngine:
             per_entry = 1 if cc.kv_cache_dtype == "int8" else 2
             page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
                           * mc.head_dim * per_entry)
-            n_caches = 2 if (self.spec is not None and not self._ngram) else 1
+            n_caches = 2 if (self.spec is not None
+                             and not (self._ngram or self._medusa)) else 1
             fit = int(free // (page_bytes * n_caches))
             if fit <= 8:
                 return need
@@ -436,7 +441,7 @@ class LLMEngine:
                 s.finish_reason = "stop"
         else:
             logits = self.runner.run_prefill_chunks(chunks)
-        if self.spec is not None and not self._ngram:
+        if self.spec is not None and not (self._ngram or self._medusa):
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
             self.runner.run_prefill_chunks(chunks, draft=True)
@@ -538,7 +543,10 @@ class LLMEngine:
         per_call = (k + 1) * self.spec.rounds_per_step
         chain = self._chain_for(seqs, per_call)
         t0 = time.perf_counter()
-        if self._ngram:
+        if self._medusa:
+            tokens, accepted, lps = self.runner.run_medusa_rounds(
+                seqs, st, chain=chain)
+        elif self._ngram:
             tokens, accepted, lps = self.runner.run_ngram_rounds(
                 seqs, st, enable=self.spec.method == "ngram", chain=chain)
         else:

@@ -211,7 +211,8 @@ def draft_steps(params, cache, last_tokens, start_pos, block_tables, st, key,
 
 def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_pos,
                  block_tables, st, key, *, cfg, scheme, axis_name=None,
-                 acceptance="rejection_sampler", lora_ids=None, gstate=None):
+                 acceptance="rejection_sampler", lora_ids=None, gstate=None,
+                 return_hidden=False):
     page_size = cache.page_size
     B, k = draft_tokens.shape
     tokens = jnp.concatenate([last_tokens[:, None], draft_tokens], axis=1)  # [B, k+1]
@@ -219,9 +220,17 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
     slot = _slot_of(block_tables, positions, page_size)
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=start_pos + k + 1)
-    logits, cache = model_forward(params, cfg, tokens, cache, batch,
-                                  scheme=scheme, axis_name=axis_name,
-                                  lora_ids=lora_ids)  # [B, k+1, V]
+    hidden = None
+    if return_hidden:
+        # post-final-norm hidden per position: feeds the Medusa heads for
+        # the NEXT round's proposals (spec_decode/medusa.py)
+        logits, hidden, cache = model_forward(
+            params, cfg, tokens, cache, batch, scheme=scheme,
+            axis_name=axis_name, lora_ids=lora_ids, return_hidden=True)
+    else:
+        logits, cache = model_forward(params, cfg, tokens, cache, batch,
+                                      scheme=scheme, axis_name=axis_name,
+                                      lora_ids=lora_ids)  # [B, k+1, V]
     V = logits.shape[-1]
     st_rep = SamplingTensors(
         temperature=jnp.repeat(st.temperature, k + 1),
@@ -253,6 +262,8 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
         result = typical_acceptance_sample(draft_tokens, target_probs, key)
     else:
         result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
+    if return_hidden:
+        return (result, hidden), cache
     return result, cache
 
 
@@ -424,6 +435,74 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
     return toks, accs, lps, (f_last, f_pos, f_hlen, f_budget), history, cache
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scheme", "k", "num_rounds",
+                                    "axis_name"),
+                   donate_argnames=("cache", "props"))
+def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
+                       block_tables, max_new, enable, st, key, *, cfg, scheme,
+                       k, num_rounds=1, axis_name=None):
+    """`num_rounds` Medusa speculation rounds in ONE executable.
+
+    TPU-native redesign of the reference's MedusaWorker round
+    (vllm/spec_decode/medusa_worker.py): instead of a separate proposer
+    worker running the heads on its own stored hidden states, each round's
+    verify pass ALSO returns the post-norm hidden at every scored position;
+    the heads (params["medusa"], spec_decode/medusa.py) read the hidden at
+    the last ACCEPTED position and emit the next round's k proposals — so
+    drafting costs zero additional forward passes and the whole
+    propose->verify->accept->re-propose chain runs on device.
+
+    ``props`` [rows, Pmax] is the device-resident proposal store (row per
+    sequence slot, like ngram's history array; -1 rows mean "no proposal
+    yet" and verify falls back to one AR token while still producing the
+    hidden that seeds the next round). ``enable`` is a traced bool: False
+    nulls every proposal — the same-executable bit-exact AR oracle used for
+    the greedy-invariant check on hardware (see ngram_rounds_step).
+
+    Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs,
+    props, cache).
+    """
+    from qspec_tpu.spec_decode.medusa import medusa_propose
+
+    def round_body(carry, round_key):
+        cache, props, last, pos, budget, g = carry
+        p_b = props[prop_rows][:, :k]                     # [B, k]
+        p_b = jnp.where(enable, p_b, -1)
+        d_probs = jax.nn.one_hot(p_b, cfg.vocab_size, dtype=jnp.float32)
+        (result, hidden), cache = _verify_impl(
+            params, cache, last, p_b, d_probs, pos, block_tables, st,
+            round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g,
+            return_hidden=True)
+        acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
+        active = budget > 0
+        acc = jnp.where(active, jnp.maximum(acc, 1), 0)
+        slots = jnp.arange(k + 1)[None, :]
+        toks = jnp.where(slots < acc[:, None], result.tokens, -1)
+        lps = jnp.where(slots < acc[:, None], result.token_logprobs, 0.0)
+        # heads read the hidden that PRODUCED the last emitted token (index
+        # acc-1): its lm_head output is that token, head j predicts j+1
+        # positions further — exactly next round's draft slots
+        h_star = jnp.take_along_axis(
+            hidden, jnp.maximum(acc - 1, 0)[:, None, None], axis=1)[:, 0]
+        new_p = medusa_propose(params["medusa"], h_star)  # [B, K_heads]
+        props = props.at[prop_rows, :new_p.shape[1]].set(
+            jnp.where(active[:, None], new_p, props[prop_rows][:, :new_p.shape[1]]))
+        gather_idx = jnp.maximum(acc - 1, 0)[:, None]
+        new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
+        new_last = jnp.where(active, new_last, last)
+        g = _grammar_advance_emitted(st, g, toks)
+        return ((cache, props, new_last, pos + acc, budget - acc, g),
+                (toks, acc, lps))
+
+    keys = jax.random.split(key, num_rounds)
+    (cache, props, f_last, f_pos, f_budget, _), (toks, accs, lps) = \
+        jax.lax.scan(
+        round_body, (cache, props, last_tokens, start_pos, max_new,
+                     st.grammar_state), keys)
+    return toks, accs, lps, (f_last, f_pos, f_budget), props, cache
+
+
 # ---------------------------------------------------------------------------
 # Runner: host-side padding/bucketing + cache ownership
 # ---------------------------------------------------------------------------
@@ -538,6 +617,9 @@ class ModelRunner:
                           if config.speculative else 1),
                     nmax=(config.speculative.ngram_prompt_lookup_max
                           if config.speculative else 4)),
+                "medusa_rounds": functools.partial(
+                    medusa_rounds_step, cfg=self.cfg,
+                    scheme=self._verify_scheme, k=k, num_rounds=rounds),
             }
         # device-side token history for the fused ngram/null proposer rounds
         # (rows assigned per sequence; see run_ngram_rounds)
@@ -550,6 +632,22 @@ class ModelRunner:
             hmax = (config.scheduler.max_model_len
                     + (k + 1) * max(rounds, 1) + 8)
             self._hist = jnp.zeros((rows, hmax), jnp.int32)
+        # device-side proposal store for the fused Medusa rounds (row per
+        # sequence slot; -1 = no proposal yet)
+        self._mprops = None
+        self._mprop_slot: dict = {}
+        if config.speculative is not None and \
+                config.speculative.method == "medusa":
+            if "medusa" not in params:
+                raise ValueError("speculative.method='medusa' but params "
+                                 "carry no 'medusa' heads (load them with "
+                                 "spec_decode.medusa.load_medusa)")
+            n_heads = int(params["medusa"]["w1"].shape[0])
+            if k > n_heads:
+                raise ValueError(f"num_speculative_tokens={k} exceeds the "
+                                 f"{n_heads} trained Medusa heads")
+            rows = max(config.scheduler.decode_batch_buckets)
+            self._mprops = jnp.full((rows, n_heads), -1, jnp.int32)
 
     # -- helpers ----------------------------------------------------------
     def _lora_ids(self, seqs, bucket: int):
@@ -869,6 +967,63 @@ class ModelRunner:
         for i, s in enumerate(seqs):
             self._hist_synced[s.seq_id] = int(self._hist_synced[s.seq_id]
                                               + accs[:, i].sum())
+        return toks[:, :n], accs[:, :n], lps[:, :n]
+
+    def _mprop_row_for(self, seq, live_ids) -> int:
+        """Assign (or reuse) a proposal-store row; fresh assignments reset
+        the row to -1 (no proposal -> first round decodes one AR token and
+        seeds the heads from its hidden)."""
+        sid = seq.seq_id
+        if sid in self._mprop_slot:
+            return self._mprop_slot[sid]
+        used = set(self._mprop_slot.values())
+        row = next((r for r in range(self._mprops.shape[0]) if r not in used),
+                   None)
+        if row is None:
+            victim = next(s for s in self._mprop_slot if s not in live_ids)
+            row = self._mprop_slot.pop(victim)
+        self._mprop_slot[sid] = row
+        self._mprops = self._mprops.at[row].set(-1)
+        return row
+
+    def run_medusa_rounds(self, seqs, sampling: SamplingTensors,
+                          enable: bool = True, chain: int = 1):
+        """Fused Medusa-head speculation rounds (see medusa_rounds_step).
+        Call shape mirrors run_ngram_rounds: ``enable=False`` is the
+        bit-exact AR oracle, ``chain`` dispatches back-to-back executions on
+        device-resident advance state."""
+        B = self._bucket_batch(len(seqs))
+        live_ids = {s.seq_id for s in seqs}
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
+        prop_rows = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
+            tables[i] = s.page_ids
+            prop_rows[i] = self._mprop_row_for(s, live_ids)
+        st = _pad_sampling(sampling, len(seqs), B)
+        rows_d = jnp.asarray(prop_rows)
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        en_d = jnp.asarray(bool(enable))
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        budget_d = jnp.asarray(max_new)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, accs, lps, adv, self._mprops, self.cache = \
+                self.fns["medusa_rounds"](
+                    self.params, self.cache, self._mprops, rows_d, last_d,
+                    pos_d, tables_d, budget_d, en_d, st, self._next_key())
+            last_d, pos_d, budget_d = adv
+            parts.append((toks, accs, lps))
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
+        n = len(seqs)
         return toks[:, :n], accs[:, :n], lps[:, :n]
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,

@@ -100,6 +100,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         # adapters stay replicated (MBs; sharding buys nothing on TPU);
         # models/llama.py _maybe_lora shards the DELTA math per projection
         specs["lora"] = jax.tree.map(lambda x: P(), params["lora"])
+    if "medusa" in params:
+        # Medusa heads replicated: they read the (replicated) hidden and
+        # their argmax must agree on every shard (spec_decode/medusa.py)
+        specs["medusa"] = jax.tree.map(lambda x: P(), params["medusa"])
     return specs
 
 
@@ -268,6 +272,19 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                                      P(), cspec),
                           check_rep=False)
     fns["ngram_rounds"] = jax.jit(ng_mapped, donate_argnums=(1, 2))
+
+    # fused Medusa-head proposer rounds (proposal store replicated like the
+    # ngram history; heads replicated per param_pspecs)
+    md = functools.partial(mr.medusa_rounds_step.__wrapped__, cfg=cfg,
+                           scheme=scheme, k=k, num_rounds=num_rounds,
+                           axis_name="model")
+    md_mapped = shard_map(md, mesh=mesh,
+                          in_specs=(pspecs, cspec, R, R, R, R, R, R, R,
+                                    mr_st_spec(), R),
+                          out_specs=(P(), P(), P(), (P(), P(), P()),
+                                     P(), cspec),
+                          check_rep=False)
+    fns["medusa_rounds"] = jax.jit(md_mapped, donate_argnums=(1, 2))
     return fns
 
 
