@@ -44,8 +44,11 @@ class ModelConfig:
     # last `sliding_window` positions (reference quarot_llama.py:125-136).
     # None = full causal attention.
     sliding_window: Optional[int] = None
-    # quantization scheme of the stored checkpoint
-    quant: str = "w4"                 # "w4" (packed int4 + scales) | "none" (bf16)
+    # quantization scheme of the stored checkpoint:
+    # "w4"   QuaRot packed int4, per-channel symmetric (dual-scheme QSpec)
+    # "w4g"  grouped asymmetric int4 (AWQ/GPTQ ingestion, W4A16 only)
+    # "none" bf16
+    quant: str = "w4"
     # vocab-projection weight dtype. At decode M the dense bf16 head streams
     # ~1 GB/step (Llama-3's 128k vocab); per-channel int8 halves that at
     # near-zero quality cost (QServe-style W8 head). "auto" = int8 for w4
@@ -72,7 +75,7 @@ class ModelConfig:
     def resolved_lm_head_quant(self) -> str:
         if self.lm_head_quant != "auto":
             return self.lm_head_quant
-        return "int8" if self.quant == "w4" else "bf16"
+        return "int8" if self.quant in ("w4", "w4g") else "bf16"
 
     @property
     def expert_intermediate_size(self) -> int:

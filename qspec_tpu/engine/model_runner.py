@@ -546,7 +546,15 @@ class ModelRunner:
         self.page_size = page_size
         self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
         self.key = jax.random.PRNGKey(0)
-        self._verify_scheme = "w4a16" if self.cfg.quant == "w4" else "bf16"
+        self._verify_scheme = ("w4a16" if self.cfg.quant in ("w4", "w4g")
+                               else "bf16")
+        if (config.speculative is not None and self.cfg.quant == "w4g"
+                and config.speculative.method == "qspec"
+                and config.speculative.draft_model is None):
+            raise ValueError(
+                "AWQ/GPTQ (w4g) checkpoints have no QuaRot rotations, so the "
+                "shared-weights w4a4/w4a8 draft scheme is unavailable; use "
+                "method='ngram'/'medusa' or a separate draft_model")
         k = config.speculative.num_speculative_tokens if config.speculative else 1
         draft_scheme = (config.speculative.draft_scheme if config.speculative
                         else "w4a4")

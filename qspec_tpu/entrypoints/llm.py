@@ -46,8 +46,24 @@ class LLM:
                                                                load_checkpoint)
                 from qspec_tpu.model_loader.loader import (load_hf_float,
                                                            load_qspec, quantize_float)
+                # HF quantization_config routing (reference: vllm
+                # get_quantization_config): AWQ/GPTQ checkpoints ingest
+                # through the grouped-int4 loader
+                qmethod = None
+                try:
+                    import json as _json
+                    with open(os.path.join(model, "config.json")) as f:
+                        qmethod = (_json.load(f).get("quantization_config")
+                                   or {}).get("quant_method")
+                except Exception:
+                    pass
                 if is_qspec_checkpoint(model):
                     params, cfg = load_checkpoint(model)
+                elif qmethod in ("awq", "gptq"):
+                    from qspec_tpu.model_loader.grouped import (load_awq,
+                                                                load_gptq)
+                    load_g = load_awq if qmethod == "awq" else load_gptq
+                    params, cfg = load_g(model, cfg)
                 elif cfg.quant == "w4":
                     try:
                         params, cfg = load_qspec(model, cfg)

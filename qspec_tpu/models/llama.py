@@ -93,6 +93,16 @@ def _linear(x, w, scheme, xq=None, li=None):
             from qspec_tpu.ops.quant import sym_dequant
             x = sym_dequant(xq)
         out = jnp.dot(x, _take("w"), preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    elif scheme == "w4a16" and "qo_g" in w:
+        # grouped asymmetric int4 (AWQ/GPTQ ingestion, model_loader/grouped.py)
+        from qspec_tpu.ops.linear_kernels import (matmul_w4a16_g,
+                                                  matmul_w4a16_g_ref)
+        if _fast_ok():
+            out = matmul_w4a16_g(x, w["qw"], w["qs_g"], w["qo_g"],
+                                 layer_idx=li)
+        else:
+            out = matmul_w4a16_g_ref(x, _take("qw"), _take("qs_g"),
+                                     _take("qo_g"))
     elif scheme == "w4a16":
         if _fast_ok():
             out = matmul_w4a16(x, w["qw"], w["qs"], layer_idx=li)
@@ -434,8 +444,13 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     similarities are invariant under the orthonormal rotation).
     """
     assert scheme in SCHEMES
-    if scheme != "bf16" and cfg.quant != "w4":
+    if scheme != "bf16" and cfg.quant not in ("w4", "w4g"):
         raise ValueError("quantized scheme on an unquantized checkpoint")
+    if scheme in QUANT_ACT_SCHEMES and cfg.quant == "w4g":
+        # grouped AWQ/GPTQ weights carry no QuaRot rotations: quantized
+        # activations would be outlier-dominated; only W4A16 serves them
+        raise ValueError("w4a4/w4a8 drafting requires a QuaRot (quant='w4') "
+                         "checkpoint; AWQ/GPTQ models are W4A16-only")
     B, Q = token_ids.shape
     x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
     if cfg.embed_scale is not None:

@@ -78,6 +78,33 @@ def matmul_w8a16_ref(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
     return out.astype(out_dtype)
 
 
+def matmul_w4a16_g_ref(x: jnp.ndarray, w_packed: jnp.ndarray,
+                       w_scales_g: jnp.ndarray, w_offs_g: jnp.ndarray,
+                       bias: Optional[jnp.ndarray] = None, *,
+                       out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """GROUP-quantized dequant matmul (AWQ/GPTQ checkpoints).
+
+    Storage trick: the packer stores ``q_unsigned - 8`` in the excess-8
+    nibble format, so the stored nibble IS the original unsigned value
+    q in [0, 15]; dequant is then w = q*s - zp*s with per-(group, channel)
+    scales ``w_scales_g`` [K//g, N] and precomputed offsets
+    ``w_offs_g = zp * s`` [K//g, N] (model_loader/grouped.py).
+
+    x [M, K] bf16, w_packed [K//8, N] int32 -> [M, N].
+    """
+    K = 8 * w_packed.shape[-2]
+    G = w_scales_g.shape[-2]
+    g = K // G
+    u = (unpack_int4(w_packed).astype(jnp.float32) + 8.0)   # back to q
+    s = jnp.repeat(w_scales_g.astype(jnp.float32), g, axis=0)
+    o = jnp.repeat(w_offs_g.astype(jnp.float32), g, axis=0)
+    w = (u * s - o).astype(jnp.bfloat16)
+    out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
+
+
 def matmul_w4a4_ref(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
                     w_scales: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Int4 x int4 matmul with rowwise x columnwise rescale.
@@ -257,6 +284,129 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
     )
     out = _w4_pallas(_w4a16_kernel, (x, x), w_packed, w_scales, layer_idx,
                      grid, bm, bn, k_half, m_pad, n, out_dtype, cost=cost)
+    out = out[:m]
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out
+
+
+def _w4a16_g_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, out_ref):
+    """Group-quantized dequant matmul tile (AWQ/GPTQ path).
+
+    Per-group scales vary ALONG the contraction dim, so they cannot fold
+    into an epilogue like the symmetric kernel's per-channel scales — the
+    weight tile is dequantized in VMEM (q*s - zp*s) and fed to a bf16 MXU
+    dot, the same structure as the reference's BitBLAS/Marlin dequant GEMMs
+    (csrc/quantization/gptq_marlin). The stored nibble is the original
+    UNSIGNED q (packer stores q-8 in excess-8 form), so no +8 rebias."""
+    lo_u, hi_u = _swar_planes(w_ref[:])       # int8, values 0..15 == q
+    khalf = lo_u.shape[0]
+    G = s_ref.shape[0]
+    G2 = G // 2                               # groups per K-half
+    g = khalf // G2
+    s = s_ref[:].astype(jnp.float32)
+    o = o_ref[:].astype(jnp.float32)
+
+    def rep(a):                               # [G2, bn] -> [khalf, bn]
+        return jnp.broadcast_to(a[:, None, :], (G2, g, a.shape[-1])
+                                ).reshape(khalf, a.shape[-1])
+
+    w_lo = (lo_u.astype(jnp.float32) * rep(s[:G2])
+            - rep(o[:G2])).astype(jnp.bfloat16)
+    w_hi = (hi_u.astype(jnp.float32) * rep(s[G2:])
+            - rep(o[G2:])).astype(jnp.bfloat16)
+    acc = jnp.dot(x_lo_ref[:], w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi_ref[:], w_hi, preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _stacked_g_kernel(kernel):
+    """Stacked-layer wrapper for the grouped kernel (3 weight-side refs)."""
+    def wrapped(li_ref, x_lo, x_hi, w_ref, s_ref, o_ref, out_ref):
+        kernel(x_lo, x_hi, w_ref.at[0], s_ref.at[0], o_ref.at[0], out_ref)
+    return wrapped
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul_w4a16_g(x: jnp.ndarray, w_packed: jnp.ndarray,
+                   w_scales_g: jnp.ndarray, w_offs_g: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None, *,
+                   out_dtype=jnp.bfloat16,
+                   layer_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x [M, K] bf16 @ group-quantized int4 w -> [M, N] (AWQ/GPTQ weights).
+
+    w_packed [K//8, N] int32 (nibbles = unsigned q), w_scales_g [K//g, N],
+    w_offs_g = zp*s [K//g, N]. Group count must be even (g <= K/2) and g must
+    divide K/2 (true for g in {32, 64, 128} at all production dims). With
+    ``layer_idx`` the weight-side arrays carry a leading stacked-layer dim.
+    """
+    m, k = x.shape
+    if layer_idx is not None:
+        _, k_words, n = w_packed.shape
+        G = w_scales_g.shape[1]
+    else:
+        k_words, n = w_packed.shape
+        G = w_scales_g.shape[0]
+    k_half = 4 * k_words
+    assert k == 2 * k_half, (x.shape, w_packed.shape)
+    assert G % 2 == 0 and k_half % (G // 2) == 0, (k, G)
+
+    m_pad = round_up(max(m, 16), 16)
+    x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
+    bm = min(m_pad, 128)
+    while m_pad % bm:
+        bm //= 2
+    bn = _choose_bn(bm, k_half, n, 2)
+    grid = (m_pad // bm, cdiv(n, bn))
+
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n,
+        bytes_accessed=k_half * n + 8 * G * n + m_pad * k * 2 + m_pad * n * 2,
+        transcendentals=0,
+    )
+    x_specs = [
+        pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
+    if layer_idx is None:
+        specs = x_specs + [
+            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out = pl.pallas_call(
+            _w4a16_g_kernel, grid=grid, in_specs=specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret_mode(),
+            cost_estimate=cost,
+        )(x, x, w_packed, w_scales_g, w_offs_g)
+    else:
+        def _shift(spec):
+            f = spec.index_map
+            return pl.BlockSpec(spec.block_shape,
+                                lambda i, j, li, f=f: f(i, j))
+
+        specs = [_shift(s) for s in x_specs] + [
+            pl.BlockSpec((1, k_half // 4, bn), lambda i, j, li: (li[0], 0, j)),
+            pl.BlockSpec((1, G, bn), lambda i, j, li: (li[0], 0, j)),
+            pl.BlockSpec((1, G, bn), lambda i, j, li: (li[0], 0, j)),
+        ]
+        out = pl.pallas_call(
+            _stacked_g_kernel(_w4a16_g_kernel),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=specs,
+                out_specs=pl.BlockSpec(out_spec.block_shape,
+                                       lambda i, j, li: (i, j)),
+            ),
+            out_shape=out_shape, interpret=interpret_mode(),
+            cost_estimate=cost,
+        )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, x, w_packed,
+          w_scales_g, w_offs_g)
     out = out[:m]
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)

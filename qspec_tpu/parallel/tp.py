@@ -47,7 +47,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
     quant = cfg.quant == "w4"
 
     def proj_col(p):  # shard out axis
-        if quant:
+        if "qo_g" in p:   # grouped (AWQ/GPTQ): scales/offsets follow N
+            d = {"qw": P(None, None, "model"), "qs_g": P(None, None, "model"),
+                 "qo_g": P(None, None, "model")}
+        elif quant:
             d = {"qw": P(None, None, "model"), "qs": P(None, "model")}
         else:
             d = {"w": P(None, None, "model")}
@@ -56,6 +59,10 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         return d
 
     def proj_row(p):  # shard (packed) in axis
+        if "qo_g" in p:   # grouped: the group axis follows K
+            return {"qw": P(None, "model", None),
+                    "qs_g": P(None, "model", None),
+                    "qo_g": P(None, "model", None)}
         if quant:
             return {"qw": P(None, "model", None), "qs": P(None, None)}
         return {"w": P(None, "model", None)}

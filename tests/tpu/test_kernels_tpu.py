@@ -167,6 +167,33 @@ def test_linear_kernels_on_chip(rng, m):
                                rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("m", [8, 256])
+def test_grouped_gemm_on_chip(rng, m):
+    """AWQ/GPTQ grouped dequant GEMM (matmul_w4a16_g) vs ref on the chip,
+    plain and stacked-layer forms."""
+    from qspec_tpu.model_loader.grouped import (_group_quantize,
+                                                pack_grouped_proj)
+    from qspec_tpu.ops.linear_kernels import (matmul_w4a16_g,
+                                              matmul_w4a16_g_ref)
+
+    k, n, g = 2048, 2048, 128
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    p = pack_grouped_proj(*_group_quantize(w, g, 0))
+    x = _bf16(rng, (m, k))
+    out = matmul_w4a16_g(x, p["qw"], p["qs_g"], p["qo_g"])
+    ref = matmul_w4a16_g_ref(x, p["qw"], p["qs_g"], p["qo_g"])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    stacked = jax.tree.map(lambda a: jnp.stack([a, a]), p)
+    out_s = matmul_w4a16_g(x, stacked["qw"], stacked["qs_g"],
+                           stacked["qo_g"], layer_idx=jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(out_s, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 @pytest.mark.parametrize("bits", [4, 8])
 def test_rmsnorm_quant_on_chip(rng, bits):
     from qspec_tpu.ops.rmsnorm_quant import rmsnorm_quant, rmsnorm_quant_ref
