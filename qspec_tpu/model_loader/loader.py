@@ -93,9 +93,14 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
     layers = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        qkv = np.concatenate([t(p + "self_attn.q_proj.weight"),
-                              t(p + "self_attn.k_proj.weight"),
-                              t(p + "self_attn.v_proj.weight")], axis=1)
+        if p + "self_attn.qkv_proj.weight" in sd:
+            # phi-3 ships fused projections (reference phi3.py reuses
+            # llama with qkv_proj/gate_up_proj names)
+            qkv = t(p + "self_attn.qkv_proj.weight")
+        else:
+            qkv = np.concatenate([t(p + "self_attn.q_proj.weight"),
+                                  t(p + "self_attn.k_proj.weight"),
+                                  t(p + "self_attn.v_proj.weight")], axis=1)
         layer = {
             "qkv": {"w": jnp.asarray(qkv, dtype)},
             "o": {"w": jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)},
@@ -103,20 +108,46 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             "post_norm": norm_w(p + "post_attention_layernorm.weight"),
         }
         if cfg.num_experts:
-            # Mixtral naming: block_sparse_moe.gate + experts.{e}.w1/w3/w2
-            # (w1=gate, w3=up, w2=down — reference mixtral.py)
-            m = p + "block_sparse_moe."
-            layer["router"] = jnp.asarray(t(m + "gate.weight"), dtype)
-            gu = [np.concatenate([t(f"{m}experts.{e}.w1.weight"),
-                                  t(f"{m}experts.{e}.w3.weight")], axis=1)
-                  for e in range(cfg.num_experts)]
-            dn = [t(f"{m}experts.{e}.w2.weight")
-                  for e in range(cfg.num_experts)]
+            if f"{p}mlp.experts.0.gate_proj.weight" in sd:
+                # qwen2-moe naming: mlp.gate + experts.{e}.gate/up/down_proj
+                # + always-on shared expert (reference qwen2_moe.py)
+                m = p + "mlp."
+                layer["router"] = jnp.asarray(t(m + "gate.weight"), dtype)
+                gu = [np.concatenate(
+                    [t(f"{m}experts.{e}.gate_proj.weight"),
+                     t(f"{m}experts.{e}.up_proj.weight")], axis=1)
+                    for e in range(cfg.num_experts)]
+                dn = [t(f"{m}experts.{e}.down_proj.weight")
+                      for e in range(cfg.num_experts)]
+                if cfg.shared_expert_intermediate_size:
+                    s = m + "shared_expert."
+                    layer["shared_gate_up"] = {"w": jnp.asarray(
+                        np.concatenate([t(s + "gate_proj.weight"),
+                                        t(s + "up_proj.weight")], axis=1),
+                        dtype)}
+                    layer["shared_down"] = {"w": jnp.asarray(
+                        t(s + "down_proj.weight"), dtype)}
+                    layer["shared_gate"] = jnp.asarray(
+                        t(m + "shared_expert_gate.weight"), dtype)
+            else:
+                # Mixtral naming: block_sparse_moe.gate + experts.{e}.w1/w3/w2
+                # (w1=gate, w3=up, w2=down — reference mixtral.py)
+                m = p + "block_sparse_moe."
+                layer["router"] = jnp.asarray(t(m + "gate.weight"), dtype)
+                gu = [np.concatenate([t(f"{m}experts.{e}.w1.weight"),
+                                      t(f"{m}experts.{e}.w3.weight")], axis=1)
+                      for e in range(cfg.num_experts)]
+                dn = [t(f"{m}experts.{e}.w2.weight")
+                      for e in range(cfg.num_experts)]
             layer["experts_gate_up"] = {"w": jnp.asarray(np.stack(gu), dtype)}
             layer["experts_down"] = {"w": jnp.asarray(np.stack(dn), dtype)}
         else:
-            gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
-                                      t(p + "mlp.up_proj.weight")], axis=1)
+            if p + "mlp.gate_up_proj.weight" in sd:
+                gate_up = t(p + "mlp.gate_up_proj.weight")   # phi-3 fused
+            else:
+                gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
+                                          t(p + "mlp.up_proj.weight")],
+                                         axis=1)
             layer["gate_up"] = {"w": jnp.asarray(gate_up, dtype)}
             layer["down"] = {"w": jnp.asarray(t(p + "mlp.down_proj.weight"),
                                               dtype)}
@@ -172,8 +203,16 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                           .hadamard_matrix(cfg.num_heads), np.float32)
                / math.sqrt(cfg.num_heads))
     from qspec_tpu.ops.hadamard import decompose_dim, hadamard_matrix
-    K_f, P_f = decompose_dim(I)
-    H_I = np.kron(hadamard_matrix(K_f), hadamard_matrix(P_f)).astype(np.float32) / math.sqrt(I)
+
+    def _mk_HI(width):
+        K_f, P_f = decompose_dim(width)
+        return np.kron(hadamard_matrix(K_f), hadamard_matrix(P_f)
+                       ).astype(np.float32) / math.sqrt(width)
+
+    # MLP hadamard width: the dense MLP's, or the MoE experts'
+    H_I = _mk_HI(cfg.expert_intermediate_size if cfg.num_experts else I)
+    H_S = (_mk_HI(cfg.shared_expert_intermediate_size)
+           if cfg.shared_expert_intermediate_size else None)
 
     def t(name):
         return np.asarray(sd[name], np.float32).T  # [in, out]
@@ -192,10 +231,13 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         gpost = gnorm(p + "post_attention_layernorm.weight")
 
         # fold gamma into the input side, rotate input basis by Q
-        q_w = Q.T @ (gin[:, None] * t(p + "self_attn.q_proj.weight"))
-        k_w = Q.T @ (gin[:, None] * t(p + "self_attn.k_proj.weight"))
-        v_w = Q.T @ (gin[:, None] * t(p + "self_attn.v_proj.weight"))
-        qkv = np.concatenate([q_w, k_w, v_w], axis=1)
+        if p + "self_attn.qkv_proj.weight" in sd:   # phi-3 fused layout
+            qkv = Q.T @ (gin[:, None] * t(p + "self_attn.qkv_proj.weight"))
+        else:
+            q_w = Q.T @ (gin[:, None] * t(p + "self_attn.q_proj.weight"))
+            k_w = Q.T @ (gin[:, None] * t(p + "self_attn.k_proj.weight"))
+            v_w = Q.T @ (gin[:, None] * t(p + "self_attn.v_proj.weight"))
+            qkv = np.concatenate([q_w, k_w, v_w], axis=1)
 
         # o_proj: input side per-head Hadamard (the online head rotation is
         # H_heads applied across heads for each dim slot); output side Q
@@ -216,32 +258,59 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             "o": pack_proj_weight(o_w, quant_kind, shard_in=True, tp_size=tp_size, dtype=dtype),
         }
         if cfg.num_experts:
-            # Mixtral MoE: identical QuaRot algebra per expert (w1/w3 take
-            # the Q-rotated, gamma-folded input; w2 rows get H_I, output
+            # MoE: identical QuaRot algebra per expert (gate/up take the
+            # Q-rotated, gamma-folded input; down rows get H_I, output
             # rotated by Q); the router reads the same rotated hidden
-            m = p + "block_sparse_moe."
+            qwen_moe = f"{p}mlp.experts.0.gate_proj.weight" in sd
+            m = p + ("mlp." if qwen_moe else "block_sparse_moe.")
+            names = (("gate_proj", "up_proj", "down_proj") if qwen_moe
+                     else ("w1", "w3", "w2"))
             layer["router"] = jnp.asarray(
                 Q.T @ (gpost[:, None] * t(m + "gate.weight")), dtype)
+            Ie = cfg.expert_intermediate_size
             gu_list, dn_list = [], []
             for e in range(cfg.num_experts):
-                gate = Q.T @ (gpost[:, None] * t(f"{m}experts.{e}.w1.weight"))
-                up = Q.T @ (gpost[:, None] * t(f"{m}experts.{e}.w3.weight"))
-                dn = (H_I @ t(f"{m}experts.{e}.w2.weight")) @ Q
+                gate = Q.T @ (gpost[:, None]
+                              * t(f"{m}experts.{e}.{names[0]}.weight"))
+                up = Q.T @ (gpost[:, None]
+                            * t(f"{m}experts.{e}.{names[1]}.weight"))
+                dn = (H_I @ t(f"{m}experts.{e}.{names[2]}.weight")) @ Q
                 # experts pack whole (tp_size=1): parallelism is EP over the
                 # expert dim, not TP inside one expert
                 gu_list.append(pack_proj_weight(
                     np.concatenate([gate, up], axis=1), quant_kind,
-                    col_blocks=(I, I), dtype=dtype))
+                    col_blocks=(Ie, Ie), dtype=dtype))
                 dn_list.append(pack_proj_weight(dn, quant_kind,
                                                 shard_in=True, dtype=dtype))
             layer["experts_gate_up"] = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *gu_list)
             layer["experts_down"] = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *dn_list)
+            if cfg.shared_expert_intermediate_size:
+                s = m + "shared_expert."
+                Is = cfg.shared_expert_intermediate_size
+                sg = Q.T @ (gpost[:, None] * t(s + "gate_proj.weight"))
+                su = Q.T @ (gpost[:, None] * t(s + "up_proj.weight"))
+                sdn = (H_S @ t(s + "down_proj.weight")) @ Q
+                layer["shared_gate_up"] = pack_proj_weight(
+                    np.concatenate([sg, su], axis=1), quant_kind,
+                    col_blocks=(Is, Is), dtype=dtype)
+                layer["shared_down"] = pack_proj_weight(sdn, quant_kind,
+                                                        shard_in=True,
+                                                        dtype=dtype)
+                # the sigmoid gate reads the same post-norm hidden as the
+                # router: fold gamma_post and rotate like the router rows
+                layer["shared_gate"] = jnp.asarray(
+                    Q.T @ (gpost[:, None]
+                           * t(m + "shared_expert_gate.weight")), dtype)
         else:
-            gate = Q.T @ (gpost[:, None] * t(p + "mlp.gate_proj.weight"))
-            up = Q.T @ (gpost[:, None] * t(p + "mlp.up_proj.weight"))
-            gate_up = np.concatenate([gate, up], axis=1)
+            if p + "mlp.gate_up_proj.weight" in sd:   # phi-3 fused layout
+                gate_up = Q.T @ (gpost[:, None]
+                                 * t(p + "mlp.gate_up_proj.weight"))
+            else:
+                gate = Q.T @ (gpost[:, None] * t(p + "mlp.gate_proj.weight"))
+                up = Q.T @ (gpost[:, None] * t(p + "mlp.up_proj.weight"))
+                gate_up = np.concatenate([gate, up], axis=1)
 
             # online transform acts as y_row = a_row @ H_I^T, so the weight
             # gets the un-transposed H_I (matters for non-symmetric Paley

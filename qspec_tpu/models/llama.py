@@ -227,25 +227,42 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
     dn_w = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
                         layers["experts_down"])
 
-    def body(acc, e):
-        idx = li * E_local + e
-        gu = _linear(xn, gu_w, scheme, xq, li=idx)             # [T, 2I]
+    def _expert_mlp(gu_w_, dn_w_, idx, hK, hP):
+        gu = _linear(xn, gu_w_, scheme, xq, li=idx)            # [T, 2I]
         i_sz = gu.shape[-1] // 2
         gate, up = gu[:, :i_sz], gu[:, i_sz:]
         act = _glu_act(gate, up, cfg.hidden_act)
         if quarot:
-            act = _mlp_hadamard(act, hadamards["mlp_K"], hadamards["mlp_P"])
+            act = _mlp_hadamard(act, hK, hP)
             if scheme in QUANT_ACT_SCHEMES:
-                d = _linear(None, dn_w, scheme, _act_quant(act, scheme),
-                            li=idx)
-            else:
-                d = _linear(act, dn_w, scheme, li=idx)
-        else:
-            d = _linear(act, dn_w, scheme, li=idx)
+                return _linear(None, dn_w_, scheme, _act_quant(act, scheme),
+                               li=idx)
+            return _linear(act, dn_w_, scheme, li=idx)
+        return _linear(act, dn_w_, scheme, li=idx)
+
+    def body(acc, e):
+        idx = li * E_local + e
+        d = _expert_mlp(gu_w, dn_w, idx,
+                        hadamards["mlp_K"] if quarot else None,
+                        hadamards["mlp_P"] if quarot else None)
         return acc + d.astype(jnp.float32) * combine[:, e][:, None], None
 
     delta, _ = jax.lax.scan(body, jnp.zeros((T, cfg.hidden_size), jnp.float32),
                             jnp.arange(E_local, dtype=jnp.int32))
+
+    if cfg.shared_expert_intermediate_size:
+        # qwen2-moe always-on shared expert, output gated by
+        # sigmoid(x @ w_gate) (reference Qwen2MoeSparseMoeBlock). Its
+        # weights are REPLICATED under a mesh (it is ~one expert's worth of
+        # compute); divide by the shard count so the single psum that joins
+        # the expert partials nets exactly one contribution.
+        se = _expert_mlp(layers["shared_gate_up"], layers["shared_down"], li,
+                         hadamards["shared_K"] if quarot else None,
+                         hadamards["shared_P"] if quarot else None)
+        sgate = jax.nn.sigmoid(jnp.dot(
+            x_fp, layers["shared_gate"][li].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32))               # [T, 1]
+        delta = delta + sgate * se.astype(jnp.float32) / ntp
     return delta
 
 
@@ -527,16 +544,27 @@ def compute_logits(x, lm_head):
 
 
 def make_hadamards(cfg: ModelConfig):
-    """Constant Hadamard factor matrices as f32 arrays (see ops/hadamard.py)."""
+    """Constant Hadamard factor matrices as f32 arrays (see ops/hadamard.py).
+
+    ``mlp_K/mlp_P`` cover the MLP (or MoE expert) intermediate width;
+    qwen2-moe's shared expert has its own width -> ``shared_K/shared_P``.
+    """
     if cfg.quant != "w4":
         return None
     from qspec_tpu.ops.hadamard import decompose_dim
-    K, P = decompose_dim(cfg.intermediate_size)
-    return {
+    I = cfg.expert_intermediate_size if cfg.num_experts \
+        else cfg.intermediate_size
+    K, P = decompose_dim(I)
+    h = {
         "heads": jnp.asarray(hadamard_matrix(cfg.num_heads), jnp.float32),
         "mlp_K": jnp.asarray(hadamard_matrix(K), jnp.float32),
         "mlp_P": jnp.asarray(hadamard_matrix(P), jnp.float32),
     }
+    if cfg.shared_expert_intermediate_size:
+        Ks, Ps = decompose_dim(cfg.shared_expert_intermediate_size)
+        h["shared_K"] = jnp.asarray(hadamard_matrix(Ks), jnp.float32)
+        h["shared_P"] = jnp.asarray(hadamard_matrix(Ps), jnp.float32)
+    return h
 
 
 def pack_proj_weight(w: np.ndarray, cfg_quant: str, *, shard_in: bool = False,
@@ -708,11 +736,12 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
         """[E, ...] stacked expert projections. Each expert is packed WHOLE
         (tp_size=1): parallelism is over the expert dim (EP), not inside an
         expert."""
+        Ie = cfg.expert_intermediate_size
         gu, dn = [], []
         for _ in range(cfg.num_experts):
-            gu.append(pack_proj_weight(dense(H, 2 * I), cfg.quant,
-                                       col_blocks=(I, I), dtype=dtype))
-            dn.append(pack_proj_weight(dense(I, H), cfg.quant, shard_in=True,
+            gu.append(pack_proj_weight(dense(H, 2 * Ie), cfg.quant,
+                                       col_blocks=(Ie, Ie), dtype=dtype))
+            dn.append(pack_proj_weight(dense(Ie, H), cfg.quant, shard_in=True,
                                        dtype=dtype))
         return (jax.tree.map(lambda *xs: jnp.stack(xs), *gu),
                 jax.tree.map(lambda *xs: jnp.stack(xs), *dn))
@@ -727,6 +756,14 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
         if cfg.num_experts:
             layer["router"] = jnp.asarray(dense(H, cfg.num_experts), dtype)
             layer["experts_gate_up"], layer["experts_down"] = make_experts()
+            if cfg.shared_expert_intermediate_size:
+                Is = cfg.shared_expert_intermediate_size
+                layer["shared_gate_up"] = pack_proj_weight(
+                    dense(H, 2 * Is), cfg.quant, col_blocks=(Is, Is),
+                    dtype=dtype)
+                layer["shared_down"] = pack_proj_weight(
+                    dense(Is, H), cfg.quant, shard_in=True, dtype=dtype)
+                layer["shared_gate"] = jnp.asarray(dense(H, 1), dtype)
         else:
             layer["gate_up"] = make_proj(H, 2 * I, col_blocks=(I, I))
             layer["down"] = make_proj(I, H, shard_in=True)

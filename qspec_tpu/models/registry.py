@@ -62,6 +62,28 @@ def _mixtral(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("Phi3ForCausalLM")
+@register("phi3")
+def _phi3(hf: dict) -> ModelConfig:
+    # phi-3 reuses the llama graph with fused qkv_proj / gate_up_proj
+    # checkpoint names (handled by the loaders) and longrope scaling for
+    # the 128k variants (ops/rotary.make_rope_cache; per-position
+    # short/long factor selection like vllm's
+    # Phi3LongRoPEScaledRotaryEmbedding); no biases, silu MLP (reference
+    # vllm/model_executor/models/phi3.py)
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("Qwen2MoeForCausalLM")
+@register("qwen2_moe")
+def _qwen2_moe(hf: dict) -> ModelConfig:
+    # qwen2-moe: softmax-before-topk router, optional topk renorm, and an
+    # always-on sigmoid-gated shared expert (reference
+    # vllm/model_executor/models/qwen2_moe.py)
+    hf = {**hf, "model_type": "qwen2_moe"}
+    return ModelConfig.from_hf_config(hf)
+
+
 def resolve(hf_config: dict) -> ModelConfig:
     archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
     for a in archs:

@@ -52,6 +52,28 @@ def make_rope_cache(head_dim: int, max_positions: int = 8192, base: float = 5000
         t = np.arange(max_positions, dtype=np.float64)
         freqs = np.outer(t, new_inv)
         cache = np.stack([np.cos(freqs), np.sin(freqs)], axis=0).astype(np.float32)
+    elif rope_scaling and rope_scaling.get(
+            "rope_type", rope_scaling.get("type")) in ("longrope", "su"):
+        # phi-3 longrope (reference Phi3LongRoPEScaledRotaryEmbedding):
+        # per-dim inv_freq rescale factors, short for positions inside the
+        # original window and long beyond it, with a global sqrt-log
+        # attention-scaling multiplier folded into cos/sin
+        orig_ctx = rope_scaling.get("original_max_position_embeddings",
+                                    max_positions)
+        short = np.asarray(rope_scaling["short_factor"], np.float64)
+        long = np.asarray(rope_scaling["long_factor"], np.float64)
+        inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2,
+                                             dtype=np.float64) / head_dim))
+        scale = max_positions / orig_ctx
+        mscale = (1.0 if scale <= 1.0
+                  else np.sqrt(1.0 + np.log(scale) / np.log(orig_ctx)))
+        t = np.arange(max_positions, dtype=np.float64)
+        freqs_short = np.outer(t, inv_freq / short)
+        freqs_long = np.outer(t, inv_freq / long)
+        use_long = (t >= orig_ctx)[:, None]
+        freqs = np.where(use_long, freqs_long, freqs_short)
+        cache = (np.stack([np.cos(freqs), np.sin(freqs)], axis=0)
+                 * mscale).astype(np.float32)
     return jnp.asarray(cache)
 
 

@@ -93,12 +93,18 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         specs["layers"]["router"] = P(None, None, None)
         specs["layers"]["experts_gate_up"] = proj_ep(layer_p["experts_gate_up"])
         specs["layers"]["experts_down"] = proj_ep(layer_p["experts_down"])
+        if "shared_gate" in layer_p:
+            # qwen2-moe shared expert: replicated (models/llama._moe_block
+            # divides its contribution by the shard count before the psum)
+            for name in ("shared_gate_up", "shared_down", "shared_gate"):
+                specs["layers"][name] = jax.tree.map(lambda x: P(),
+                                                     layer_p[name])
     else:
         specs["layers"]["gate_up"] = proj_col(layer_p["gate_up"])
         specs["layers"]["down"] = proj_row(layer_p["down"])
     if quant:
-        specs["hadamards"] = {"heads": P(None, None), "mlp_K": P(None, None),
-                              "mlp_P": P(None, None)}
+        specs["hadamards"] = jax.tree.map(lambda x: P(None, None),
+                                          params["hadamards"])
     else:
         specs["final_norm"] = P(None)
         specs["layers"]["input_norm"] = P(None, None)
