@@ -145,18 +145,24 @@ class BlockManager:
         cached_tokens = 0
         prev_hash: Optional[int] = None
         reused = True
+        # embeds-fed prompts hold placeholder token ids: their pages must
+        # neither hit nor feed the token-content-keyed prefix cache
+        # (reference: prompt_embeds requests bypass prefix caching)
+        cacheable = getattr(seq, "prompt_embeds", None) is None
         seq.pending_page_hashes = []
         for i in range(n_full):
             chunk = tokens[i * self.page_size:(i + 1) * self.page_size]
             prev_hash = PageAllocator.chain_hash(prev_hash, chunk)
-            hit = self.allocator.lookup_cached(prev_hash) if reused else None
+            hit = (self.allocator.lookup_cached(prev_hash)
+                   if reused and cacheable else None)
             if hit is not None:
                 seq.page_ids.append(self.allocator.share_page(hit))
                 cached_tokens += self.page_size
             else:
                 reused = False
                 pid = self.allocator.allocate_page()
-                seq.pending_page_hashes.append((i, prev_hash))
+                if cacheable:
+                    seq.pending_page_hashes.append((i, prev_hash))
                 seq.page_ids.append(pid)
         # tail / lookahead pages (mutable, never hashed)
         total = self.pages_needed(seq.num_tokens + lookahead)

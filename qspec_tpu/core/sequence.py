@@ -72,6 +72,12 @@ class Sequence:
     # pooling-model path, vllm/model_executor/layers/pooler.py)
     task: str = "generate"
     embedding: Optional[object] = None
+    # pre-computed prompt embeddings [prompt_len, hidden] (reference
+    # inputs_embeds / multimodal path): prompt_token_ids then hold
+    # placeholders, prefill feeds these vectors instead of the embed-table
+    # rows, and the sequence is excluded from prefix caching (its pages
+    # cannot be identified by token content)
+    prompt_embeds: Optional[object] = None
 
     @property
     def num_tokens(self) -> int:

@@ -60,12 +60,17 @@ class AsyncLLMEngine:
     async def generate(self, prompt_token_ids: List[int],
                        sampling_params: SamplingParams,
                        request_id: Optional[int] = None,
-                       task: str = "generate") -> AsyncIterator[RequestOutput]:
+                       task: str = "generate", prompt_embeds=None,
+                       mm_images=None,
+                       image_token_id=None) -> AsyncIterator[RequestOutput]:
         if self._dead is not None:
             raise AsyncEngineDeadError("engine loop died") from self._dead
         self._ensure_loop()
         rid = self.engine.add_request(prompt_token_ids, sampling_params,
-                                      request_id=request_id, task=task)
+                                      request_id=request_id, task=task,
+                                      prompt_embeds=prompt_embeds,
+                                      mm_images=mm_images,
+                                      image_token_id=image_token_id)
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
         self._wake.set()

@@ -170,14 +170,36 @@ class LLMEngine:
     def add_request(self, prompt_token_ids: List[int],
                     sampling_params: Optional[SamplingParams] = None,
                     request_id: Optional[int] = None, lora_id: int = 0,
-                    task: str = "generate") -> int:
+                    task: str = "generate", prompt_embeds=None,
+                    mm_images=None, image_token_id: Optional[int] = None) -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
+        if mm_images:
+            # multimodal: expand image placeholders into projected embedding
+            # rows (multimodal.py); the result rides the prompt-embeds path
+            from qspec_tpu.multimodal import splice_image_embeds
+            assert image_token_id is not None, \
+                "mm_images needs image_token_id"
+            prompt_token_ids, prompt_embeds = splice_image_embeds(
+                self.runner.params, self.config.model,
+                list(prompt_token_ids), mm_images, image_token_id)
+        if prompt_embeds is not None:
+            if (self.spec is not None
+                    and self.spec.draft_model is not None):
+                # a separate draft model has its own hidden size/embed
+                # table; prompt embeds for it cannot be derived
+                raise ValueError("prompt_embeds are unsupported with a "
+                                 "separate draft model")
+            prompt_embeds = np.asarray(prompt_embeds, np.float32)
+            if prompt_token_ids is None or not len(prompt_token_ids):
+                prompt_token_ids = [0] * prompt_embeds.shape[0]
+            assert len(prompt_token_ids) == prompt_embeds.shape[0], \
+                "prompt_embeds rows must match prompt length"
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
                        sampling_params=sampling_params, lora_id=lora_id,
-                       task=task)
+                       task=task, prompt_embeds=prompt_embeds)
         sp = sampling_params
         if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
             gc = self._get_grammar_compiler()

@@ -49,8 +49,8 @@ def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp
                                     "with_hidden"),
                    donate_argnames=("cache",))
 def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
-                 lora_ids=None, *, cfg, scheme, axis_name=None,
-                 with_hidden=False):
+                 lora_ids=None, input_embeds=None, embeds_rows=None, *, cfg,
+                 scheme, axis_name=None, with_hidden=False):
     """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
     the final valid position ([1, V]) and the updated cache.
 
@@ -73,11 +73,14 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
         logits, hidden, cache = model_forward(
             params, cfg, token_ids, cache, batch, scheme=scheme,
             axis_name=axis_name, logits_indices=last_idx, lora_ids=lora_ids,
-            return_hidden=True)
+            return_hidden=True, input_embeds=input_embeds,
+            embeds_rows=embeds_rows)
         return logits[:, 0], hidden[:, 0], cache
     logits, cache = model_forward(params, cfg, token_ids, cache, batch,
                                   scheme=scheme, axis_name=axis_name,
-                                  logits_indices=last_idx, lora_ids=lora_ids)
+                                  logits_indices=last_idx, lora_ids=lora_ids,
+                                  input_embeds=input_embeds,
+                                  embeds_rows=embeds_rows)
     return logits[:, 0], cache
 
 
@@ -710,6 +713,8 @@ class ModelRunner:
         positions = np.zeros((B, Q), np.int32)
         ctx = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
+        embeds = None
+        erow = None
         for i, (seq, start, end) in enumerate(chunks):
             # token_ids (prompt + preserved outputs): a resumed preempted
             # sequence re-prefills its generated tokens too
@@ -718,18 +723,39 @@ class ModelRunner:
             positions[i] = np.arange(start, start + Q, dtype=np.int32)
             ctx[i] = end
             tables[i] = seq.page_ids
+            pe = getattr(seq, "prompt_embeds", None)
+            if pe is not None:
+                if embeds is None:
+                    embeds = np.zeros((B, Q, pe.shape[-1]), np.float32)
+                    erow = np.zeros((B, Q), bool)
+                # a resumed sequence past its prompt re-prefills generated
+                # tokens from the embed table (positions past prompt_len
+                # stay unmasked)
+                pe_piece = np.asarray(pe[start:min(end, len(pe))], np.float32)
+                embeds[i, :len(pe_piece)] = pe_piece
+                erow[i, :len(pe_piece)] = True
         if want_hidden and not draft:
             fn = self.fns["prefill_hidden"]
+            if embeds is not None and self.mesh is not None:
+                fn = self.fns["prefill_hidden_embeds"]
         else:
             fn = self.fns["prefill_draft"] if draft else self.fns["prefill"]
+            if embeds is not None and self.mesh is not None:
+                fn = self.fns["prefill_draft_embeds" if draft
+                              else "prefill_embeds"]
         cache = self.draft_cache if draft else self.cache
         p = (self.draft_params if draft and self.draft_params is not None
              else self.params)
+        extra = ()
+        if embeds is not None:
+            # mixed rectangles: embed-table rows keep their lookup; flagged
+            # rows take the provided vectors (models/llama.model_forward)
+            extra = (jnp.asarray(embeds, jnp.bfloat16), jnp.asarray(erow))
         out = fn(
             p, cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx),
             None if draft and self.draft_params is not None
-            else self._lora_ids([c[0] for c in chunks], B))
+            else self._lora_ids([c[0] for c in chunks], B), *extra)
         hidden = None
         if want_hidden and not draft:
             logits, hidden, new_cache = out

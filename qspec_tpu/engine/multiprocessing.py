@@ -33,6 +33,11 @@ class RPCGenerateRequest:
     sampling_params: Any
     task: str = "generate"      # "generate" | "embed"
     lora_id: int = 0
+    # prompt-embeds / multimodal payloads (numpy arrays pickle fine over
+    # the ZMQ transport; reference: multimodal data in the MQ engine path)
+    prompt_embeds: Any = None
+    mm_images: Any = None
+    image_token_id: Any = None
 
 
 @dataclass
@@ -75,7 +80,13 @@ def run_mq_engine(engine_factory_bytes: bytes, input_addr: str, output_addr: str
                     engine.add_request(msg.prompt_token_ids, msg.sampling_params,
                                        request_id=msg.request_id,
                                        task=getattr(msg, "task", "generate"),
-                                       lora_id=getattr(msg, "lora_id", 0))
+                                       lora_id=getattr(msg, "lora_id", 0),
+                                       prompt_embeds=getattr(
+                                           msg, "prompt_embeds", None),
+                                       mm_images=getattr(msg, "mm_images",
+                                                         None),
+                                       image_token_id=getattr(
+                                           msg, "image_token_id", None))
                 elif isinstance(msg, RPCAbortRequest):
                     engine.abort_request(msg.request_id)
                 elif msg == "SHUTDOWN":
@@ -137,15 +148,16 @@ class MQLLMEngineClient:
 
     def generate(self, prompt_token_ids: list, sampling_params,
                  timeout_s: float = 300.0, task: str = "generate",
-                 lora_id: int = 0) -> Iterator[Any]:
+                 lora_id: int = 0, prompt_embeds=None, mm_images=None,
+                 image_token_id=None) -> Iterator[Any]:
         if self._dead_reason:
             raise MQEngineDeadError(self._dead_reason)
         rid = self._next_id
         self._next_id += 1
-        self.inp.send(pickle.dumps(RPCGenerateRequest(rid, prompt_token_ids,
-                                                      sampling_params,
-                                                      task=task,
-                                                      lora_id=lora_id)))
+        self.inp.send(pickle.dumps(RPCGenerateRequest(
+            rid, prompt_token_ids, sampling_params, task=task,
+            lora_id=lora_id, prompt_embeds=prompt_embeds,
+            mm_images=mm_images, image_token_id=image_token_id)))
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
             if not self.out.poll(timeout=1000):

@@ -109,22 +109,54 @@ class LLM:
             return self.tokenizer.encode(prompt)
         return list(prompt)
 
-    def generate(self, prompts: Sequence[Union[str, List[int]]],
+    def generate(self, prompts: Sequence[Union[str, List[int], dict]],
                  sampling_params: Optional[Union[SamplingParams,
                                                  List[SamplingParams]]] = None,
                  ) -> List[RequestOutput]:
+        """Each prompt may be a string, token-id list, or a dict with any of
+        ``prompt`` / ``prompt_token_ids`` / ``prompt_embeds`` /
+        ``multi_modal_data`` ({"image": array or [arrays]}, plus
+        ``image_token_id``) — the reference's inputs-pipeline prompt forms
+        (vllm/inputs/data.py TextPrompt/TokensPrompt/EmbedsPrompt)."""
         if sampling_params is None:
             sampling_params = SamplingParams()
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * len(prompts)
-        ids = [self.llm_engine.add_request(self._encode(p), sp)
-               for p, sp in zip(prompts, sampling_params)]
+        ids = []
+        for p, sp in zip(prompts, sampling_params):
+            if isinstance(p, dict):
+                toks = (list(p["prompt_token_ids"])
+                        if p.get("prompt_token_ids") is not None
+                        else self._encode(p["prompt"]) if p.get("prompt")
+                        else None)
+                mm = p.get("multi_modal_data") or {}
+                imgs = mm.get("image")
+                if imgs is not None and not isinstance(imgs, (list, tuple)):
+                    imgs = [imgs]
+                tid = p.get("image_token_id")
+                if imgs is not None and tid is None:
+                    tid = self._image_token_id()
+                ids.append(self.llm_engine.add_request(
+                    toks, sp, prompt_embeds=p.get("prompt_embeds"),
+                    mm_images=imgs, image_token_id=tid))
+            else:
+                ids.append(self.llm_engine.add_request(self._encode(p), sp))
         results = {}
         while self.llm_engine.has_unfinished_requests():
             for out in self.llm_engine.step():
                 if out.finished:
                     results[out.request_id] = out
         return [results[i] for i in ids]
+
+    def _image_token_id(self) -> int:
+        tok = self.tokenizer
+        if tok is not None:
+            for name in ("<image>", "<|image|>"):
+                tid = tok.convert_tokens_to_ids(name) \
+                    if hasattr(tok, "convert_tokens_to_ids") else None
+                if tid is not None and tid >= 0:
+                    return tid
+        raise ValueError("pass image_token_id (no tokenizer image token)")
 
     def embed(self, prompts: Sequence[Union[str, List[int]]]) -> List:
         """Pooled (last-token, post-final-norm) hidden-state embeddings

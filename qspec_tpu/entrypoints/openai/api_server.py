@@ -166,10 +166,15 @@ class OpenAIServer:
         import dataclasses
         return dataclasses.replace(sp, seed=sp.seed + j)
 
-    async def _generate_one(self, token_ids, sp):
+    async def _generate_one(self, token_ids, sp, mm_images=None,
+                            image_token_id=None):
         rid = next(self._request_counter)
         final = None
-        async for out in self.engine.generate(token_ids, sp, request_id=rid):
+        kw = {}
+        if mm_images:
+            kw = {"mm_images": mm_images, "image_token_id": image_token_id}
+        async for out in self.engine.generate(token_ids, sp, request_id=rid,
+                                              **kw):
             final = out
         return final
 
@@ -214,12 +219,62 @@ class OpenAIServer:
                       "total_tokens": p_toks + c_toks},
         })
 
+    @staticmethod
+    def _decode_data_url(url: str):
+        """data: URL (base64 png/jpeg) -> float image [H, W, 3] in [0, 1].
+        Only inline data URLs are accepted — the serving host has no
+        egress; remote http(s) image URLs are rejected explicitly."""
+        import base64
+        import io
+
+        if not url.startswith("data:"):
+            raise web.HTTPBadRequest(
+                reason="only data: image URLs are supported")
+        b64 = url.split(",", 1)[1]
+        raw = base64.b64decode(b64)
+        from PIL import Image
+        import numpy as np
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+    def _flatten_mm_messages(self, messages):
+        """OpenAI list-content messages -> (text messages, images): each
+        image_url part becomes an <image> placeholder in the text
+        (reference: chat_utils.parse_chat_messages multimodal path)."""
+        images = []
+        out = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                parts = []
+                for part in c:
+                    if part.get("type") == "image_url":
+                        images.append(self._decode_data_url(
+                            part["image_url"]["url"]))
+                        parts.append("<image>")
+                    elif part.get("type") == "text":
+                        parts.append(part["text"])
+                out.append({**m, "content": "".join(parts)})
+            else:
+                out.append(m)
+        return out, images
+
     async def chat_completions(self, request):
         import asyncio
 
         body = await request.json()
+        messages, images = self._flatten_mm_messages(body["messages"])
+        image_token_id = None
+        if images:
+            image_token_id = self.tokenizer.convert_tokens_to_ids("<image>")
+            if image_token_id is None or image_token_id < 0 or \
+                    image_token_id == getattr(self.tokenizer,
+                                              "unk_token_id", -1):
+                raise web.HTTPBadRequest(
+                    reason="tokenizer has no <image> token; serve a "
+                           "multimodal-ready tokenizer")
         token_ids = self.tokenizer.apply_chat_template(
-            body["messages"], tokenize=True, add_generation_prompt=True)
+            messages, tokenize=True, add_generation_prompt=True)
         sp = self._sampling(body)
         n = max(1, int(body.get("n", 1)))
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
@@ -227,11 +282,16 @@ class OpenAIServer:
         if body.get("stream"):
             if n > 1:
                 raise web.HTTPBadRequest(reason="streaming supports n=1")
+            if images:
+                raise web.HTTPBadRequest(
+                    reason="streaming with images is not supported")
             rid = next(self._request_counter)
             return await self._stream(request, token_ids, sp, rid, cid, chat=True)
 
         finals = await asyncio.gather(
-            *(self._generate_one(token_ids, self._nth_sp(sp, j))
+            *(self._generate_one(token_ids, self._nth_sp(sp, j),
+                                 mm_images=images,
+                                 image_token_id=image_token_id)
               for j in range(n)))
         choices = []
         for j, final in enumerate(finals):

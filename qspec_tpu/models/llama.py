@@ -443,7 +443,9 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
                   scheme: str = "w4a16", axis_name: Optional[str] = None,
                   logits_indices: Optional[jnp.ndarray] = None,
                   lora_ids: Optional[jnp.ndarray] = None,
-                  return_hidden: bool = False):
+                  return_hidden: bool = False,
+                  input_embeds: Optional[jnp.ndarray] = None,
+                  embeds_rows: Optional[jnp.ndarray] = None):
     """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
 
     Mirrors the reference call path LlamaModel.forward -> compute_logits
@@ -474,6 +476,18 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         # gemma scales embeddings by sqrt(hidden) in the hidden dtype
         # (reference GemmaModel.forward normalizer)
         x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+    if input_embeds is not None:
+        # pre-computed prompt embeddings (reference inputs_embeds /
+        # multimodal path): tokens flagged in ``embeds_rows`` [B, Q] take
+        # their vectors from ``input_embeds`` [B, Q, H] instead of the
+        # embed table (per-token mask: a resumed sequence's chunk can mix
+        # embeds-fed prompt positions with regenerated output tokens)
+        ie = input_embeds.reshape(B * Q, -1).astype(jnp.bfloat16)
+        if embeds_rows is not None:
+            keep = embeds_rows.reshape(B * Q)[:, None]
+            x = jnp.where(keep, ie, x)
+        else:
+            x = ie
 
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")

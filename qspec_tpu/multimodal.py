@@ -1,0 +1,120 @@
+"""Multimodal inputs: modality registry + LLaVA-style image path.
+
+TPU-native slice of the reference's multimodal stack
+(vllm/multimodal/{registry,processing,inputs}.py + the per-model
+input-mapper hooks): images are turned into prompt-embedding rows host-side
+(patchify + projector matmul on device would also work; the projector is
+small, so host numpy keeps the engine path untouched), spliced over
+placeholder tokens, and fed through the engine's prompt-embeds pipeline
+(Sequence.prompt_embeds -> model_forward input_embeds).
+
+What this intentionally does NOT include: HF processor integration for
+specific released VLM checkpoints (none exist in the zero-egress image) —
+the registry is the extension point a real checkpoint's processor plugs
+into (same shape as the reference's MULTIMODAL_REGISTRY.register_image_
+input_mapper).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+# arch -> fn(params, cfg, image_np [H, W, 3] float 0..1) -> embeds [n, H]
+_IMAGE_MAPPERS: Dict[str, Callable] = {}
+
+
+def register_image_mapper(arch: str):
+    """Register an image->embeddings mapper for a model family (the
+    reference's input-mapper hook, vllm/multimodal/registry.py)."""
+    def deco(fn):
+        _IMAGE_MAPPERS[arch] = fn
+        return fn
+    return deco
+
+
+def get_image_mapper(arch: str) -> Callable:
+    if arch in _IMAGE_MAPPERS:
+        return _IMAGE_MAPPERS[arch]
+    return patch_projector_mapper  # generic LLaVA-style fallback
+
+
+@register_image_mapper("llava")
+def patch_projector_mapper(params, cfg, image: np.ndarray,
+                           patch: int = 16) -> np.ndarray:
+    """Generic ViT-free image mapper: non-overlapping patches -> linear
+    projector into the LM's hidden space (the projector weight lives at
+    ``params["mm_projector"]["w"]`` [patch*patch*3, H], ``"b"`` [H]).
+
+    This is the MLP-projector half of LLaVA (the reference's llava.py
+    multi_modal_projector); a real checkpoint's vision tower output would
+    replace the raw patches.
+    """
+    mm = params.get("mm_projector")
+    if mm is None:
+        raise ValueError("model params carry no 'mm_projector' weights")
+    import jax
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    H, W, C = img.shape
+    ph, pw = H // patch, W // patch
+    img = img[:ph * patch, :pw * patch]
+    patches = img.reshape(ph, patch, pw, patch, C).transpose(0, 2, 1, 3, 4)
+    flat = patches.reshape(ph * pw, patch * patch * C)
+    w = np.asarray(jax.device_get(mm["w"]), np.float32)
+    out = flat @ w
+    if "b" in mm:
+        out = out + np.asarray(jax.device_get(mm["b"]), np.float32)
+    return out.astype(np.float32)
+
+
+def splice_image_embeds(params, cfg, prompt_token_ids: List[int],
+                        images: List[np.ndarray],
+                        image_token_id: int,
+                        arch: Optional[str] = None):
+    """Expand each image placeholder token into that image's embedding rows.
+
+    Returns (token_ids, prompt_embeds): token ids padded with the
+    placeholder id over image spans (they are never looked up — the embeds
+    row mask covers the whole prompt), text positions carry their real ids
+    so detokenization/prefix bookkeeping stay sane.
+
+    Reference concept: placeholder expansion in
+    vllm/multimodal/processing.py (PromptReplacement) feeding
+    merge_multimodal_embeddings in each VLM's forward.
+    """
+    import jax
+    mapper = get_image_mapper(arch or cfg.arch)
+    embed_table = np.asarray(jax.device_get(params["embed"]), np.float32)
+    scale = cfg.embed_scale if cfg.embed_scale is not None else 1.0
+
+    out_ids: List[int] = []
+    rows: List[np.ndarray] = []
+    img_iter = iter(images)
+    for t in prompt_token_ids:
+        if t == image_token_id:
+            img = next(img_iter, None)
+            if img is None:
+                raise ValueError("more image placeholders than images")
+            emb = mapper(params, cfg, np.asarray(img))
+            rows.append(emb)
+            out_ids.extend([image_token_id] * emb.shape[0])
+        else:
+            rows.append(embed_table[t][None] * scale)
+            out_ids.append(t)
+    if next(img_iter, None) is not None:
+        raise ValueError("more images than image placeholders")
+    return out_ids, np.concatenate(rows, axis=0)
+
+
+def init_mm_projector(hidden_size: int, patch: int = 16, seed: int = 0,
+                      dtype=None):
+    """Random projector weights (tests / synthetic serving)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    d = patch * patch * 3
+    return {"w": jnp.asarray(rng.standard_normal((d, hidden_size))
+                             .astype(np.float32) * (d ** -0.5)),
+            "b": jnp.asarray(np.zeros(hidden_size, np.float32))}

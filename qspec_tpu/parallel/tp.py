@@ -200,6 +200,14 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     fns["prefill"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), cspec), 1, scheme=scheme)
+    # prompt-embeds variant (two extra replicated operands: embeds + mask)
+    fns["prefill_embeds"] = _wrap(
+        mr.prefill_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, R, R, R), (P(), cspec), 1, scheme=scheme)
+    fns["prefill_hidden_embeds"] = _wrap(
+        mr.prefill_step.__wrapped__, mesh, cfg, params,
+        (R, R, R, R, R, R, R), (P(), P(), cspec), 1, scheme=scheme,
+        with_hidden=True)
     if sep_draft:
         # replicated draft prefill: no collectives, replicated cache
         d_inner = functools.partial(mr.prefill_step.__wrapped__,
@@ -214,6 +222,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
         fns["prefill_draft"] = _wrap(
             mr.prefill_step.__wrapped__, mesh, cfg, params,
             (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+        fns["prefill_draft_embeds"] = _wrap(
+            mr.prefill_step.__wrapped__, mesh, cfg, params,
+            (R, R, R, R, R, R, R), (P(), cspec), 1,
+            scheme=draft_scheme) if cfg.quant == "w4" else None
     fns["prefill_hidden"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), P(), cspec), 1, scheme=scheme,

@@ -233,3 +233,77 @@ def test_stream_content_matches_nonstream(server):
         assert finish == "length"
 
     _run(server, body)
+
+
+class MMTokenizer(FakeTokenizer):
+    """FakeTokenizer with an <image> special token (id 7)."""
+    unk_token_id = 255
+
+    def convert_tokens_to_ids(self, t):
+        return 7 if t == "<image>" else None
+
+    def apply_chat_template(self, messages, tokenize=True,
+                            add_generation_prompt=True):
+        ids = []
+        for m in messages:
+            for piece in m["content"].split("<image>"):
+                ids.extend(self.encode(piece))
+                ids.append(7)
+            ids.pop()  # no trailing placeholder
+        return ids[:48]
+
+
+def _png_data_url(arr):
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr.astype("uint8")).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def test_chat_with_image_parts():
+    """OpenAI image_url content parts (base64 data URLs) run through the
+    multimodal splice + prompt-embeds path (reference: VLM chat serving)."""
+    import numpy as np
+
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from qspec_tpu.models.llama import init_params
+    from qspec_tpu.multimodal import init_mm_projector
+
+    cfg = ModelConfig.tiny(quant="w4")
+    params = init_params(cfg, seed=0)
+    params["mm_projector"] = init_mm_projector(cfg.hidden_size)
+    args = EngineArgs(model="tiny", max_model_len=256, max_num_seqs=4)
+    server = build_server(args, model_name="tiny-mm", params=params,
+                          tokenizer=MMTokenizer())
+    rng = np.random.default_rng(3)
+    # maximally different images so the greedy continuation must diverge
+    url1 = _png_data_url(np.zeros((64, 64, 3)))
+    url2 = _png_data_url(rng.random((64, 64, 3)) * 255)
+
+    async def body(client):
+        def req(url):
+            return {"messages": [{"role": "user", "content": [
+                {"type": "text", "text": "describe "},
+                {"type": "image_url", "image_url": {"url": url}},
+            ]}], "max_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+
+        r1 = await client.post("/v1/chat/completions", json=req(url1))
+        assert r1.status == 200, await r1.text()
+        t1 = (await r1.json())["choices"][0]["message"]["content"]
+        r2 = await client.post("/v1/chat/completions", json=req(url2))
+        t2 = (await r2.json())["choices"][0]["message"]["content"]
+        assert t1 and t2
+        assert t1 != t2   # different images steer the continuation
+
+        # remote URLs are rejected (zero-egress host)
+        bad = req("https://example.com/cat.png")
+        r3 = await client.post("/v1/chat/completions", json=bad)
+        assert r3.status == 400
+
+    _run(server, body)
