@@ -72,15 +72,39 @@ def load_induction(base: str = INDUCTION_CKPT):
     cfg = ModelConfig(**meta["cfg"])
     sd = dict(np.load(base + ".npz"))
     params, cfg = quantize_float(sd, cfg)
-    # attach trained Medusa heads when present (benchmarks/train_medusa.py);
-    # they are trained in the same rotated basis quantize_float produces
-    mcands = sorted(glob.glob(os.path.join(here, "checkpoints",
-                                           "induction_medusa_v*.npz")))
-    if mcands:
-        from qspec_tpu.spec_decode.medusa import load_medusa
-        params = {**params, "medusa": load_medusa(mcands[-1])}
     # the copy circuit only generalizes to positions seen in training:
     # the bench must keep prompt+output inside this window
+    return cfg, params, int(meta.get("train_seq", 768))
+
+
+def load_medusa_regime():
+    """The Medusa regime uses ITS OWN base checkpoint (the heads are trained
+    jointly with a fine-tuned base, benchmarks/train_medusa.py) and is
+    benchmarked against that base's own AR — pairing the heads with a
+    different base would be dishonest in both directions."""
+    import glob
+    import json as _json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    mcands = sorted(glob.glob(os.path.join(here, "checkpoints",
+                                           "induction_medusa_v*.npz")))
+    if not mcands:
+        return None, None, None
+    with open(mcands[-1][:-4] + ".json") as f:
+        mmeta = _json.load(f)
+    base = os.path.join(here, "checkpoints", mmeta["base"])
+    if not os.path.exists(base + ".npz"):
+        return None, None, None
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.model_loader.loader import quantize_float
+    from qspec_tpu.spec_decode.medusa import load_medusa
+
+    with open(base + ".json") as f:
+        meta = _json.load(f)
+    cfg = ModelConfig(**meta["cfg"])
+    params, cfg = quantize_float(dict(np.load(base + ".npz")), cfg)
+    params = {**params, "medusa": load_medusa(mcands[-1])}
     return cfg, params, int(meta.get("train_seq", 768))
 
 
@@ -226,12 +250,6 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         # proposals, so spec wins whenever acceptance beats the small
         # verify-vs-decode overhead
         runs.append(("ngram", "ngram", args.spec_k or ngram_default_k))
-    if args.proposer in ("medusa", "all") and "medusa" in params:
-        # trained-in-image Medusa heads (benchmarks/train_medusa.py):
-        # proposals ride the verify pass's hidden state — zero extra
-        # forwards, works on any workload (not just copy-heavy ones)
-        n_heads = int(np.asarray(params["medusa"]["b1"]).shape[0])
-        runs.append(("medusa", "medusa", args.spec_k or n_heads))
 
     results = []
     for label, method, k in runs:
@@ -253,6 +271,42 @@ def bench_model(model: str, args, *, ngram_default_k=4):
                              max(ar["tokens_per_sec"], 1e-9))
         results.append(sp)
     return {"model": model, "ar": ar, "runs": results}
+
+
+def bench_medusa(args):
+    """Medusa regime: trained heads on their jointly-tuned base, A/B'd
+    against that base's own AR (see load_medusa_regime)."""
+    import jax
+
+    cfg, params, train_seq = load_medusa_regime()
+    if cfg is None:
+        return None
+    n_prompts = args.prompts or 24
+    prompt_len = args.prompt_len or min(512, train_seq // 2)
+    max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
+    prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
+    rounds = args.rounds or 8
+    n_heads = int(np.asarray(params["medusa"]["b1"]).shape[0])
+    k = args.spec_k or n_heads
+    print(f"# model=induction-medusa prompts={n_prompts} "
+          f"prompt_len={prompt_len} max_tokens={max_tokens} "
+          f"platform={jax.default_backend()}", file=sys.stderr, flush=True)
+    ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs, rounds=rounds)
+    print(f"# [induction-medusa] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s",
+          file=sys.stderr, flush=True)
+    sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs, rounds=rounds,
+                  method="medusa", spec_k=k)
+    mismatches = sum(1 for rid in sp["outputs"]
+                     if sp["outputs"][rid] != ar["outputs"].get(rid))
+    print(f"# [induction-medusa] medusa (k={k}): "
+          f"{sp['tokens_per_sec']:.2f} tok/s metrics={sp['spec_metrics']} "
+          f"mismatches={mismatches}", file=sys.stderr, flush=True)
+    sp["model"], sp["label"], sp["k"] = "induction-medusa", "medusa", k
+    sp["mismatches"] = mismatches
+    sp["vs_baseline"] = sp["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9)
+    return {"model": "induction-medusa", "ar": ar, "runs": [sp]}
 
 
 def main():
@@ -305,11 +359,16 @@ def main():
         models = ["tiny"]
 
     reports = [r for m in models if (r := bench_model(m, args)) is not None]
+    if "induction" in models and args.proposer in ("medusa", "all") \
+            and not args.quick:
+        r = bench_medusa(args)
+        if r is not None:
+            reports.append(r)
     all_runs = [sp for r in reports for sp in r["runs"]]
 
     # Headline: prefer the real-weights regime (honest acceptance, the
     # reference's prompt-lookup workload) when it ran; else best vs_baseline.
-    real = [sp for sp in all_runs if sp["model"] == "induction"]
+    real = [sp for sp in all_runs if sp["model"].startswith("induction")]
     pool = real or all_runs
     best = max(pool, key=lambda sp: sp["vs_baseline"])
     ar_of = {r["model"]: r["ar"] for r in reports}
@@ -321,8 +380,8 @@ def main():
         "vs_baseline": round(best["vs_baseline"], 3),
         "model": best["model"],
         "proposer": best["label"],
-        "regime": ("real-weights prompt-lookup (in-image-trained induction "
-                   "LM, QuaRot int4)" if best["model"] == "induction"
+        "regime": ("real-weights (in-image-trained induction LM, QuaRot "
+                   "int4)" if best["model"].startswith("induction")
                    else "synthetic weights"),
         "ar_tokens_per_sec": round(ar_of[best["model"]]["tokens_per_sec"], 2),
         "acceptance": (best["spec_metrics"] or {}).get("draft_acceptance_rate"),

@@ -102,10 +102,15 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
         gfin = p["final_norm"].astype(jnp.float32)
         return Q.T @ (gfin[:, None] * p["lm_head"].astype(jnp.float32))
 
-    # head init: w1=0 (identity resblock), head = engine-basis lm_head
-    # (the reference trains heads from an lm_head clone)
+    # head init: near-identity resblock with PER-HEAD random noise on w1 —
+    # identical zero inits left one head stuck in a symmetric saddle
+    # (observed: head 1 plateaued at 0.13 while its neighbours reached
+    # 0.8+); head = engine-basis lm_head (the reference's clone init)
+    rng0 = np.random.default_rng(seed + 99)
+    w1_init = (rng0.standard_normal((heads_k, H, H)).astype(np.float32)
+               * 0.02)
     heads = {
-        "w1": jnp.zeros((heads_k, H, H), jnp.float32),
+        "w1": jnp.asarray(w1_init),
         "b1": jnp.zeros((heads_k, H), jnp.float32),
         "head": jnp.broadcast_to(lm_rot_of(params)[None], (heads_k, H, V)).copy(),
     }
@@ -220,12 +225,16 @@ def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base_out = args.base_out
     if base_out is None:
+        # the jointly-tuned base is the MEDUSA regime's base, deliberately
+        # outside the induction_lm_v* namespace: bench.py pairs it with the
+        # heads (load_medusa_regime) while the ngram/qspec regimes keep the
+        # original, quantization-robust base
         import re
         existing = [int(m.group(1)) for f in glob.glob(os.path.join(
-            here, "checkpoints", "induction_lm_v*.npz"))
+            here, "checkpoints", "medusa_base_v*.npz"))
             if (m := re.search(r"_v(\d+)\.npz$", f))]
         n = max(existing, default=0) + 1
-        base_out = os.path.join(here, "checkpoints", f"induction_lm_v{n}")
+        base_out = os.path.join(here, "checkpoints", f"medusa_base_v{n}")
     sd = to_hf_state_dict(base_params, cfg)
     np.savez(base_out + ".npz", **{k: v.astype(np.float16)
                                    for k, v in sd.items()})
