@@ -44,6 +44,16 @@ class ModelConfig:
     # last `sliding_window` positions (reference quarot_llama.py:125-136).
     # None = full causal attention.
     sliding_window: Optional[int] = None
+    # gemma2 (reference vllm/model_executor/models/gemma2.py):
+    # every `sliding_window_pattern`-th layer alternates sliding/global
+    # (2 = even layers sliding, odd global); tanh softcaps on attention
+    # scores and final logits; query scale from query_pre_attn_scalar;
+    # post-attention/pre+post-feedforward norms around each block
+    sliding_window_pattern: int = 1
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    post_norms: bool = False
     # quantization scheme of the stored checkpoint:
     # "w4"   QuaRot packed int4, per-channel symmetric (dual-scheme QSpec)
     # "w4g"  grouped asymmetric int4 (AWQ/GPTQ ingestion, W4A16 only)
@@ -174,11 +184,21 @@ class ModelConfig:
         arch = ("qwen2moe" if "qwen2_moe" in mt
                 else "qwen2" if "qwen2" in mt
                 else "mixtral" if "mixtral" in mt
+                else "gemma2" if "gemma2" in mt
                 else "gemma" if "gemma" in mt else "llama")
         nh = hf["num_attention_heads"]
-        gemma = arch == "gemma"
+        gemma = arch in ("gemma", "gemma2")
+        gemma2 = arch == "gemma2"
         qwen2moe = arch == "qwen2moe"
         return ModelConfig(
+            sliding_window_pattern=2 if gemma2 else 1,
+            attn_logit_softcap=(hf.get("attn_logit_softcapping")
+                                if gemma2 else None),
+            final_logit_softcap=(hf.get("final_logit_softcapping")
+                                 if gemma2 else None),
+            query_pre_attn_scalar=(hf.get("query_pre_attn_scalar")
+                                   if gemma2 else None),
+            post_norms=gemma2,
             moe_intermediate_size=hf.get("moe_intermediate_size"),
             shared_expert_intermediate_size=hf.get(
                 "shared_expert_intermediate_size", 0) if qwen2moe else 0,

@@ -199,8 +199,15 @@ def _load_grouped(sd: dict, cfg: ModelConfig, fmt: str, tp_size: int,
                                       tp_size=tp_size),
             "input_norm": norm_w(f"model.layers.{i}.input_layernorm.weight"),
             "post_norm": norm_w(
-                f"model.layers.{i}.post_attention_layernorm.weight"),
+                f"model.layers.{i}."
+                + ("pre_feedforward_layernorm.weight" if cfg.post_norms
+                   else "post_attention_layernorm.weight")),
         }
+        if cfg.post_norms:   # gemma2 post-block norms
+            layer["post_attn_norm"] = norm_w(
+                f"model.layers.{i}.post_attention_layernorm.weight")
+            layer["post_ffw_norm"] = norm_w(
+                f"model.layers.{i}.post_feedforward_layernorm.weight")
         layers.append(layer)
 
     from qspec_tpu.models.llama import pack_lm_head

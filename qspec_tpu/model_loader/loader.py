@@ -105,8 +105,18 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             "qkv": {"w": jnp.asarray(qkv, dtype)},
             "o": {"w": jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)},
             "input_norm": norm_w(p + "input_layernorm.weight"),
-            "post_norm": norm_w(p + "post_attention_layernorm.weight"),
+            # gemma2 (post_norms): the MLP pre-norm is
+            # pre_feedforward_layernorm; post_attention_layernorm becomes
+            # the attention block's POST-norm (models/llama.decoder_layer)
+            "post_norm": norm_w(
+                p + ("pre_feedforward_layernorm.weight" if cfg.post_norms
+                     else "post_attention_layernorm.weight")),
         }
+        if cfg.post_norms:
+            layer["post_attn_norm"] = norm_w(
+                p + "post_attention_layernorm.weight")
+            layer["post_ffw_norm"] = norm_w(
+                p + "post_feedforward_layernorm.weight")
         if cfg.num_experts:
             if f"{p}mlp.experts.0.gate_proj.weight" in sd:
                 # qwen2-moe naming: mlp.gate + experts.{e}.gate/up/down_proj
@@ -195,6 +205,11 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         if cfg is None:
             cfg = config_from_hf_dir(path_or_sd)
         sd = _read_safetensors(path_or_sd)
+    if cfg.post_norms:
+        raise ValueError(
+            "QuaRot rotation folds norm gammas into adjacent projections; "
+            "gemma2's post-block norms break that adjacency — serve gemma2 "
+            "as bf16 (load_hf_float) or grouped int4 (AWQ/GPTQ)")
     cfg = ModelConfig(**{**cfg.__dict__, "quant": "w4", "weightless_norm": True})
 
     H, I = cfg.hidden_size, cfg.intermediate_size

@@ -338,6 +338,14 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     q_size_l = heads_l * cfg.head_dim
     kv_size_l = kv_heads_l * cfg.head_dim
 
+    # gemma2: per-layer sliding/global alternation (traced window riding
+    # the layer scan), score softcap, query_pre_attn_scalar scale
+    window = cfg.sliding_window
+    if window is not None and cfg.sliding_window_pattern > 1:
+        from qspec_tpu.ops.attention_pallas import NO_WINDOW
+        window = jnp.where(li % cfg.sliding_window_pattern == 0,
+                           window, NO_WINDOW)
+
     # --- attention block ---
     xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme)
     qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
@@ -352,11 +360,11 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     k = k.astype(jnp.bfloat16)
 
     cache = kvc.update_layer(cache, layer_idx, k, v, batch.slot_mapping.reshape(-1))
-    scale = cfg.head_dim ** -0.5
+    scale = (cfg.query_pre_attn_scalar or cfg.head_dim) ** -0.5
     attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
                            batch.block_tables, batch.ctx_lens, scale,
                            q_positions=batch.positions,
-                           window=cfg.sliding_window)
+                           window=window, softcap=cfg.attn_logit_softcap)
     attn = attn.reshape(T, heads_l, cfg.head_dim)
 
     if quarot:
@@ -392,6 +400,11 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         o = _maybe_lora("o", attn_flat, o)
     if axis_name is not None:
         o = jax.lax.psum(o, axis_name)
+    if cfg.post_norms:
+        # gemma2 post-attention norm: applied to the block OUTPUT before
+        # the residual add (reference Gemma2DecoderLayer)
+        o = rmsnorm(o.astype(jnp.bfloat16), layers["post_attn_norm"][li],
+                    eps=cfg.rms_norm_eps)
     x = x + o.astype(x.dtype)
 
     # --- mlp block ---
@@ -434,6 +447,9 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         down = _maybe_lora("down", act, down)
     if axis_name is not None:
         down = jax.lax.psum(down, axis_name)
+    if cfg.post_norms:
+        down = rmsnorm(down.astype(jnp.bfloat16),
+                       layers["post_ffw_norm"][li], eps=cfg.rms_norm_eps)
     x = x + down.astype(x.dtype)
     return x, cache
 
@@ -532,6 +548,11 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     gamma = None if cfg.quant == "w4" else params["final_norm"]
     x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
     logits = compute_logits(x, params["lm_head"])
+    if cfg.final_logit_softcap:
+        # gemma2 final-logit softcapping (reference gemma2.py
+        # final_logit_softcapping via LogitsProcessor soft_cap)
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
     if return_hidden:
@@ -784,6 +805,9 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
         if cfg.quant != "w4":
             layer["input_norm"] = jnp.ones((H,), dtype)
             layer["post_norm"] = jnp.ones((H,), dtype)
+            if cfg.post_norms:
+                layer["post_attn_norm"] = jnp.ones((H,), dtype)
+                layer["post_ffw_norm"] = jnp.ones((H,), dtype)
         layers.append(layer)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 

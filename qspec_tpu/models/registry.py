@@ -54,6 +54,18 @@ def _gemma(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("Gemma2ForCausalLM")
+@register("gemma2")
+def _gemma2(hf: dict) -> ModelConfig:
+    # gemma2: alternating sliding/global attention, attention + final logit
+    # softcapping, query_pre_attn_scalar scale, post-block norms
+    # (reference vllm/model_executor/models/gemma2.py); serves bf16 or
+    # grouped-int4 (AWQ/GPTQ) — the QuaRot pipeline's gamma folding does
+    # not compose with the post-block norms
+    hf = {**hf, "model_type": "gemma2"}
+    return ModelConfig.from_hf_config(hf)
+
+
 @register("MixtralForCausalLM")
 @register("mixtral")
 def _mixtral(hf: dict) -> ModelConfig:

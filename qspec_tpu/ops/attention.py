@@ -28,15 +28,17 @@ NEG_INF = -1e30
 def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                         block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                         scale: float, q_positions: jnp.ndarray = None,
-                        window: int = None) -> jnp.ndarray:
+                        window=None, softcap: float = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the new ones.
 
     ``q_positions`` [B, Q] gives each query's absolute position; query i
     attends to kv positions <= its own. When omitted, queries are assumed to
     be the *last* Q positions (decode/verify windows) — end-padded prefill
     MUST pass explicit positions or padding queries corrupt the mask.
-    ``window`` limits attention to the last `window` positions
-    (Mistral sliding window, reference quarot_llama.py:125-136).
+    ``window`` limits attention to the last `window` positions (Mistral
+    sliding window, reference quarot_llama.py:125-136); it may be a traced
+    scalar (gemma2 per-layer alternation). ``softcap``: gemma2
+    attention-logit tanh cap.
     """
     B, Q, Hq, D = q.shape
     if q_positions is None:
@@ -48,6 +50,8 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     qf = q.astype(jnp.float32) * scale
     qf = qf.reshape(B, Q, Hkv, group, D)
     scores = jnp.einsum("bqhgd,bhcd->bhgqc", qf, k.astype(jnp.float32))
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
 
     C = k.shape[2]
     kv_pos = jnp.arange(C)[None, :]                       # [1, C]
@@ -88,7 +92,7 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                     scale: float, q_positions: jnp.ndarray = None,
-                    window: int = None) -> jnp.ndarray:
+                    window=None, softcap: float = None) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
@@ -99,6 +103,7 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                                       q_positions=q_positions,
                                       layer=jnp.asarray(layer, jnp.int32),
                                       kv_scales=cache.kv_scales,
-                                      window=window)
+                                      window=window, softcap=softcap)
     return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
-                               q_positions=q_positions, window=window)
+                               q_positions=q_positions, window=window,
+                               softcap=softcap)

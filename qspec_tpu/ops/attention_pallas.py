@@ -54,7 +54,10 @@ def _paged_attn_kernel(
     block_tables_ref,   # [B * max_pages] int32
     ctx_lens_ref,       # [B] int32
     q_start_ref,        # [B] int32: absolute position of each row's query 0
-    layer_ref,          # [1] int32: layer index into the stacked cache
+    layer_ref,          # [2] int32: (layer index into the stacked cache,
+                        #  sliding window — NO_WINDOW sentinel disables it;
+                        #  traced so gemma2's per-layer alternation works
+                        #  inside the layer scan)
     # inputs
     q_ref,              # [1, Hkv, G, D] VMEM
     kv_pages_ref,       # [L, P, 2, Hkv, S, D] HBM
@@ -65,7 +68,7 @@ def _paged_attn_kernel(
     max_pages: int,
     scale: float,
     quant: bool,
-    window: int,
+    softcap: float,
 ):
     if quant:
         kv_scales_ref, out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
@@ -76,11 +79,13 @@ def _paged_attn_kernel(
     ctx_len = ctx_lens_ref[b]
     chunk_kv = page_size
     num_chunks = jnp.maximum(1, pl.cdiv(ctx_len, chunk_kv))
+    window = layer_ref[1]
     # sliding window: pages strictly before the earliest in-window position
     # of the row's first query are never read (decode touches only
-    # ~window/page_size pages however long the context)
-    first_chunk = jnp.int32(0) if window is None else jnp.clip(
-        (q_start_ref[b] - window + 1) // chunk_kv, 0, num_chunks - 1)
+    # ~window/page_size pages however long the context); with the
+    # NO_WINDOW sentinel the clip lands on 0
+    first_chunk = jnp.clip((q_start_ref[b] - window + 1) // chunk_kv,
+                           0, num_chunks - 1)
 
     Hkv, G, D = acc.shape  # G = this query block's rows
     layer = layer_ref[0]
@@ -140,11 +145,14 @@ def _paged_attn_kernel(
             # per-(head, token) K scale folds into score space
             s = s * sc_buf[slot, 0][:, None, :]
 
+        if softcap is not None:
+            # gemma2 attention-logit softcapping: cap * tanh(s / cap)
+            # (reference gemma2.py attn_logit_softcapping)
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
+
         kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
             jnp.int32, (Hkv, G, chunk_kv), 2)
-        live = kv_pos <= q_pos
-        if window is not None:
-            live = live & (kv_pos > q_pos - window)
+        live = (kv_pos <= q_pos) & (kv_pos > q_pos - window)
         s = jnp.where(live, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -174,21 +182,27 @@ def _paged_attn_kernel(
     out_ref[0] = (acc[:] / denom).astype(out_ref.dtype)
 
 
+NO_WINDOW = 1 << 30   # sliding-window sentinel (far past any position)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "pages_per_chunk", "window"))
+                   static_argnames=("scale", "pages_per_chunk", "softcap"))
 def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 1,
                            q_positions: jnp.ndarray = None,
                            layer: jnp.ndarray = None,
                            kv_scales: jnp.ndarray = None,
-                           window: int = None) -> jnp.ndarray:
+                           window=None, softcap: float = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; kv_pages: [L, P, 2, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
     through scan xs/ys); block_tables: [B, PPS]; kv_scales
     [L, P, 2, Hkv, S] when the cache is int8.
 
     q_positions [B, Q] must be consecutive per row; only column 0 is used.
+    ``window`` may be a Python int, None, or a TRACED scalar (gemma2's
+    per-layer sliding/global alternation rides the layer scan);
+    ``softcap`` is the gemma2 attention-logit tanh cap (static).
     """
     B, Q, Hq, D = q.shape
     L, P, _, Hkv, S, D2 = kv_pages.shape
@@ -211,6 +225,7 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, G_pad - G), (0, 0)))
 
     max_pages = block_tables.shape[1]
+    win = jnp.asarray(NO_WINDOW if window is None else window, jnp.int32)
 
     in_specs = [
         pl.BlockSpec((1, Hkv, G_blk, D), lambda b, g, *_: (b, 0, g, 0),
@@ -219,7 +234,8 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
     ]
     scratch = [pltpu.VMEM((2, 2, Hkv, S, D), kv_pages.dtype)]
     inputs = [block_tables.reshape(-1), ctx_lens.astype(jnp.int32), q_start,
-              jnp.reshape(layer, (1,)).astype(jnp.int32), qr, kv_pages]
+              jnp.stack([jnp.reshape(layer, ()).astype(jnp.int32), win]),
+              qr, kv_pages]
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch.append(pltpu.VMEM((2, 2, Hkv, S), jnp.float32))
@@ -245,7 +261,7 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         max_pages=max_pages,
         scale=scale,
         quant=quant,
-        window=window,
+        softcap=softcap,
     )
 
     out = pl.pallas_call(

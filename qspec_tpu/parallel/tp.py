@@ -109,6 +109,9 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         specs["final_norm"] = P(None)
         specs["layers"]["input_norm"] = P(None, None)
         specs["layers"]["post_norm"] = P(None, None)
+        for extra in ("post_attn_norm", "post_ffw_norm"):  # gemma2
+            if extra in layer_p:
+                specs["layers"][extra] = P(None, None)
     if "lora" in params:
         # adapters stay replicated (MBs; sharding buys nothing on TPU);
         # models/llama.py _maybe_lora shards the DELTA math per projection
