@@ -298,8 +298,11 @@ class SpeculativeConfig:
     # demonstrate lossless rejection sampling on hardware; "medusa":
     # trained multi-token heads riding the verify pass's hidden state
     # (medusa_worker.py analogue; heads in params["medusa"], see
-    # spec_decode/medusa.py + benchmarks/train_medusa.py)
-    method: str = "qspec"  # "qspec" | "ngram" | "null" | "medusa"
+    # spec_decode/medusa.py + benchmarks/train_medusa.py); "eagle":
+    # one-layer draft transformer over (embed, hidden) features with its
+    # own draft KV cache (models/eagle.py analogue; net in params["eagle"],
+    # spec_decode/eagle.py + benchmarks/train_eagle.py)
+    method: str = "qspec"  # "qspec"|"ngram"|"null"|"medusa"|"eagle"
     # SEPARATE draft model (reference draft_model_config / multi_step_worker
     # + smaller_tp_proposer_worker.py): a smaller LM proposes, the target
     # verifies; must share the target's vocabulary. On a TP mesh the draft's

@@ -70,6 +70,11 @@ class LLMEngine:
                        and self.spec.method in ("ngram", "null"))
         self._medusa = (self.spec is not None
                         and self.spec.method == "medusa")
+        # "eagle": one-layer draft net over (embed, hidden) features with
+        # its OWN draft KV cache; its prompt pass is fused into prefill
+        # (spec_decode/eagle.py)
+        self._eagle = (self.spec is not None
+                       and self.spec.method == "eagle")
         if num_pages is None:
             num_pages = self._derive_num_pages()
         self.runner = ModelRunner(config, params, num_pages,
@@ -452,6 +457,7 @@ class LLMEngine:
         chunks = [(c.seq, c.start, c.end) for c in (batch.chunks or [batch.chunk])]
         embed_rows = [i for i, (s, _, end) in enumerate(chunks)
                       if s.task == "embed" and end == s.prefill_len]
+        eagle_h = None
         if embed_rows:
             logits, hidden = self.runner.run_prefill_chunks(chunks,
                                                             want_hidden=True)
@@ -461,9 +467,14 @@ class LLMEngine:
                 s.embedding = hidden[i].astype(np.float32)
                 s.status = SequenceStatus.FINISHED_STOPPED
                 s.finish_reason = "stop"
+        elif self._eagle:
+            # fused target-prefill + draft-KV build; the returned hidden
+            # (each row's final computed position) seeds the decode span
+            logits, eagle_h = self.runner.run_prefill_chunks_eagle(chunks)
         else:
             logits = self.runner.run_prefill_chunks(chunks)
-        if self.spec is not None and not (self._ngram or self._medusa):
+        if self.spec is not None and not (self._ngram or self._medusa
+                                          or self._eagle):
             # the draft path keeps its own (w4a4-computed) KV of the prompt,
             # exactly as the reference proposer worker prefills separately
             self.runner.run_prefill_chunks(chunks, draft=True)
@@ -494,6 +505,15 @@ class LLMEngine:
                 s.append_token(int(toks[i]), float(lps[i]),
                                top=self._top_dict(s, top[0][i], top[1][i])
                                if top is not None else None)
+        if eagle_h is not None:
+            # span seed: the hidden at each row's final computed position
+            # pairs with the NEXT token — the freshly sampled first token
+            # (completing) or the preserved last token (resumed)
+            for i, (s, _, end) in enumerate(chunks):
+                if end == s.prefill_len:
+                    s.eagle_span = (eagle_h[i][None].astype(np.float32),
+                                    np.asarray([s.last_token()], np.int32),
+                                    end - 1, 1)
 
     @staticmethod
     def _wants_top(seqs) -> bool:
@@ -565,7 +585,10 @@ class LLMEngine:
         per_call = (k + 1) * self.spec.rounds_per_step
         chain = self._chain_for(seqs, per_call)
         t0 = time.perf_counter()
-        if self._medusa:
+        if self._eagle:
+            tokens, accepted, lps = self.runner.run_eagle_rounds(
+                seqs, st, k, chain=chain)
+        elif self._medusa:
             tokens, accepted, lps = self.runner.run_medusa_rounds(
                 seqs, st, chain=chain)
         elif self._ngram:

@@ -506,6 +506,165 @@ def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
     return toks, accs, lps, (f_last, f_pos, f_budget), props, cache
 
 
+def _embed_rows_of(params, cfg, tokens):
+    """Embed-table rows (with gemma's scale) for arbitrary token tensors."""
+    e = params["embed"][tokens.reshape(-1)].astype(jnp.bfloat16)
+    if cfg.embed_scale is not None:
+        e = e * jnp.asarray(cfg.embed_scale, e.dtype)
+    return e.reshape(tokens.shape + (e.shape[-1],))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ecfg", "scheme",
+                                             "axis_name"),
+                   donate_argnames=("cache", "draft_cache"))
+def prefill_eagle_step(params, cache, draft_cache, token_ids, shifted_tokens,
+                       feat_len, positions, block_tables, ctx_len, *, cfg,
+                       ecfg, scheme, axis_name=None):
+    """Target prefill chunk + EAGLE draft-KV construction in one executable.
+
+    ``shifted_tokens`` [B, Q] holds x_{p+1} for each position p of the chunk
+    (known for the whole prompt); ``feat_len`` [B] counts valid features in
+    the chunk (chunk_len, or chunk_len - 1 on the final chunk whose last
+    feature needs the yet-unsampled first output token — the decode rounds
+    cover that position from the carried span). Returns
+    (logits_last [B, V], hidden_last [B, H], cache, draft_cache).
+    """
+    from qspec_tpu.spec_decode.eagle import eagle_layer_step, fuse_features
+
+    page_size = cache.page_size
+    B, Q = token_ids.shape
+    valid = positions < ctx_len[:, None]
+    slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
+    batch = AttentionBatch(positions=positions, slot_mapping=slot,
+                           block_tables=block_tables, ctx_lens=ctx_len)
+    last_idx = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
+    logits, hidden, cache = model_forward(
+        params, cfg, token_ids, cache, batch, scheme=scheme,
+        axis_name=axis_name, logits_indices=last_idx, return_hidden="all")
+
+    feats = fuse_features(params["eagle"],
+                          _embed_rows_of(params, cfg, shifted_tokens), hidden)
+    start = positions[:, 0]
+    fvalid = positions < (start + feat_len)[:, None]
+    fslot = jnp.where(fvalid, slot, 0)
+    fbatch = AttentionBatch(positions=positions, slot_mapping=fslot,
+                            block_tables=block_tables,
+                            ctx_lens=start + feat_len)
+    _, draft_cache = eagle_layer_step(params["eagle"], ecfg, draft_cache,
+                                      feats, fbatch)
+    h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+    return logits[:, 0], h_last, cache, draft_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "ecfg", "scheme", "k",
+                                    "num_rounds", "axis_name"),
+                   donate_argnames=("draft_cache", "cache"))
+def eagle_rounds_step(params, draft_cache, cache, h_span, t_span, span_pos,
+                      span_len, block_tables, max_new, st, key, *, cfg, ecfg,
+                      scheme, k, num_rounds=1, axis_name=None):
+    """`num_rounds` EAGLE rounds in ONE executable.
+
+    Carried span state (h_span [B, k+1, H], t_span [B, k+1], span_pos [B],
+    span_len [B]): the previous round's accepted positions with their TRUE
+    hiddens. Each round (1) re-feeds that span through the draft layer —
+    overwriting any KV the previous drafting pass wrote there (the EAGLE
+    rollback) and yielding the prediction seed; (2) drafts k tokens
+    autoregressively on predicted hiddens; (3) verifies + rejection-samples
+    through the one-hot path (lossless); (4) builds the next span from the
+    verify pass's hiddens.
+
+    Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs,
+    (h_span, t_span, span_pos, span_len, budget), draft_cache, cache).
+    """
+    from qspec_tpu.spec_decode.eagle import eagle_layer_step, fuse_features
+
+    page_size = cache.page_size
+    B = t_span.shape[0]
+    lm_head = params["lm_head"]
+    eagle = params["eagle"]
+    span_w = t_span.shape[1]          # k + 1
+
+    def round_body(carry, round_key):
+        (draft_cache, cache, h_span, t_span, span_pos, span_len, budget,
+         g) = carry
+        pos = span_pos + span_len     # position of the pending last token
+        last = jnp.take_along_axis(
+            t_span, jnp.maximum(span_len - 1, 0)[:, None], axis=1)[:, 0]
+
+        # (1) span re-feed with true hiddens
+        feats = fuse_features(eagle, _embed_rows_of(params, cfg, t_span),
+                              h_span)                       # [B, k+1, H]
+        fpos = span_pos[:, None] + jnp.arange(span_w)[None, :]
+        fvalid = jnp.arange(span_w)[None, :] < span_len[:, None]
+        fslot = jnp.where(fvalid, _slot_of(block_tables, fpos, page_size), 0)
+        fbatch = AttentionBatch(positions=fpos, slot_mapping=fslot,
+                                block_tables=block_tables, ctx_lens=pos)
+        a, draft_cache = eagle_layer_step(eagle, ecfg, draft_cache, feats,
+                                          fbatch)
+        h_hat = jnp.take_along_axis(
+            a, jnp.maximum(span_len - 1, 0)[:, None, None], axis=1)[:, 0]
+
+        # (2) draft k tokens on predicted hiddens (top-1, like Top1Proposer)
+        def draft_one(j, carry):
+            h_hat, draft_cache, props = carry
+            d = jnp.argmax(compute_logits_jit(h_hat, lm_head),
+                           axis=-1).astype(jnp.int32)       # token @ pos+1+j
+            props = props.at[:, j].set(d)
+            fp = (pos + j)[:, None]
+            fs = _slot_of(block_tables, fp, page_size)
+            fb = AttentionBatch(positions=fp, slot_mapping=fs,
+                                block_tables=block_tables, ctx_lens=pos + j + 1)
+            f = fuse_features(eagle, _embed_rows_of(params, cfg, d[:, None]),
+                              h_hat[:, None])
+            a1, draft_cache = eagle_layer_step(eagle, ecfg, draft_cache, f, fb)
+            return a1[:, 0], draft_cache, props
+
+        props = jnp.zeros((B, k), jnp.int32)
+        h_hat, draft_cache, props = jax.lax.fori_loop(
+            0, k, draft_one, (h_hat, draft_cache, props))
+
+        # (3) verify + rejection (one-hot draft => lossless)
+        d_probs = jax.nn.one_hot(props, cfg.vocab_size, dtype=jnp.float32)
+        (result, hidden), cache = _verify_impl(
+            params, cache, last, props, d_probs, pos, block_tables, st,
+            round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g,
+            return_hidden=True)
+        acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
+        active = budget > 0
+        acc = jnp.where(active, jnp.maximum(acc, 1), 0)
+        slots = jnp.arange(k + 1)[None, :]
+        toks = jnp.where(slots < acc[:, None], result.tokens, -1)
+        lps = jnp.where(slots < acc[:, None], result.token_logprobs, 0.0)
+
+        # (4) next span: true hiddens h_pos..h_pos+k paired with the
+        # emitted tokens (t_span[i] = x at position pos+i+1)
+        new_h = jnp.where(active[:, None, None], hidden, h_span)
+        new_t = jnp.where(active[:, None], jnp.maximum(result.tokens, 0),
+                          t_span)
+        new_span_pos = jnp.where(active, pos, span_pos)
+        new_span_len = jnp.where(active, acc, span_len)
+        g = _grammar_advance_emitted(st, g, toks)
+        return ((draft_cache, cache, new_h, new_t, new_span_pos,
+                 new_span_len, budget - acc, g), (toks, acc, lps))
+
+    keys = jax.random.split(key, num_rounds)
+    (draft_cache, cache, h_span, t_span, span_pos, span_len, f_budget, _), \
+        (toks, accs, lps) = jax.lax.scan(
+            round_body,
+            (draft_cache, cache, h_span, t_span, span_pos, span_len, max_new,
+             st.grammar_state), keys)
+    return (toks, accs, lps,
+            (h_span, t_span, span_pos, span_len, f_budget),
+            draft_cache, cache)
+
+
+# jitted-by-ambient compute_logits for the draft loop (params already traced)
+def compute_logits_jit(x, lm_head):
+    from qspec_tpu.models.llama import compute_logits
+    return compute_logits(x, lm_head)
+
+
 # ---------------------------------------------------------------------------
 # Runner: host-side padding/bucketing + cache ownership
 # ---------------------------------------------------------------------------
@@ -531,8 +690,22 @@ class ModelRunner:
         # per-page byte sizes differ)
         sep_draft = (config.speculative is not None
                      and config.speculative.draft_model is not None)
+        self._eagle = (config.speculative is not None
+                       and config.speculative.method == "eagle")
         self.draft_cfg = (config.speculative.draft_model if sep_draft
                           else self.cfg)
+        if self._eagle:
+            if "eagle" not in params:
+                raise ValueError("speculative.method='eagle' but params "
+                                 "carry no 'eagle' draft net (load with "
+                                 "spec_decode.eagle.load_eagle)")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "eagle under a TP mesh is not wired yet; use "
+                    "single-chip or another proposer")
+            from qspec_tpu.spec_decode.eagle import eagle_cfg_for
+            # the draft KV cache geometry is the one-layer draft net's
+            self.draft_cfg = eagle_cfg_for(self.cfg)
         self.draft_params = draft_params
         if sep_draft and draft_params is None:
             raise ValueError("speculative.draft_model set but no draft_params "
@@ -630,6 +803,12 @@ class ModelRunner:
                           if config.speculative else 4)),
                 "medusa_rounds": functools.partial(
                     medusa_rounds_step, cfg=self.cfg,
+                    scheme=self._verify_scheme, k=k, num_rounds=rounds),
+                "prefill_eagle": functools.partial(
+                    prefill_eagle_step, cfg=self.cfg, ecfg=self.draft_cfg,
+                    scheme=self._verify_scheme),
+                "eagle_rounds": functools.partial(
+                    eagle_rounds_step, cfg=self.cfg, ecfg=self.draft_cfg,
                     scheme=self._verify_scheme, k=k, num_rounds=rounds),
             }
         # device-side token history for the fused ngram/null proposer rounds
@@ -1058,6 +1237,89 @@ class ModelRunner:
         accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
         lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
         n = len(seqs)
+        return toks[:, :n], accs[:, :n], lps[:, :n]
+
+    def run_prefill_chunks_eagle(self, chunks):
+        """Eagle prefill: target chunk + draft-KV construction fused
+        (prefill_eagle_step). Returns (logits [B, V], h_last [B, H] numpy —
+        the hidden at each row's final computed position, pairing with the
+        NEXT token to seed the decode-round span)."""
+        B = self._bucket_batch(len(chunks))
+        Q = self._bucket_tokens(max(end - start for _, start, end in chunks))
+        toks = np.zeros((B, Q), np.int32)
+        shifted = np.zeros((B, Q), np.int32)
+        feat_len = np.zeros(B, np.int32)
+        positions = np.zeros((B, Q), np.int32)
+        ctx = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, (seq, start, end) in enumerate(chunks):
+            piece = seq.token_ids[start:end]
+            toks[i, :len(piece)] = piece
+            # x_{p+1} for each chunk position p; the final computed
+            # position's pairing token is unknown for a fresh prompt
+            # (sampled after this call) and is covered by the decode
+            # rounds' carried span — feat_len excludes it
+            nxt = seq.token_ids[start + 1:min(end + 1, seq.num_tokens)]
+            shifted[i, :len(nxt)] = nxt
+            feat_len[i] = len(nxt)
+            positions[i] = np.arange(start, start + Q, dtype=np.int32)
+            ctx[i] = end
+            tables[i] = seq.page_ids
+        logits, h_last, self.cache, self.draft_cache = \
+            self.fns["prefill_eagle"](
+                self.params, self.cache, self.draft_cache, jnp.asarray(toks),
+                jnp.asarray(shifted), jnp.asarray(feat_len),
+                jnp.asarray(positions),
+                jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx))
+        return logits, np.asarray(jax.device_get(h_last))
+
+    def run_eagle_rounds(self, seqs, sampling: SamplingTensors, k: int,
+                         chain: int = 1):
+        """Fused EAGLE rounds; span state (true hiddens + paired tokens of
+        the last accepted stretch) rides host-side on each Sequence
+        (seq.eagle_span) between engine steps and device-side across
+        chained calls."""
+        B = self._bucket_batch(len(seqs))
+        H = self.cfg.hidden_size
+        h_span = np.zeros((B, k + 1, H), np.float32)
+        t_span = np.zeros((B, k + 1), np.int32)
+        span_pos = np.zeros(B, np.int32)
+        span_len = np.ones(B, np.int32)
+        max_new = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        for i, s in enumerate(seqs):
+            h, t, p, n = s.eagle_span
+            n = min(n, k + 1)
+            h_span[i, :h.shape[0]] = h[:k + 1]
+            t_span[i, :len(t)] = t[:k + 1]
+            span_pos[i] = p
+            span_len[i] = n
+            max_new[i] = max(s.sampling_params.max_tokens
+                             - len(s.output_token_ids), 0)
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        hs_d = jnp.asarray(h_span, jnp.bfloat16)
+        ts_d = jnp.asarray(t_span)
+        sp_d, sl_d = jnp.asarray(span_pos), jnp.asarray(span_len)
+        budget_d = jnp.asarray(max_new)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, accs, lps, adv, self.draft_cache, self.cache = \
+                self.fns["eagle_rounds"](
+                    self.params, self.draft_cache, self.cache, hs_d, ts_d,
+                    sp_d, sl_d, tables_d, budget_d, st, self._next_key())
+            hs_d, ts_d, sp_d, sl_d, budget_d = adv
+            parts.append((toks, accs, lps))
+        parts, hs, ts, sps, sls = jax.device_get(
+            (parts, hs_d, ts_d, sp_d, sl_d))
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
+        n = len(seqs)
+        for i, s in enumerate(seqs):
+            s.eagle_span = (np.asarray(hs[i], np.float32),
+                            np.asarray(ts[i]), int(sps[i]), int(sls[i]))
         return toks[:, :n], accs[:, :n], lps[:, :n]
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,

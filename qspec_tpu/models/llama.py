@@ -540,6 +540,14 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
 
         (x, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)
 
+    hidden_full = None
+    if return_hidden == "all":
+        # post-final-norm hidden at EVERY position (eagle prefill needs the
+        # whole span) while logits still honour logits_indices
+        gamma_f = None if cfg.quant == "w4" else params["final_norm"]
+        hidden_full = rmsnorm(x, gamma_f,
+                              eps=cfg.rms_norm_eps).reshape(B, Q, -1)
+
     if logits_indices is not None:
         flat = logits_indices + jnp.arange(B) * Q
         x = x[flat]
@@ -555,6 +563,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         logits = jnp.tanh(logits / cap) * cap
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
+    if return_hidden == "all":
+        return logits.reshape(B, Q, -1), hidden_full, cache
     if return_hidden:
         return logits.reshape(B, Q, -1), x.reshape(B, Q, -1), cache
     return logits.reshape(B, Q, -1), cache
