@@ -21,11 +21,16 @@ class LLM:
         args = EngineArgs(model=model, **engine_kwargs)
         self.engine_config = args.create_engine_config()
         cfg = self.engine_config.model
-        # reference --speculative-model <dir>: a separate draft checkpoint
+        # reference --speculative-model <dir>: a separate draft checkpoint.
+        # A .npz path serves trained Medusa heads or an EAGLE draft net
+        # (key-sniffed: medusa saves w1/b1/head, eagle saves fc/layers.*)
+        spec_net_path = None
         if draft_model is None and args.speculative_model:
             import os as _os
             if _os.path.isdir(args.speculative_model):
                 draft_model = args.speculative_model
+            elif args.speculative_model.endswith(".npz"):
+                spec_net_path = args.speculative_model
 
         self.tokenizer = tokenizer
         eos = None
@@ -96,6 +101,26 @@ class LLM:
             self.engine_config = dataclasses.replace(
                 self.engine_config,
                 speculative=dataclasses.replace(spec, draft_model=dcfg))
+
+        if spec_net_path is not None:
+            import dataclasses
+            with __import__("numpy").load(spec_net_path) as z:
+                is_medusa = "w1" in z.files
+            spec = self.engine_config.speculative
+            assert spec is not None, \
+                "--speculative-model <net.npz> requires num_speculative_tokens"
+            if is_medusa:
+                from qspec_tpu.spec_decode.medusa import load_medusa
+                params = {**params, "medusa": load_medusa(spec_net_path)}
+                method = "medusa"
+            else:
+                from qspec_tpu.spec_decode.eagle import load_eagle
+                params = {**params,
+                          "eagle": load_eagle(spec_net_path, cfg)}
+                method = "eagle"
+            self.engine_config = dataclasses.replace(
+                self.engine_config,
+                speculative=dataclasses.replace(spec, method=method))
 
         self.llm_engine = LLMEngine(self.engine_config, params, eos_token_id=eos,
                                     tokenizer=self.tokenizer, mesh=mesh,
