@@ -41,6 +41,8 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/v1/score", self.score)
+        app.router.add_post("/score", self.score)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
@@ -155,6 +157,53 @@ class OpenAIServer:
             "object": "list", "data": list(data), "model": self.model_name,
             "usage": {"prompt_tokens": sum(len(t) for t in inputs),
                       "total_tokens": sum(len(t) for t in inputs)},
+        })
+
+    async def score(self, request):
+        """/v1/score (reference serving_score.py): relevance of text_2
+        item(s) to text_1. The reference runs cross-encoder checkpoints;
+        none exist in this image, so the score is BI-encoder cosine
+        similarity of last-token pooled embeddings — the response shape
+        matches the reference so clients port unchanged."""
+        import asyncio
+        import math
+
+        body = await request.json()
+        t1 = body.get("text_1")
+        t2 = body.get("text_2")
+        if t1 is None or t2 is None:
+            raise web.HTTPBadRequest(reason="text_1 and text_2 are required")
+        t2_list = t2 if isinstance(t2, list) else [t2]
+
+        async def emb(text):
+            rid = next(self._request_counter)
+            from qspec_tpu.sampling_params import SamplingParams as SP
+            token_ids = (self.tokenizer.encode(text)
+                         if isinstance(text, str) else list(text))
+            final = None
+            async for out in self.engine.generate(token_ids,
+                                                  SP(max_tokens=1),
+                                                  request_id=rid,
+                                                  task="embed"):
+                final = out
+            return final.embedding, len(token_ids)
+
+        results = await asyncio.gather(emb(t1), *(emb(t) for t in t2_list))
+        (e1, n1), rest = results[0], results[1:]
+
+        def cos(a, b):
+            num = sum(float(x) * float(y) for x, y in zip(a, b))
+            da = math.sqrt(sum(float(x) ** 2 for x in a))
+            db = math.sqrt(sum(float(y) ** 2 for y in b))
+            return num / max(da * db, 1e-9)
+
+        data = [{"object": "score", "index": i, "score": cos(e1, e)}
+                for i, (e, _) in enumerate(rest)]
+        toks = n1 + sum(n for _, n in rest)
+        return web.json_response({
+            "id": f"score-{uuid.uuid4().hex[:24]}", "object": "list",
+            "model": self.model_name, "data": data,
+            "usage": {"prompt_tokens": toks, "total_tokens": toks},
         })
 
     @staticmethod

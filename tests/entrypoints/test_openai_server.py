@@ -307,3 +307,21 @@ def test_chat_with_image_parts():
         assert r3.status == 400
 
     _run(server, body)
+
+
+def test_score_endpoint(server):
+    """/v1/score: bi-encoder cosine over pooled embeddings; identical texts
+    score ~1, and the response shape mirrors the reference serving_score."""
+    async def body(client):
+        req = {"text_1": "the quick brown fox",
+               "text_2": ["the quick brown fox", "completely different"]}
+        r = await client.post("/v1/score", json=req)
+        assert r.status == 200, await r.text()
+        data = (await r.json())["data"]
+        assert len(data) == 2
+        assert data[0]["score"] == pytest.approx(1.0, abs=1e-3)
+        assert data[0]["score"] >= data[1]["score"]
+        r = await client.post("/v1/score", json={"text_1": "x"})
+        assert r.status == 400
+
+    _run(server, body)
