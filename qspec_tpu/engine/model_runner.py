@@ -608,8 +608,8 @@ def eagle_rounds_step(params, draft_cache, cache, h_span, t_span, span_pos,
         # (2) draft k tokens on predicted hiddens (top-1, like Top1Proposer)
         def draft_one(j, carry):
             h_hat, draft_cache, props = carry
-            d = jnp.argmax(compute_logits_jit(h_hat, lm_head),
-                           axis=-1).astype(jnp.int32)       # token @ pos+1+j
+            d = _vocab_argmax(compute_logits_jit(h_hat, lm_head),
+                              axis_name).astype(jnp.int32)  # token @ pos+1+j
             props = props.at[:, j].set(d)
             fp = (pos + j)[:, None]
             fs = _slot_of(block_tables, fp, page_size)
@@ -665,6 +665,26 @@ def compute_logits_jit(x, lm_head):
     return compute_logits(x, lm_head)
 
 
+def _vocab_argmax(local, axis_name):
+    """Argmax over logits whose vocab axis may be TP-sharded.
+
+    Under shard_map each chip holds [B, V/S] of the head's output; a plain
+    argmax would yield a different LOCAL index per chip and the replicated
+    draft state would diverge. Each shard reduces its slice, then shards
+    exchange (value, global-index) pairs; tie-breaking (lowest global index
+    wins) matches the single-chip jnp.argmax exactly."""
+    if axis_name is None:
+        return jnp.argmax(local, axis=-1)
+    v_local = local.shape[-1]
+    li = jnp.argmax(local, axis=-1)
+    lv = jnp.take_along_axis(local, li[..., None], axis=-1)[..., 0]
+    gi = li + jax.lax.axis_index(axis_name) * v_local
+    allv = jax.lax.all_gather(lv, axis_name)       # [S, B]
+    alli = jax.lax.all_gather(gi, axis_name)
+    shard = jnp.argmax(allv, axis=0)
+    return jnp.take_along_axis(alli, shard[None], axis=0)[0]
+
+
 # ---------------------------------------------------------------------------
 # Runner: host-side padding/bucketing + cache ownership
 # ---------------------------------------------------------------------------
@@ -699,10 +719,6 @@ class ModelRunner:
                 raise ValueError("speculative.method='eagle' but params "
                                  "carry no 'eagle' draft net (load with "
                                  "spec_decode.eagle.load_eagle)")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "eagle under a TP mesh is not wired yet; use "
-                    "single-chip or another proposer")
             from qspec_tpu.spec_decode.eagle import eagle_cfg_for
             # the draft KV cache geometry is the one-layer draft net's
             self.draft_cfg = eagle_cfg_for(self.cfg)
@@ -743,9 +759,10 @@ class ModelRunner:
             self.params = shard_params(params, self.cfg, mesh)
             self.cache = shard_cache(self.cache, mesh)
             if self.draft_cache is not None:
-                # separate draft runs replicated (draft-TP=1): its cache too
+                # separate-draft and eagle run replicated (draft-TP=1):
+                # their caches too
                 self.draft_cache = (replicate(self.draft_cache, mesh)
-                                    if sep_draft
+                                    if sep_draft or self._eagle
                                     else shard_cache(self.draft_cache, mesh))
             if sep_draft:
                 self.draft_params = replicate(draft_params, mesh)

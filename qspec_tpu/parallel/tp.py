@@ -120,6 +120,12 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         # Medusa heads replicated: they read the (replicated) hidden and
         # their argmax must agree on every shard (spec_decode/medusa.py)
         specs["medusa"] = jax.tree.map(lambda x: P(), params["medusa"])
+    if "eagle" in params:
+        # EAGLE draft net replicated (draft-TP=1): every chip runs the full
+        # one-layer draft with zero collectives over a replicated draft KV,
+        # like the separate-draft-model mode; only the verify pass is
+        # TP-sharded (token choice synchronised via _vocab_argmax)
+        specs["eagle"] = jax.tree.map(lambda x: P(), params["eagle"])
     return specs
 
 
@@ -313,6 +319,32 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                                      P(), cspec),
                           check_rep=False)
     fns["medusa_rounds"] = jax.jit(md_mapped, donate_argnums=(1, 2))
+
+    if "eagle" in params:
+        # EAGLE under TP: draft net + draft KV replicated (param_pspecs),
+        # target cache sharded; the fused-feature prefill and the multi-round
+        # draft/verify both run in one shard_mapped executable
+        from qspec_tpu.ops.kv_cache import PagedKVCache
+        from qspec_tpu.spec_decode.eagle import eagle_cfg_for
+        ecfg = eagle_cfg_for(cfg)
+        ecspec = PagedKVCache(kv_pages=P(), kv_scales=None)
+        pe = functools.partial(mr.prefill_eagle_step.__wrapped__, cfg=cfg,
+                               ecfg=ecfg, scheme=scheme, axis_name="model")
+        fns["prefill_eagle"] = jax.jit(shard_map(
+            pe, mesh=mesh,
+            in_specs=(pspecs, cspec, ecspec, R, R, R, R, R, R),
+            out_specs=(P(), P(), cspec, ecspec), check_rep=False),
+            donate_argnums=(1, 2))
+        er = functools.partial(mr.eagle_rounds_step.__wrapped__, cfg=cfg,
+                               ecfg=ecfg, scheme=scheme, k=k,
+                               num_rounds=num_rounds, axis_name="model")
+        fns["eagle_rounds"] = jax.jit(shard_map(
+            er, mesh=mesh,
+            in_specs=(pspecs, ecspec, cspec, R, R, R, R, R, R,
+                      mr_st_spec(), R),
+            out_specs=(P(), P(), P(), (P(), P(), P(), P(), P()),
+                       ecspec, cspec),
+            check_rep=False), donate_argnums=(1, 2))
     return fns
 
 

@@ -62,6 +62,86 @@ def test_tp_prefill_matches_single(rng, tp, scheme):
                                                           else 0.98)
 
 
+def test_tp_eagle_matches_single(rng):
+    """EAGLE under TP (replicated draft net + draft KV, sharded verify)
+    must emit the same greedy tokens as the single-chip path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual device mesh")
+    from qspec_tpu.engine.model_runner import (eagle_rounds_step,
+                                               prefill_eagle_step)
+    from qspec_tpu.ops.sampling import SamplingTensors
+    from qspec_tpu.parallel.tp import replicate
+    from qspec_tpu.spec_decode.eagle import eagle_cfg_for, init_eagle_params
+
+    cfg = ModelConfig.tiny(quant="w4", num_layers=2, num_heads=4,
+                           num_kv_heads=4, head_dim=64, hidden_size=256,
+                           intermediate_size=448)
+    ecfg = eagle_cfg_for(cfg)
+    eagle = init_eagle_params(cfg, seed=3)
+    params_1 = init_params(cfg, seed=0, tp_size=1)
+    params_1["eagle"] = eagle
+    params_tp = init_params(cfg, seed=0, tp_size=2)
+    params_tp["eagle"] = eagle
+
+    kcfg = kvc.KVCacheConfig(cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                             num_pages=16, page_size=16)
+    ekcfg = kvc.KVCacheConfig(1, ecfg.num_kv_heads, ecfg.head_dim,
+                              num_pages=16, page_size=16)
+    T, Q, k = 12, 32, 2
+    prompt = rng.integers(1, 500, size=T).astype(np.int32)
+    toks = np.zeros((1, Q), np.int32)
+    toks[0, :T] = prompt
+    shifted = np.zeros((1, Q), np.int32)
+    shifted[0, :T - 1] = prompt[1:]
+    feat_len = np.asarray([T - 1], np.int32)
+    positions = np.arange(Q, dtype=np.int32)[None]
+    tables = np.zeros((1, 8), np.int32)
+    tables[0, :2] = [1, 2]
+    ctx = np.asarray([T], np.int32)
+    pf_args = tuple(jnp.asarray(a) for a in
+                    (toks, shifted, feat_len, positions, tables, ctx))
+
+    def run(params, mesh=None):
+        cache, dcache = kvc.allocate(kcfg), kvc.allocate(ekcfg)
+        if mesh is not None:
+            fns = make_tp_step_fns(mesh, cfg, params, "w4a16",
+                                   draft_scheme="w4a4", k=k, num_rounds=2)
+            cache = shard_cache(cache, mesh)
+            dcache = replicate(dcache, mesh)
+            logits, h_last, cache, dcache = fns["prefill_eagle"](
+                params, cache, dcache, *pf_args)
+        else:
+            logits, h_last, cache, dcache = prefill_eagle_step(
+                params, cache, dcache, *pf_args, cfg=cfg, ecfg=ecfg,
+                scheme="w4a16")
+        logits = np.asarray(logits, np.float32)
+        t0 = int(np.argmax(logits[0]))
+        h_span = np.zeros((1, k + 1, cfg.hidden_size), np.float32)
+        h_span[0, 0] = np.asarray(h_last, np.float32)[0]
+        t_span = np.zeros((1, k + 1), np.int32)
+        t_span[0, 0] = t0
+        rd_args = (jnp.asarray(h_span, jnp.bfloat16), jnp.asarray(t_span),
+                   jnp.asarray([T - 1], np.int32), jnp.asarray([1], np.int32),
+                   jnp.asarray(tables), jnp.asarray([8], np.int32),
+                   SamplingTensors.greedy(1), jax.random.PRNGKey(7))
+        if mesh is not None:
+            out, accs, _, _, dcache, cache = fns["eagle_rounds"](
+                params, dcache, cache, *rd_args)
+        else:
+            out, accs, _, _, dcache, cache = eagle_rounds_step(
+                params, dcache, cache, *rd_args, cfg=cfg, ecfg=ecfg,
+                scheme="w4a16", k=k, num_rounds=2)
+        return logits, np.asarray(out), np.asarray(accs)
+
+    logits_1, toks_1, accs_1 = run(params_1)
+    mesh = make_mesh(tp_size=2)
+    logits_2, toks_2, accs_2 = run(shard_params(params_tp, cfg, mesh),
+                                   mesh=mesh)
+    np.testing.assert_allclose(logits_2, logits_1, atol=3e-2, rtol=5e-2)
+    assert accs_2.tolist() == accs_1.tolist()
+    assert toks_2.tolist() == toks_1.tolist()
+
+
 def test_tp_decode_with_guided_sampling():
     """Regression: batches carrying a vocab_mask / logit_bias (guided
     decoding, penalties) must match the shard_map in_specs (the
