@@ -108,6 +108,37 @@ def load_medusa_regime():
     return cfg, params, int(meta.get("train_seq", 768))
 
 
+def load_eagle_regime():
+    """EAGLE regime: the FROZEN induction base plus the in-image-trained
+    one-layer draft transformer (benchmarks/train_eagle.py). Unlike Medusa
+    there is no joint fine-tune, so this base is the same checkpoint the
+    ngram/qspec regimes serve — the A/B is still run against its own AR."""
+    import glob
+    import json as _json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ecands = sorted(glob.glob(os.path.join(here, "checkpoints",
+                                           "induction_eagle_v*.npz")))
+    if not ecands:
+        return None, None, None
+    with open(ecands[-1][:-4] + ".json") as f:
+        emeta = _json.load(f)
+    base = os.path.join(here, "checkpoints", emeta["base"])
+    if not os.path.exists(base + ".npz"):
+        return None, None, None
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.model_loader.loader import quantize_float
+    from qspec_tpu.spec_decode.eagle import load_eagle
+
+    with open(base + ".json") as f:
+        meta = _json.load(f)
+    cfg = ModelConfig(**meta["cfg"])
+    params, cfg = quantize_float(dict(np.load(base + ".npz")), cfg)
+    params = {**params, "eagle": load_eagle(ecands[-1], cfg)}
+    return cfg, params, int(meta.get("train_seq", 768))
+
+
 def induction_prompts(n: int, prompt_len: int, vocab: int, seed: int = 0):
     """Prompts from the induction LM's training distribution: a random
     segment (period 16..64) tiled to prompt_len. The greedy continuation
@@ -309,6 +340,41 @@ def bench_medusa(args):
     return {"model": "induction-medusa", "ar": ar, "runs": [sp]}
 
 
+def bench_eagle(args):
+    """EAGLE regime: the trained one-layer draft net on the frozen induction
+    base, A/B'd against that base's own AR."""
+    import jax
+
+    cfg, params, train_seq = load_eagle_regime()
+    if cfg is None:
+        return None
+    n_prompts = args.prompts or 24
+    prompt_len = args.prompt_len or min(512, train_seq // 2)
+    max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
+    prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
+    rounds = args.rounds or 8
+    k = args.spec_k or 8
+    print(f"# model=induction-eagle prompts={n_prompts} "
+          f"prompt_len={prompt_len} max_tokens={max_tokens} "
+          f"platform={jax.default_backend()}", file=sys.stderr, flush=True)
+    ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs, rounds=rounds)
+    print(f"# [induction-eagle] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s",
+          file=sys.stderr, flush=True)
+    sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
+                  max_num_seqs=args.max_num_seqs, rounds=rounds,
+                  method="eagle", spec_k=k)
+    mismatches = sum(1 for rid in sp["outputs"]
+                     if sp["outputs"][rid] != ar["outputs"].get(rid))
+    print(f"# [induction-eagle] eagle (k={k}): "
+          f"{sp['tokens_per_sec']:.2f} tok/s metrics={sp['spec_metrics']} "
+          f"mismatches={mismatches}", file=sys.stderr, flush=True)
+    sp["model"], sp["label"], sp["k"] = "induction-eagle", "eagle", k
+    sp["mismatches"] = mismatches
+    sp["vs_baseline"] = sp["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9)
+    return {"model": "induction-eagle", "ar": ar, "runs": [sp]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny model smoke")
@@ -321,9 +387,10 @@ def main():
     ap.add_argument("--draft-scheme", default="w4a8",
                     choices=["w4a4", "w4a8", "w4a16"])
     ap.add_argument("--proposer", default="all",
-                    choices=["model", "ngram", "medusa", "both", "all"],
+                    choices=["model", "ngram", "medusa", "eagle", "both",
+                             "all"],
                     help="speculative proposer(s) to benchmark ('all' adds "
-                         "medusa when trained heads exist); the headline "
+                         "medusa/eagle when trained nets exist); the headline "
                          "JSON reports the best of the runs")
     ap.add_argument("--spec-k", type=int, default=None,
                     help="speculative tokens per round (default 3 model / 4 ngram)")
@@ -358,12 +425,26 @@ def main():
     else:
         models = ["tiny"]
 
-    reports = [r for m in models if (r := bench_model(m, args)) is not None]
-    if "induction" in models and args.proposer in ("medusa", "all") \
+    if args.proposer in ("medusa", "eagle"):
+        # trained-net regimes run standalone (their own base pairing)
+        reports = []
+    else:
+        reports = [r for m in models
+                   if (r := bench_model(m, args)) is not None]
+    if ("induction" in models or args.proposer in ("medusa", "eagle")) \
             and not args.quick:
-        r = bench_medusa(args)
-        if r is not None:
-            reports.append(r)
+        if args.proposer in ("medusa", "all"):
+            r = bench_medusa(args)
+            if r is not None:
+                reports.append(r)
+        if args.proposer in ("eagle", "all"):
+            r = bench_eagle(args)
+            if r is not None:
+                reports.append(r)
+    if not reports:
+        print("# nothing to benchmark (missing checkpoints?)",
+              file=sys.stderr, flush=True)
+        return
     all_runs = [sp for r in reports for sp in r["runs"]]
 
     # Headline: prefer the real-weights regime (honest acceptance, the
