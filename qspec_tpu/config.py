@@ -32,6 +32,11 @@ class ModelConfig:
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False
     qkv_bias: bool = False            # qwen2-style attention bias
+    # qwen3-style per-head RMSNorm on q and k after the projection, before
+    # rope (HF Qwen3Attention q_norm/k_norm, gamma shape [head_dim]). The
+    # gammas sit AFTER the qkv matmul, so they stay live weights even in
+    # QuaRot checkpoints (only pre-projection norms fold into the weights).
+    qk_norm: bool = False
     # MLP activation: "silu" (llama/qwen/mistral) | "gelu_tanh" (gemma's
     # approximate GeGLU, HF gelu_pytorch_tanh)
     hidden_act: str = "silu"
@@ -181,7 +186,9 @@ class ModelConfig:
     def from_hf_config(hf: dict) -> "ModelConfig":
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
-        arch = ("qwen2moe" if "qwen2_moe" in mt
+        arch = ("qwen3moe" if "qwen3_moe" in mt
+                else "qwen3" if "qwen3" in mt
+                else "qwen2moe" if "qwen2_moe" in mt
                 else "qwen2" if "qwen2" in mt
                 else "mixtral" if "mixtral" in mt
                 else "gemma2" if "gemma2" in mt
@@ -190,6 +197,10 @@ class ModelConfig:
         gemma = arch in ("gemma", "gemma2")
         gemma2 = arch == "gemma2"
         qwen2moe = arch == "qwen2moe"
+        qwen3 = arch in ("qwen3", "qwen3moe")
+        # qwen3-moe routes like qwen2-moe (softmax over ALL experts, then
+        # top-k, then norm_topk_prob renorm) but has no shared expert
+        moe = qwen2moe or arch == "qwen3moe"
         return ModelConfig(
             sliding_window_pattern=2 if gemma2 else 1,
             attn_logit_softcap=(hf.get("attn_logit_softcapping")
@@ -203,14 +214,15 @@ class ModelConfig:
             shared_expert_intermediate_size=hf.get(
                 "shared_expert_intermediate_size", 0) if qwen2moe else 0,
             moe_norm_topk_prob=hf.get("norm_topk_prob", False),
-            moe_softmax_before_topk=qwen2moe,
+            moe_softmax_before_topk=moe,
+            qk_norm=qwen3,
             hidden_act=("gelu_tanh" if gemma or "gelu" in
                         hf.get("hidden_act", hf.get("hidden_activation", ""))
                         else "silu"),
             embed_scale=hf["hidden_size"] ** 0.5 if gemma else None,
             norm_weight_offset=1.0 if gemma else 0.0,
             num_experts=hf.get("num_local_experts",
-                               hf.get("num_experts", 0) if qwen2moe else 0),
+                               hf.get("num_experts", 0) if moe else 0),
             num_experts_per_tok=hf.get("num_experts_per_tok", 2),
             arch=arch,
             vocab_size=hf["vocab_size"],

@@ -166,6 +166,10 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                                 sd[p + "self_attn.k_proj.bias"],
                                 sd[p + "self_attn.v_proj.bias"]])
             layer["qkv"]["b"] = jnp.asarray(b, dtype)
+        if cfg.qk_norm:
+            # qwen3 per-head q/k norms ([head_dim] gammas)
+            layer["q_norm"] = norm_w(p + "self_attn.q_norm.weight")
+            layer["k_norm"] = norm_w(p + "self_attn.k_norm.weight")
         layers.append(layer)
 
     lm_head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
@@ -336,6 +340,14 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                                                 tp_size=tp_size, dtype=dtype)
             layer["down"] = pack_proj_weight(down, quant_kind, shard_in=True,
                                              tp_size=tp_size, dtype=dtype)
+        if cfg.qk_norm:
+            # qwen3 q/k norms sit AFTER the (rotated) projection in the
+            # per-head basis, which the residual rotation never touches:
+            # the gammas carry through the QuaRot pipeline unchanged
+            layer["q_norm"] = jnp.asarray(
+                gnorm(p + "self_attn.q_norm.weight"), dtype)
+            layer["k_norm"] = jnp.asarray(
+                gnorm(p + "self_attn.k_norm.weight"), dtype)
         layers.append(layer)
 
     gfin = gnorm("model.norm.weight")

@@ -355,6 +355,13 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     q = q.reshape(T, heads_l, cfg.head_dim)
     k = k.reshape(T, kv_heads_l, cfg.head_dim)
     v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
+    if cfg.qk_norm:
+        # qwen3: per-head RMSNorm on q/k before rope (HF Qwen3Attention);
+        # the [head_dim] gammas live after the projection, so they stay
+        # live weights even under QuaRot gamma folding
+        from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
+        q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
+        k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
     q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache)
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
@@ -727,6 +734,9 @@ def init_params_device(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
         if cfg.quant != "w4":
             layer["input_norm"] = jnp.ones((H,), dtype)
             layer["post_norm"] = jnp.ones((H,), dtype)
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
         return layer
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -818,6 +828,9 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
             if cfg.post_norms:
                 layer["post_attn_norm"] = jnp.ones((H,), dtype)
                 layer["post_ffw_norm"] = jnp.ones((H,), dtype)
+        if cfg.qk_norm:  # live in every quant mode (post-projection gammas)
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
         layers.append(layer)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 

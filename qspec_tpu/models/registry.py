@@ -86,6 +86,25 @@ def _phi3(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("Qwen3ForCausalLM")
+@register("qwen3")
+def _qwen3(hf: dict) -> ModelConfig:
+    # qwen3: per-head q/k RMSNorm before rope (qk_norm), no attention bias,
+    # explicit head_dim (reference vllm/model_executor/models/qwen3.py)
+    hf = {**hf, "model_type": "qwen3"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("Qwen3MoeForCausalLM")
+@register("qwen3_moe")
+def _qwen3_moe(hf: dict) -> ModelConfig:
+    # qwen3-moe: qwen3 attention (qk-norm) + qwen2-moe-style routing
+    # (softmax over all experts -> top-k -> norm_topk_prob renorm) with no
+    # shared expert (reference vllm/model_executor/models/qwen3_moe.py)
+    hf = {**hf, "model_type": "qwen3_moe"}
+    return ModelConfig.from_hf_config(hf)
+
+
 @register("Qwen2MoeForCausalLM")
 @register("qwen2_moe")
 def _qwen2_moe(hf: dict) -> ModelConfig:

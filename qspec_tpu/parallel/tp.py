@@ -102,6 +102,11 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
     else:
         specs["layers"]["gate_up"] = proj_col(layer_p["gate_up"])
         specs["layers"]["down"] = proj_row(layer_p["down"])
+    for qk in ("q_norm", "k_norm"):
+        # qwen3 per-head q/k norm gammas [L, head_dim]: replicated (applied
+        # per head after the projection; every shard holds whole heads)
+        if qk in layer_p:
+            specs["layers"][qk] = P(None, None)
     if quant:
         specs["hadamards"] = jax.tree.map(lambda x: P(None, None),
                                           params["hadamards"])
