@@ -314,7 +314,10 @@ class SpeculativeConfig:
     # one-layer draft transformer over (embed, hidden) features with its
     # own draft KV cache (models/eagle.py analogue; net in params["eagle"],
     # spec_decode/eagle.py + benchmarks/train_eagle.py)
-    method: str = "qspec"  # "qspec"|"ngram"|"null"|"medusa"|"eagle"
+    # "mlp_speculator": IBM recurrent token/embedding speculator heads
+    # (mlp_speculator.py analogue; net in params["mlp_spec"], see
+    # spec_decode/mlp_speculator.py + benchmarks/train_mlp_speculator.py)
+    method: str = "qspec"  # "qspec"|"ngram"|"null"|"medusa"|"eagle"|"mlp_speculator"
     # SEPARATE draft model (reference draft_model_config / multi_step_worker
     # + smaller_tp_proposer_worker.py): a smaller LM proposes, the target
     # verifies; must share the target's vocabulary. On a TP mesh the draft's

@@ -88,8 +88,8 @@ class EngineArgs:
         if self.num_speculative_tokens:
             method = "qspec"
             if self.speculative_model and \
-                    self.speculative_model.strip("[]").lower() in ("ngram",
-                                                                   "medusa"):
+                    self.speculative_model.strip("[]").lower() in (
+                        "ngram", "medusa", "mlp_speculator"):
                 method = self.speculative_model.strip("[]").lower()
             spec = SpeculativeConfig(
                 num_speculative_tokens=self.num_speculative_tokens,

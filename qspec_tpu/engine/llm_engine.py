@@ -68,8 +68,11 @@ class LLMEngine:
         # hidden state — also draft-cache-free (spec_decode/medusa.py)
         self._ngram = (self.spec is not None
                        and self.spec.method in ("ngram", "null"))
+        # "mlp_speculator" is the same serving shape as medusa (trained
+        # net, proposals ride the verify hidden, no draft cache) with a
+        # recurrent head chain (spec_decode/mlp_speculator.py)
         self._medusa = (self.spec is not None
-                        and self.spec.method == "medusa")
+                        and self.spec.method in ("medusa", "mlp_speculator"))
         # "eagle": one-layer draft net over (embed, hidden) features with
         # its OWN draft KV cache; its prompt pass is fused into prefill
         # (spec_decode/eagle.py)

@@ -445,7 +445,10 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
 def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
                        block_tables, max_new, enable, st, key, *, cfg, scheme,
                        k, num_rounds=1, axis_name=None):
-    """`num_rounds` Medusa speculation rounds in ONE executable.
+    """`num_rounds` Medusa / MLPSpeculator speculation rounds in ONE
+    executable (the proposer net is picked by which subtree the params
+    carry: "medusa" -> independent heads, "mlp_spec" -> the recurrent
+    token/embedding chain of spec_decode/mlp_speculator.py).
 
     TPU-native redesign of the reference's MedusaWorker round
     (vllm/spec_decode/medusa_worker.py): instead of a separate proposer
@@ -467,6 +470,7 @@ def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
     props, cache).
     """
     from qspec_tpu.spec_decode.medusa import medusa_propose
+    from qspec_tpu.spec_decode.mlp_speculator import mlp_speculator_propose
 
     def round_body(carry, round_key):
         cache, props, last, pos, budget, g = carry
@@ -483,17 +487,23 @@ def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
         slots = jnp.arange(k + 1)[None, :]
         toks = jnp.where(slots < acc[:, None], result.tokens, -1)
         lps = jnp.where(slots < acc[:, None], result.token_logprobs, 0.0)
+        gather_idx = jnp.maximum(acc - 1, 0)[:, None]
+        new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
+        new_last = jnp.where(active, new_last, last)
         # heads read the hidden that PRODUCED the last emitted token (index
         # acc-1): its lm_head output is that token, head j predicts j+1
         # positions further — exactly next round's draft slots
         h_star = jnp.take_along_axis(
             hidden, jnp.maximum(acc - 1, 0)[:, None, None], axis=1)[:, 0]
-        new_p = medusa_propose(params["medusa"], h_star)  # [B, K_heads]
+        if "medusa" in params:
+            new_p = medusa_propose(params["medusa"], h_star)  # [B, K_heads]
+        else:
+            # MLPSpeculator's recurrent chain also consumes the last
+            # EMITTED token (mlp_speculator_worker.py feeds sampled ids)
+            new_p = mlp_speculator_propose(params["mlp_spec"], h_star,
+                                           new_last)
         props = props.at[prop_rows, :new_p.shape[1]].set(
             jnp.where(active[:, None], new_p, props[prop_rows][:, :new_p.shape[1]]))
-        gather_idx = jnp.maximum(acc - 1, 0)[:, None]
-        new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
-        new_last = jnp.where(active, new_last, last)
         g = _grammar_advance_emitted(st, g, toks)
         return ((cache, props, new_last, pos + acc, budget - acc, g),
                 (toks, acc, lps))
@@ -746,7 +756,8 @@ class ModelRunner:
             raise ValueError(
                 "AWQ/GPTQ (w4g) checkpoints have no QuaRot rotations, so the "
                 "shared-weights w4a4/w4a8 draft scheme is unavailable; use "
-                "method='ngram'/'medusa' or a separate draft_model")
+                "method='ngram'/'medusa'/'mlp_speculator' or a separate "
+                "draft_model")
         k = config.speculative.num_speculative_tokens if config.speculative else 1
         draft_scheme = (config.speculative.draft_scheme if config.speculative
                         else "w4a4")
@@ -839,20 +850,24 @@ class ModelRunner:
             hmax = (config.scheduler.max_model_len
                     + (k + 1) * max(rounds, 1) + 8)
             self._hist = jnp.zeros((rows, hmax), jnp.int32)
-        # device-side proposal store for the fused Medusa rounds (row per
-        # sequence slot; -1 = no proposal yet)
+        # device-side proposal store for the fused Medusa / MLPSpeculator
+        # rounds (row per sequence slot; -1 = no proposal yet)
         self._mprops = None
         self._mprop_slot: dict = {}
         if config.speculative is not None and \
-                config.speculative.method == "medusa":
-            if "medusa" not in params:
-                raise ValueError("speculative.method='medusa' but params "
-                                 "carry no 'medusa' heads (load them with "
-                                 "spec_decode.medusa.load_medusa)")
-            n_heads = int(params["medusa"]["w1"].shape[0])
+                config.speculative.method in ("medusa", "mlp_speculator"):
+            net_key = ("medusa" if config.speculative.method == "medusa"
+                       else "mlp_spec")
+            if net_key not in params:
+                raise ValueError(
+                    f"speculative.method='{config.speculative.method}' but "
+                    f"params carry no '{net_key}' net (load it with "
+                    f"spec_decode.{config.speculative.method}."
+                    f"load_{config.speculative.method})")
+            n_heads = int(params[net_key]["head"].shape[0])
             if k > n_heads:
                 raise ValueError(f"num_speculative_tokens={k} exceeds the "
-                                 f"{n_heads} trained Medusa heads")
+                                 f"{n_heads} trained proposer heads")
             rows = max(config.scheduler.decode_batch_buckets)
             self._mprops = jnp.full((rows, n_heads), -1, jnp.int32)
 

@@ -106,6 +106,7 @@ class LLM:
             import dataclasses
             with __import__("numpy").load(spec_net_path) as z:
                 is_medusa = "w1" in z.files
+                is_mlp_spec = "proj_first" in z.files
             spec = self.engine_config.speculative
             assert spec is not None, \
                 "--speculative-model <net.npz> requires num_speculative_tokens"
@@ -113,6 +114,12 @@ class LLM:
                 from qspec_tpu.spec_decode.medusa import load_medusa
                 params = {**params, "medusa": load_medusa(spec_net_path)}
                 method = "medusa"
+            elif is_mlp_spec:
+                from qspec_tpu.spec_decode.mlp_speculator import (
+                    load_mlp_speculator)
+                params = {**params,
+                          "mlp_spec": load_mlp_speculator(spec_net_path)}
+                method = "mlp_speculator"
             else:
                 from qspec_tpu.spec_decode.eagle import load_eagle
                 params = {**params,

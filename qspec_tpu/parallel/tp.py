@@ -125,6 +125,9 @@ def param_pspecs(cfg: ModelConfig, params) -> dict:
         # Medusa heads replicated: they read the (replicated) hidden and
         # their argmax must agree on every shard (spec_decode/medusa.py)
         specs["medusa"] = jax.tree.map(lambda x: P(), params["medusa"])
+    if "mlp_spec" in params:
+        # same contract for the MLPSpeculator recurrent chain
+        specs["mlp_spec"] = jax.tree.map(lambda x: P(), params["mlp_spec"])
     if "eagle" in params:
         # EAGLE draft net replicated (draft-TP=1): every chip runs the full
         # one-layer draft with zero collectives over a replicated draft KV,

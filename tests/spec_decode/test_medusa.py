@@ -112,7 +112,7 @@ def test_greedy_medusa_equals_ar(setup, k, rounds):
 
 def test_medusa_k_exceeding_heads_rejected(setup):
     mc, params, sched = setup
-    with pytest.raises(ValueError, match="Medusa heads"):
+    with pytest.raises(ValueError, match="proposer heads"):
         run_engine(mc, params, sched,
                    SpeculativeConfig(num_speculative_tokens=9,
                                      method="medusa"), prompts(1))
