@@ -308,6 +308,33 @@ class OpenAIServer:
                 out.append(m)
         return out, images
 
+    def _tool_tokenize(self, messages, tools, tool_choice, sp):
+        """Tool-calling setup (reference: serving_chat.py + tool_parsers/):
+        render the tool specs through the tokenizer's native `tools=` chat
+        template when it has one, else inject the canonical-format system
+        message; for forced tool choice ("required" or a named function),
+        constrain generation with the grammar-guided JSON FSM so the call
+        parses by construction."""
+        from qspec_tpu.entrypoints.openai.tool_parser import (
+            forced_call_schema, tools_system_message)
+        forced = None
+        if tool_choice == "required":
+            forced = forced_call_schema(tools)
+        elif isinstance(tool_choice, dict):
+            name = tool_choice.get("function", {}).get("name")
+            forced = forced_call_schema(tools, name)
+        if forced is not None:
+            sp.guided_json = forced
+        try:
+            token_ids = self.tokenizer.apply_chat_template(
+                messages, tools=tools, tokenize=True,
+                add_generation_prompt=True)
+        except (TypeError, ValueError):
+            token_ids = self.tokenizer.apply_chat_template(
+                [tools_system_message(tools)] + list(messages),
+                tokenize=True, add_generation_prompt=True)
+        return token_ids, forced is not None
+
     async def chat_completions(self, request):
         import asyncio
 
@@ -322,13 +349,24 @@ class OpenAIServer:
                 raise web.HTTPBadRequest(
                     reason="tokenizer has no <image> token; serve a "
                            "multimodal-ready tokenizer")
-        token_ids = self.tokenizer.apply_chat_template(
-            messages, tokenize=True, add_generation_prompt=True)
         sp = self._sampling(body)
+        tools = body.get("tools")
+        tool_choice = body.get("tool_choice", "auto" if tools else "none")
+        want_tools = bool(tools) and tool_choice != "none"
+        forced_tool = False
+        if want_tools:
+            token_ids, forced_tool = self._tool_tokenize(messages, tools,
+                                                         tool_choice, sp)
+        else:
+            token_ids = self.tokenizer.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True)
         n = max(1, int(body.get("n", 1)))
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if body.get("stream"):
+            if want_tools:
+                raise web.HTTPBadRequest(
+                    reason="streaming with tools is not supported")
             if n > 1:
                 raise web.HTTPBadRequest(reason="streaming supports n=1")
             if images:
@@ -345,10 +383,24 @@ class OpenAIServer:
         choices = []
         for j, final in enumerate(finals):
             text = final.text or self.tokenizer.decode(final.output_token_ids)
-            choices.append({"index": j,
-                            "message": {"role": "assistant", "content": text},
+            msg = {"role": "assistant", "content": text}
+            finish = final.finish_reason
+            if want_tools:
+                from qspec_tpu.entrypoints.openai.tool_parser import (
+                    parse_tool_calls)
+                content, calls = parse_tool_calls(text)
+                if forced_tool and not calls:
+                    # guided decoding guarantees parseable JSON, but a
+                    # max_tokens cutoff can truncate it mid-call
+                    raise web.HTTPBadRequest(
+                        reason="forced tool call truncated; raise max_tokens")
+                if calls:
+                    msg = {"role": "assistant", "content": content,
+                           "tool_calls": calls}
+                    finish = "tool_calls"
+            choices.append({"index": j, "message": msg,
                             "logprobs": self._logprobs_payload(final, sp.logprobs),
-                            "finish_reason": final.finish_reason})
+                            "finish_reason": finish})
         c_toks = sum(len(f.output_token_ids) for f in finals)
         return web.json_response({
             "id": cid, "object": "chat.completion", "created": _now(),

@@ -45,8 +45,10 @@ def main():
     x2 = jnp.asarray(rng.standard_normal((M, 14336)), jnp.bfloat16)
 
     def make_loop(n):
+        # packs passed as ARGUMENTS (closing them over the jit would ship
+        # 3.5 GB of HLO constants through the remote compile service)
         @jax.jit
-        def run(x1, x2):
+        def run(packs, x1, x2):
             def body(li_outer, carry):
                 x1, x2 = carry
                 s = jnp.float32(0)
@@ -65,14 +67,14 @@ def main():
 
     def timed_trunk():
         fN, f2N = make_loop(N_CHAIN), make_loop(2 * N_CHAIN)
-        jax.device_get(fN(x1, x2))
-        jax.device_get(f2N(x1, x2))
+        jax.device_get(fN(packs, x1, x2))
+        jax.device_get(f2N(packs, x1, x2))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_get(fN(x1, x2))
+            jax.device_get(fN(packs, x1, x2))
             t1 = time.perf_counter()
-            jax.device_get(f2N(x1, x2))
+            jax.device_get(f2N(packs, x1, x2))
             t2 = time.perf_counter()
             ts.append(((t2 - t1) - (t1 - t0)) / N_CHAIN)
         return float(np.median(ts))
@@ -84,10 +86,14 @@ def main():
     print(f"default chooser: {t*1e3:7.3f} ms  {total_bytes/t/1e9:6.1f} GB/s",
           flush=True)
 
-    # sweep one shape's bn at a time (others stay on the chooser)
+    # sweep one shape's bn at a time (others stay on the chooser);
+    # gate_up+down carry 88 of the 109 MB/layer, so sweep only those two
+    # (each config costs two remote compiles through the tunnel)
     for sweep_name, K, N in SHAPES:
+        if sweep_name in ("qkv", "o"):
+            continue
         k_half = K // 2
-        for bn in (256, 384, 512, 768, 1024, 1536, 2048):
+        for bn in (256, 512, 1024, 2048):
             if N % bn:
                 continue
             if 2 * k_half * bn > 15 * 1024 * 1024:   # scoped-vmem guard
