@@ -59,6 +59,13 @@ class ModelConfig:
     final_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
     post_norms: bool = False
+    # granite scalar multipliers (reference vllm/model_executor/models/
+    # granite.py): each block's output is scaled by residual_multiplier
+    # before the residual add; final logits are divided by logits_scaling
+    # (embedding_multiplier rides embed_scale, attention_multiplier rides
+    # query_pre_attn_scalar as attention_multiplier**-2)
+    residual_multiplier: float = 1.0
+    logits_scaling: Optional[float] = None
     # quantization scheme of the stored checkpoint:
     # "w4"   QuaRot packed int4, per-channel symmetric (dual-scheme QSpec)
     # "w4g"  grouped asymmetric int4 (AWQ/GPTQ ingestion, W4A16 only)
@@ -192,10 +199,12 @@ class ModelConfig:
                 else "qwen2" if "qwen2" in mt
                 else "mixtral" if "mixtral" in mt
                 else "gemma2" if "gemma2" in mt
-                else "gemma" if "gemma" in mt else "llama")
+                else "gemma" if "gemma" in mt
+                else "granite" if "granite" in mt else "llama")
         nh = hf["num_attention_heads"]
         gemma = arch in ("gemma", "gemma2")
         gemma2 = arch == "gemma2"
+        granite = arch == "granite"
         qwen2moe = arch == "qwen2moe"
         qwen3 = arch in ("qwen3", "qwen3moe")
         # qwen3-moe routes like qwen2-moe (softmax over ALL experts, then
@@ -207,9 +216,16 @@ class ModelConfig:
                                 if gemma2 else None),
             final_logit_softcap=(hf.get("final_logit_softcapping")
                                  if gemma2 else None),
-            query_pre_attn_scalar=(hf.get("query_pre_attn_scalar")
-                                   if gemma2 else None),
+            query_pre_attn_scalar=(
+                hf.get("query_pre_attn_scalar") if gemma2
+                # granite replaces 1/sqrt(d) with attention_multiplier:
+                # expressed as the scalar whose **-0.5 equals it
+                else hf["attention_multiplier"] ** -2 if granite
+                and hf.get("attention_multiplier") else None),
             post_norms=gemma2,
+            residual_multiplier=(hf.get("residual_multiplier", 1.0)
+                                 if granite else 1.0),
+            logits_scaling=hf.get("logits_scaling") if granite else None,
             moe_intermediate_size=hf.get("moe_intermediate_size"),
             shared_expert_intermediate_size=hf.get(
                 "shared_expert_intermediate_size", 0) if qwen2moe else 0,
@@ -219,7 +235,9 @@ class ModelConfig:
             hidden_act=("gelu_tanh" if gemma or "gelu" in
                         hf.get("hidden_act", hf.get("hidden_activation", ""))
                         else "silu"),
-            embed_scale=hf["hidden_size"] ** 0.5 if gemma else None,
+            embed_scale=(hf["hidden_size"] ** 0.5 if gemma
+                         else hf.get("embedding_multiplier")
+                         if granite else None),
             norm_weight_offset=1.0 if gemma else 0.0,
             num_experts=hf.get("num_local_experts",
                                hf.get("num_experts", 0) if moe else 0),

@@ -412,6 +412,10 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         # the residual add (reference Gemma2DecoderLayer)
         o = rmsnorm(o.astype(jnp.bfloat16), layers["post_attn_norm"][li],
                     eps=cfg.rms_norm_eps)
+    if cfg.residual_multiplier != 1.0:
+        # granite scales every block output before the residual add
+        # (reference granite.py GraniteDecoderLayer residual_multiplier)
+        o = o * cfg.residual_multiplier
     x = x + o.astype(x.dtype)
 
     # --- mlp block ---
@@ -421,6 +425,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                            axis_name)
         if axis_name is not None:
             delta = jax.lax.psum(delta, axis_name)
+        if cfg.residual_multiplier != 1.0:
+            delta = delta * cfg.residual_multiplier
         x = x + delta.astype(x.dtype)
         return x, cache
     gate_up = _linear(xn, layers["gate_up"], scheme, xq, li)  # [T, 2*I/ntp]
@@ -457,6 +463,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     if cfg.post_norms:
         down = rmsnorm(down.astype(jnp.bfloat16),
                        layers["post_ffw_norm"][li], eps=cfg.rms_norm_eps)
+    if cfg.residual_multiplier != 1.0:
+        down = down * cfg.residual_multiplier
     x = x + down.astype(x.dtype)
     return x, cache
 
@@ -568,6 +576,10 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         # final_logit_softcapping via LogitsProcessor soft_cap)
         cap = cfg.final_logit_softcap
         logits = jnp.tanh(logits / cap) * cap
+    if cfg.logits_scaling:
+        # granite divides final logits by logits_scaling (reference
+        # granite.py LogitsProcessor scale=1/config.logits_scaling)
+        logits = logits / cfg.logits_scaling
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
     if return_hidden == "all":

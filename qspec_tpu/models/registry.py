@@ -105,6 +105,18 @@ def _qwen3_moe(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("GraniteForCausalLM")
+@register("granite")
+def _granite(hf: dict) -> ModelConfig:
+    # granite: llama graph + four scalar multipliers — embedding_multiplier
+    # (embed_scale), attention_multiplier (query_pre_attn_scalar**-0.5),
+    # residual_multiplier (block outputs), logits_scaling (final logits
+    # divisor); tied lm_head (reference vllm/model_executor/models/
+    # granite.py GraniteForCausalLM)
+    hf = {**hf, "model_type": "granite"}
+    return ModelConfig.from_hf_config(hf)
+
+
 @register("Qwen2MoeForCausalLM")
 @register("qwen2_moe")
 def _qwen2_moe(hf: dict) -> ModelConfig:
