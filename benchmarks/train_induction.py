@@ -53,6 +53,20 @@ def model_cfg(preset: str = "small"):
                            num_heads=12, num_kv_heads=4, head_dim=128,
                            rope_theta=10000.0, max_position_embeddings=1024,
                            quant="none", weightless_norm=False)
+    if preset == "medium":
+        # ~110M params: at serving batch 32+ and ~1k context the decode step
+        # is dominated by KV + weight STREAMING (hundreds of MB/step), not
+        # dispatch — the regime where a verify pass honestly amortizes the
+        # whole step over k+1 tokens and the windowed qspec draft
+        # (SpeculativeConfig.draft_kv_window) skips most of the KV traffic.
+        # GQA 8q/4kv like production llamas; dims decompose into Hadamard
+        # factors (1024 = H4 (x) H256, 3072 = H12 (x) H256); the f16
+        # checkpoint stays committable (~220 MB).
+        return ModelConfig(vocab_size=4096, hidden_size=1024,
+                           intermediate_size=3072, num_layers=8,
+                           num_heads=8, num_kv_heads=4, head_dim=128,
+                           rope_theta=10000.0, max_position_embeddings=2048,
+                           quant="none", weightless_norm=False)
     return ModelConfig(vocab_size=2048, hidden_size=512,
                        intermediate_size=1024, num_layers=3, num_heads=4,
                        num_kv_heads=4, head_dim=128, rope_theta=10000.0,
@@ -226,7 +240,8 @@ def main():
                          "generalizes to positions it has seen, so bench "
                          "prompt+output must fit inside this window")
     ap.add_argument("--lr", type=float, default=6e-4)
-    ap.add_argument("--preset", default="small", choices=["small", "big"])
+    ap.add_argument("--preset", default="small",
+                    choices=["small", "medium", "big"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     args = ap.parse_args()
 

@@ -335,7 +335,9 @@ class SpeculativeConfig:
     # "mlp_speculator": IBM recurrent token/embedding speculator heads
     # (mlp_speculator.py analogue; net in params["mlp_spec"], see
     # spec_decode/mlp_speculator.py + benchmarks/train_mlp_speculator.py)
-    method: str = "qspec"  # "qspec"|"ngram"|"null"|"medusa"|"eagle"|"mlp_speculator"
+    # "qspec_null": the spec_rounds executable with proposals nulled — the
+    # model-draft path's bit-exact AR oracle (mirrors "null" for ngram)
+    method: str = "qspec"  # "qspec"|"qspec_null"|"ngram"|"null"|"medusa"|"eagle"|"mlp_speculator"
     # SEPARATE draft model (reference draft_model_config / multi_step_worker
     # + smaller_tp_proposer_worker.py): a smaller LM proposes, the target
     # verifies; must share the target's vocabulary. On a TP mesh the draft's
@@ -348,6 +350,16 @@ class SpeculativeConfig:
     acceptance_method: str = "rejection_sampler"
     ngram_prompt_lookup_max: int = 4
     ngram_prompt_lookup_min: int = 1
+    # Sliding-window cap on the shared-weights draft's attention (MagicDec /
+    # StreamingLLM-style draft; the reference's analogous knob is
+    # speculative_max_model_len, vllm/config.py): the w4a4/w4a8 draft reads
+    # only the last `draft_kv_window` KV positions, so at long context its
+    # per-step KV traffic is ~window/ctx of the target's — the regime where
+    # shared-weights speculation beats a bandwidth-floor AR baseline on
+    # physics. Losslessness is unaffected (verification is full-context);
+    # only acceptance depends on the window covering the model's effective
+    # lookback. None = full-context drafting.
+    draft_kv_window: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

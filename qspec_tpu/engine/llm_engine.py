@@ -598,9 +598,11 @@ class LLMEngine:
             tokens, accepted, lps = self.runner.run_ngram_rounds(
                 seqs, st, enable=self.spec.method == "ngram", chain=chain)
         else:
+            # "qspec_null" runs the SAME spec_rounds executable with nulled
+            # proposals — the bit-exact AR oracle for the model-draft path
             tokens, accepted, lps = self.runner.run_spec_rounds(
                 seqs, st, k, num_rounds=self.spec.rounds_per_step,
-                chain=chain)
+                chain=chain, enable=self.spec.method != "qspec_null")
         dt = time.perf_counter() - t0
         R = tokens.shape[0]
         for i, s in enumerate(seqs):

@@ -305,7 +305,7 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
                                     "acceptance"),
                    donate_argnames=("draft_cache", "cache"))
 def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
-                     block_tables, max_new, st, key, lora_ids=None,
+                     block_tables, max_new, enable, st, key, lora_ids=None,
                      draft_params=None, *, cfg, draft_scheme, verify_scheme, k,
                      num_rounds=1, axis_name=None, draft_cfg=None,
                      draft_axis_name="inherit", acceptance="rejection_sampler"):
@@ -321,9 +321,20 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
     on their already-allocated lookahead pages but results are discarded
     host-side).
 
+    ``enable`` is a TRACED scalar bool (mirrors ngram_rounds_step): False
+    nulls every proposal (tokens -> -1, draft probs -> 0, so the recovery
+    distribution degenerates to the exact target distribution) and the
+    executable emits exactly one autoregressive token per round THROUGH THE
+    SAME COMPILED PROGRAM — the bit-exact AR oracle for the greedy
+    spec == AR invariant on hardware (reference
+    tests/spec_decode/e2e/test_integration.py:34-126).
+
     ``draft_params``/``draft_cfg``: a SEPARATE (typically much smaller) draft
     model (reference draft_model_config + multi_step_worker.py). When None,
-    drafting reuses the shared QSpec weights under ``draft_scheme``.
+    drafting reuses the shared QSpec weights under ``draft_scheme``;
+    ``draft_cfg`` may still be set to a sliding-window variant of the target
+    cfg (SpeculativeConfig.draft_kv_window — the MagicDec-style draft whose
+    attention reads only the recent KV window).
     ``draft_axis_name`` is the draft's TP axis; the default "inherit" follows
     the target's. Under a mesh, pass None with replicated draft weights to
     run the draft collective-free on every chip — the TPU analogue of the
@@ -346,6 +357,10 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
             d_params, draft_cache, last, pos, block_tables, st, dk,
             cfg=d_cfg, scheme=draft_scheme, k=k, axis_name=d_axis,
             lora_ids=d_lora, gstate=g)
+        # oracle mode: -1 tokens always reject; zeroed q makes the recovery
+        # residual max(p - q, 0) = p exactly, so emission is bit-exact AR
+        d_toks = jnp.where(enable, d_toks, -1)
+        d_probs = jnp.where(enable, d_probs, 0.0)
         result, cache = _verify_impl(
             params, cache, last, d_toks, d_probs, pos, block_tables, st, vk,
             cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
@@ -724,6 +739,19 @@ class ModelRunner:
                        and config.speculative.method == "eagle")
         self.draft_cfg = (config.speculative.draft_model if sep_draft
                           else self.cfg)
+        self._windowed_draft = False
+        if (config.speculative is not None and not sep_draft
+                and config.speculative.draft_kv_window is not None):
+            # MagicDec-style shared-weights draft: same params, but its
+            # attention (and prompt prefill) run under a sliding window so
+            # the draft streams only the recent KV at long context
+            import dataclasses as _dc
+            w = config.speculative.draft_kv_window
+            if self.cfg.sliding_window is not None:
+                w = min(w, self.cfg.sliding_window)
+            self.draft_cfg = _dc.replace(self.cfg, sliding_window=w,
+                                         sliding_window_pattern=1)
+            self._windowed_draft = True
         if self._eagle:
             if "eagle" not in params:
                 raise ValueError("speculative.method='eagle' but params "
@@ -751,7 +779,7 @@ class ModelRunner:
         self._verify_scheme = ("w4a16" if self.cfg.quant in ("w4", "w4g")
                                else "bf16")
         if (config.speculative is not None and self.cfg.quant == "w4g"
-                and config.speculative.method == "qspec"
+                and config.speculative.method in ("qspec", "qspec_null")
                 and config.speculative.draft_model is None):
             raise ValueError(
                 "AWQ/GPTQ (w4g) checkpoints have no QuaRot rotations, so the "
@@ -780,7 +808,8 @@ class ModelRunner:
             self.fns = make_tp_step_fns(
                 mesh, self.cfg, self.params, self._verify_scheme, draft_scheme,
                 k, num_rounds=rounds,
-                draft_cfg=self.draft_cfg if sep_draft else None,
+                draft_cfg=self.draft_cfg
+                if (sep_draft or self._windowed_draft) else None,
                 draft_params=self.draft_params,
                 decode_steps=config.scheduler.steps_per_decode_call,
                 nmin=(config.speculative.ngram_prompt_lookup_min
@@ -816,7 +845,8 @@ class ModelRunner:
                 "spec_rounds": functools.partial(
                     spec_rounds_step, cfg=self.cfg, draft_scheme=draft_scheme,
                     verify_scheme=self._verify_scheme, k=k, num_rounds=rounds,
-                    draft_cfg=self.draft_cfg if sep_draft else None,
+                    draft_cfg=self.draft_cfg
+                    if (sep_draft or self._windowed_draft) else None,
                     acceptance=(config.speculative.acceptance_method
                                 if config.speculative else "rejection_sampler")),
                 "verify_onehot": functools.partial(
@@ -1099,10 +1129,12 @@ class ModelRunner:
         return toks[:, :n], lps[:, :n], top
 
     def run_spec_rounds(self, seqs, sampling: SamplingTensors, k: int,
-                        num_rounds: int = 1, chain: int = 1):
+                        num_rounds: int = 1, chain: int = 1,
+                        enable: bool = True):
         """`num_rounds` fused QSpec rounds per device call; ``chain`` calls
         dispatched back-to-back on device-resident advance state (see
-        run_ngram_rounds — hides the host round-trip).
+        run_ngram_rounds — hides the host round-trip). ``enable=False`` runs
+        the same executable with nulled proposals — the bit-exact AR oracle.
 
         Returns (tokens [chain*R, B, k+1] (-1 padded), accepted) numpy,
         cropped to the live batch.
@@ -1124,12 +1156,14 @@ class ModelRunner:
         lora = self._lora_ids(seqs, B)
         last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
         budget_d = jnp.asarray(max_new)
+        en_d = jnp.asarray(bool(enable))
         parts = []
         for _ in range(max(1, chain)):
             toks, accs, lps, adv, self.draft_cache, self.cache = \
                 self.fns["spec_rounds"](
                     self.params, self.draft_cache, self.cache, last_d, pos_d,
-                    tables_d, budget_d, st, self._next_key(), lora, *extra)
+                    tables_d, budget_d, en_d, st, self._next_key(), lora,
+                    *extra)
             last_d, pos_d, budget_d = adv
             parts.append((toks, accs, lps))
         parts = jax.device_get(parts)
@@ -1242,7 +1276,12 @@ class ModelRunner:
         last = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         max_new = np.zeros(B, np.int32)
-        prop_rows = np.zeros(B, np.int32)
+        # padded rows point past the store: their gathers clamp (results are
+        # discarded anyway) and their scatters DROP — a 0 here would race the
+        # live row-0 write inside medusa_rounds_step and could revert a live
+        # sequence's fresh proposals to stale ones (XLA scatter with
+        # duplicate indices picks an arbitrary winner)
+        prop_rows = np.full(B, self._mprops.shape[0], np.int32)
         tables = [[] for _ in range(B)]
         for i, s in enumerate(seqs):
             last[i] = s.last_token()

@@ -206,7 +206,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
 
     R = P()  # replicated
     cspec = cache_pspec()
-    sep_draft = draft_cfg is not None
+    # a draft_cfg WITHOUT draft_params is the shared-weights windowed draft
+    # (SpeculativeConfig.draft_kv_window): same sharded params, capped window
+    sep_draft = draft_params is not None
+    shared_draft_cfg = draft_cfg if draft_cfg is not None else cfg
     if sep_draft:
         dpspecs = jax.tree.map(lambda x: P(), draft_params,
                                is_leaf=lambda x: x is None)
@@ -237,10 +240,10 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
             donate_argnums=(1,))
     else:
         fns["prefill_draft"] = _wrap(
-            mr.prefill_step.__wrapped__, mesh, cfg, params,
+            mr.prefill_step.__wrapped__, mesh, shared_draft_cfg, params,
             (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
         fns["prefill_draft_embeds"] = _wrap(
-            mr.prefill_step.__wrapped__, mesh, cfg, params,
+            mr.prefill_step.__wrapped__, mesh, shared_draft_cfg, params,
             (R, R, R, R, R, R, R), (P(), cspec), 1,
             scheme=draft_scheme) if cfg.quant == "w4" else None
     fns["prefill_hidden"] = _wrap(
@@ -277,7 +280,7 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
             donate_argnums=(1,))
     else:
         fns["draft"] = _wrap(
-            mr.draft_steps.__wrapped__, mesh, cfg, params,
+            mr.draft_steps.__wrapped__, mesh, shared_draft_cfg, params,
             (R, R, R, mr_st_spec(), R), (P(), P(), cspec), 1,
             scheme=draft_scheme, k=k)
     fns["verify"] = _wrap(
@@ -290,14 +293,14 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     inner = functools.partial(mr.spec_rounds_step.__wrapped__, cfg=cfg,
                               draft_scheme=draft_scheme, verify_scheme=scheme,
                               k=k, num_rounds=num_rounds, axis_name="model",
-                              draft_cfg=draft_cfg,
+                              draft_cfg=draft_cfg,  # windowed shared draft OK
                               draft_axis_name=None if sep_draft else "inherit")
     if sep_draft:
-        in_specs = (pspecs, dcspec, cspec, R, R, R, R, mr_st_spec(), R, R,
+        in_specs = (pspecs, dcspec, cspec, R, R, R, R, R, mr_st_spec(), R, R,
                     dpspecs)
         out_specs = (P(), P(), P(), (P(), P(), P()), dcspec, cspec)
     else:
-        in_specs = (pspecs, cspec, cspec, R, R, R, R, mr_st_spec(), R, R)
+        in_specs = (pspecs, cspec, cspec, R, R, R, R, R, mr_st_spec(), R, R)
         out_specs = (P(), P(), P(), (P(), P(), P()), cspec, cspec)
     mapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)

@@ -181,6 +181,39 @@ def test_penalties_in_spec_mode(setup):
     assert distinct_ratio(ar_pen) > distinct_ratio(run_pen(None, 0.0))
 
 
+def test_qspec_null_oracle_equals_ar(setup):
+    """The qspec_null oracle (spec_rounds executable with nulled proposals)
+    must emit exactly the AR transcript — the model-draft analogue of the
+    ngram "null" oracle (reference
+    tests/spec_decode/e2e/test_integration.py:34-126)."""
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    null, eng = run_engine(
+        mc, params, sched,
+        SpeculativeConfig(num_speculative_tokens=3, rounds_per_step=2,
+                          method="qspec_null"), ps)
+    assert ar == null
+    # every round emits exactly one token (all proposals rejected)
+    assert eng.spec_metrics.num_draft_accepted == 0
+
+
+@pytest.mark.parametrize("window", [16, 48])
+def test_windowed_draft_greedy_equals_ar(setup, window):
+    """draft_kv_window (MagicDec-style sliding-window draft) must preserve
+    losslessness: verification is full-context, so the greedy transcript is
+    unchanged regardless of the draft's window."""
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps)
+    sp, eng = run_engine(
+        mc, params, sched,
+        SpeculativeConfig(num_speculative_tokens=3, rounds_per_step=2,
+                          draft_kv_window=window), ps)
+    assert ar == sp
+    assert eng.spec_metrics.num_spec_rounds > 0
+
+
 @pytest.mark.parametrize("method", ["qspec", "ngram"])
 def test_chained_dispatch_equivalence(setup, method):
     """Back-to-back chained device calls (no host read-back between fused
