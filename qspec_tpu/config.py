@@ -287,6 +287,11 @@ class SchedulerConfig:
     max_model_len: int = 4096
     enable_chunked_prefill: bool = True
     prefill_chunk_size: int = 512
+    # co-schedule running decodes with prefill chunks (reference
+    # _schedule_chunked_prefill mixes phases, vllm/core/scheduler.py:1151):
+    # every prefill iteration also advances the running batch one decode
+    # step, so admissions don't spike inter-token latency
+    mix_decode_with_prefill: bool = True
     # "recompute" re-prefills preempted sequences (reference RECOMPUTE,
     # the TPU worker default); "swap" parks their KV pages in host RAM
     # (reference PreemptionMode.SWAP + CacheEngine swap_in/swap_out) and

@@ -34,6 +34,12 @@ class ScheduledBatch:
     seqs: List[Sequence] = field(default_factory=list)
     chunk: Optional[PrefillChunk] = None          # first chunk (compat)
     chunks: List[PrefillChunk] = field(default_factory=list)
+    # decode-phase sequences co-scheduled WITH a prefill batch (reference
+    # _schedule_chunked_prefill mixes decodes into every prefill iteration,
+    # vllm/core/scheduler.py:1151): the engine runs them as a separate Q=1
+    # step right after the chunk rectangle, so running decodes never stall
+    # behind an admission's prompt processing
+    decode_seqs: List[Sequence] = field(default_factory=list)
     # swap-mode preemption actions the engine must execute BEFORE running
     # the batch (reference blocks_to_swap_out/in in SchedulerOutputs):
     # swap_out: (seq, page_ids snapshot) gathered device->host; swap_in:
@@ -204,8 +210,25 @@ class Scheduler:
                     break
                 chunks.append(PrefillChunk(seq, start, end))
                 total += end - start
+            # co-schedule running decodes with the prefill chunks (reference
+            # chunked prefill mixes both phases every iteration): only seqs
+            # whose lookahead pages are already appendable WITHOUT
+            # preempting anyone ride along — page pressure never evicts a
+            # sequence just to keep a decode from waiting one chunk
+            decode_seqs = []
+            if self.cfg.mix_decode_with_prefill:
+                chunk_ids = {c.seq.seq_id for c in chunks}
+                for s in self.running:
+                    if (s.status == SequenceStatus.RUNNING
+                            and s.seq_id not in chunk_ids
+                            and s.num_computed_tokens >= s.prefill_len
+                            and len(decode_seqs) < self.cfg.max_num_seqs
+                            and self.bm.append_slots(
+                                s, lookahead=self.lookahead)):
+                        decode_seqs.append(s)
             return ScheduledBatch(kind="prefill", seqs=[c.seq for c in chunks],
                                   chunk=chunks[0], chunks=chunks,
+                                  decode_seqs=decode_seqs,
                                   swap_out=swap_out, swap_in=swap_in)
 
         # decode: all running seqs; ensure lookahead slots, preempting if needed

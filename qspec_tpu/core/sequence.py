@@ -82,6 +82,13 @@ class Sequence:
     # paired tokens, span start position, span length) — see
     # spec_decode/eagle.py and model_runner.run_eagle_rounds
     eagle_span: Optional[tuple] = None
+    # watermark of output tokens already scanned for stop conditions
+    # (truncate_stop_overshoot): keeps the per-step stop scan O(new tokens)
+    # instead of O(all outputs)
+    stop_scan_pos: int = 0
+    # incremental detokenization state (detokenizer.DetokState), created
+    # lazily by the engine's stop-string / streaming-text paths
+    detok: Optional[object] = None
 
     @property
     def num_tokens(self) -> int:
@@ -151,17 +158,25 @@ class Sequence:
         stop_set = set(sp.stop_token_ids or ())
         if not sp.ignore_eos and eos_token_id is not None:
             stop_set.add(eos_token_id)
-        for i, tok in enumerate(self.output_token_ids):
-            if tok in stop_set:
-                self.output_token_ids = self.output_token_ids[:i + 1]
-                self.output_logprobs = self.output_logprobs[:i + 1]
-                self.output_top_logprobs = self.output_top_logprobs[:i + 1]
-                self.status = SequenceStatus.FINISHED_STOPPED
-                self.finish_reason = "stop"
-                return
+        # scan only tokens appended since the last check (the fused calls
+        # append up to rounds*(k+1)*chain at once; rescanning the full
+        # output every step would be O(n^2) over a generation)
+        start = self.stop_scan_pos
+        if stop_set:
+            for i in range(start, len(self.output_token_ids)):
+                if self.output_token_ids[i] in stop_set:
+                    self.output_token_ids = self.output_token_ids[:i + 1]
+                    self.output_logprobs = self.output_logprobs[:i + 1]
+                    self.output_top_logprobs = self.output_top_logprobs[:i + 1]
+                    self.stop_scan_pos = i + 1
+                    self.status = SequenceStatus.FINISHED_STOPPED
+                    self.finish_reason = "stop"
+                    return
+        self.stop_scan_pos = len(self.output_token_ids)
         if len(self.output_token_ids) >= sp.max_tokens:
             self.output_token_ids = self.output_token_ids[:sp.max_tokens]
             self.output_logprobs = self.output_logprobs[:sp.max_tokens]
             self.output_top_logprobs = self.output_top_logprobs[:sp.max_tokens]
+            self.stop_scan_pos = min(self.stop_scan_pos, sp.max_tokens)
             self.status = SequenceStatus.FINISHED_LENGTH
             self.finish_reason = "length"

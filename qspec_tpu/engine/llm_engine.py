@@ -316,6 +316,15 @@ class LLMEngine:
             return rejected
         if batch.kind == "prefill":
             self._run_prefill(batch)
+            if batch.decode_seqs:
+                # mixed chunked-prefill iteration (reference
+                # core/scheduler.py:1151): the running decodes advance in
+                # the same engine step so admissions don't stall them
+                if self.spec is not None \
+                        and not self._spec_disabled(len(batch.decode_seqs)):
+                    self._run_spec_decode(batch.decode_seqs, mixed=True)
+                else:
+                    self._run_decode(batch.decode_seqs, mixed=True)
         else:
             if self.spec is not None and not self._spec_disabled(len(batch.seqs)):
                 self._run_spec_decode(batch.seqs)
@@ -324,19 +333,20 @@ class LLMEngine:
 
         outputs = rejected
         # every sequence that gained tokens this step (decode: the whole
-        # batch; prefill: rows whose chunk completed the prompt) — ALL
-        # batched chunks, not just the first (a co-scheduled sequence must
-        # stream its first token the step it appears)
+        # batch; prefill: rows whose chunk completed the prompt, plus any
+        # co-scheduled decodes) — ALL batched chunks, not just the first (a
+        # co-scheduled sequence must stream its first token the step it
+        # appears)
         touched = (batch.seqs if batch.kind == "decode" else
                    [c.seq for c in batch.chunks
                     if c.seq.num_computed_tokens >= c.seq.prefill_len
-                    and c.seq.output_token_ids])
+                    and c.seq.output_token_ids] + batch.decode_seqs)
         for s in list(self.scheduler.running):
             if s.num_computed_tokens >= s.prefill_len:
                 s.check_stop(self.eos_token_id)
                 self._check_stop_strings(s)
         for s in (batch.seqs if batch.kind == "decode"
-                  else [c.seq for c in batch.chunks]):
+                  else [c.seq for c in batch.chunks] + batch.decode_seqs):
             tr = self._traces.get(s.seq_id)
             if tr is not None:
                 tr.mark_scheduled()
@@ -418,19 +428,33 @@ class LLMEngine:
             logger.record(stats)
 
     def _check_stop_strings(self, seq: Sequence) -> None:
-        """Enforce SamplingParams.stop (stop *strings*): detokenize the
-        output and finish at the earliest occurrence (reference
-        llm_engine.py:975 stop-check in _process_model_outputs). The emitted
-        text excludes the stop string unless include_stop_str_in_output."""
+        """Enforce SamplingParams.stop (stop *strings*): detokenize
+        INCREMENTALLY (detokenizer.py — the reference's
+        detokenize_incrementally) and finish at the earliest occurrence
+        (reference llm_engine.py:975 stop-check in _process_model_outputs).
+        The hot path costs O(new tokens) per step: only freshly decoded text
+        (plus a stop-length overlap) is searched. The emitted text excludes
+        the stop string unless include_stop_str_in_output."""
         sp = seq.sampling_params
         if not sp.stop or self.tokenizer is None or seq.is_finished:
             return
+        from qspec_tpu.detokenizer import DetokState, detokenize_incrementally
+        st = seq.detok
+        if st is None:
+            st = seq.detok = DetokState()
+        old_len = len(st.text)
         try:
-            text = self.tokenizer.decode(seq.output_token_ids)
+            text = detokenize_incrementally(self.tokenizer,
+                                            seq.output_token_ids, st)
         except Exception:
             return
-        first = min(((text.find(stop), stop) for stop in sp.stop
-                     if text.find(stop) != -1), default=None)
+        # a stop string can only appear in the new text or straddling the
+        # boundary by at most len(stop)-1 chars of old text
+        search_from = max(0, old_len - max(len(s) for s in sp.stop) + 1)
+        tail = text[search_from:]
+        first = min(((search_from + tail.find(stop), stop)
+                     for stop in sp.stop if tail.find(stop) != -1),
+                    default=None)
         if first is None:
             return
         # minimal token prefix whose decode already contains the stop string
@@ -527,24 +551,36 @@ class LLMEngine:
         n = min(int(s.sampling_params.logprobs or 0), topi.shape[-1])
         return {int(topi[j]): float(topv[j]) for j in range(n)}
 
-    def _run_decode(self, seqs: List[Sequence]) -> None:
+    def _run_decode(self, seqs: List[Sequence], mixed: bool = False) -> None:
         if not seqs:
             return
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
-        steps = self.config.scheduler.steps_per_decode_call
+        # mixed (co-scheduled with a prefill chunk): exactly one decode step,
+        # so prompt chunks and the running batch alternate at chunk cadence
+        steps = 1 if mixed else self.config.scheduler.steps_per_decode_call
         chain = self._chain_for(seqs, steps) if steps > 1 else 1
         tokens, lps, top = self.runner.run_decode(
             seqs, st, num_steps=steps, want_top=self._wants_top(seqs),
             chain=chain)
         for i, s in enumerate(seqs):
-            for r in range(tokens.shape[0]):
-                t = int(tokens[r, i])
-                if t >= 0:
-                    s.append_token(t, float(lps[r, i]),
-                                   top=self._top_dict(s, top[0][r, i],
-                                                      top[1][r, i])
-                                   if top is not None else None)
+            if top is None and s.grammar_fsm is None:
+                # bulk-append fast path (the multi-step fused calls emit up
+                # to steps*chain tokens per sequence per host call)
+                col = tokens[:, i]
+                valid = col >= 0
+                toks_list = col[valid].tolist()
+                s.output_token_ids.extend(toks_list)
+                s.output_logprobs.extend(lps[:, i][valid].tolist())
+                s.output_top_logprobs.extend([None] * len(toks_list))
+            else:
+                for r in range(tokens.shape[0]):
+                    t = int(tokens[r, i])
+                    if t >= 0:
+                        s.append_token(t, float(lps[r, i]),
+                                       top=self._top_dict(s, top[0][r, i],
+                                                          top[1][r, i])
+                                       if top is not None else None)
             s.num_computed_tokens = s.num_tokens - 1
             if steps > 1:
                 s.truncate_stop_overshoot(self.eos_token_id)
@@ -579,14 +615,17 @@ class LLMEngine:
             chain -= 1
         return chain
 
-    def _run_spec_decode(self, seqs: List[Sequence]) -> None:
+    def _run_spec_decode(self, seqs: List[Sequence],
+                         mixed: bool = False) -> None:
         if not seqs:
             return
         k = self.spec.num_speculative_tokens
         st = make_sampling_tensors(seqs, self.config.model.vocab_size,
                                    self.eos_token_id)
         per_call = (k + 1) * self.spec.rounds_per_step
-        chain = self._chain_for(seqs, per_call)
+        # mixed with a prefill chunk: one fused call only (no chaining), so
+        # the next chunk isn't delayed behind a long decode chain
+        chain = 1 if mixed else self._chain_for(seqs, per_call)
         t0 = time.perf_counter()
         if self._eagle:
             tokens, accepted, lps = self.runner.run_eagle_rounds(
@@ -604,12 +643,23 @@ class LLMEngine:
                 seqs, st, k, num_rounds=self.spec.rounds_per_step,
                 chain=chain, enable=self.spec.method != "qspec_null")
         dt = time.perf_counter() - t0
-        R = tokens.shape[0]
         for i, s in enumerate(seqs):
-            for r in range(R):
-                n = int(accepted[r, i])
-                for j in range(n):
-                    s.append_token(int(tokens[r, i, j]), float(lps[r, i, j]))
+            # bulk-append: the emitted rectangle is already -1-masked past
+            # each round's accepted length, so one vectorized mask replaces
+            # the per-token python loop (hundreds of appends per fused call)
+            col_t = tokens[:, i, :].reshape(-1)
+            valid = col_t >= 0
+            toks_list = col_t[valid].tolist()
+            s.output_token_ids.extend(toks_list)
+            s.output_logprobs.extend(lps[:, i, :].reshape(-1)[valid].tolist())
+            s.output_top_logprobs.extend([None] * len(toks_list))
+            if s.grammar_fsm is not None and s.grammar_state >= 0:
+                ns = s.grammar_fsm.next_state
+                for t in toks_list:
+                    if s.grammar_state < 0:
+                        break
+                    if 0 <= t < ns.shape[1]:
+                        s.grammar_state = int(ns[s.grammar_state, t])
             s.num_computed_tokens = s.num_tokens - 1
             s.truncate_stop_overshoot(self.eos_token_id)
         emitted = int(accepted.sum())

@@ -415,13 +415,21 @@ class OpenAIServer:
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
                                            "Cache-Control": "no-cache"})
         await resp.prepare(request)
-        sent = 0
+        # incremental detokenization (reference detokenize_incrementally):
+        # decoding each token-id delta independently would split multi-byte
+        # characters at chunk boundaries into U+FFFD mojibake
+        from qspec_tpu.detokenizer import DetokState, detokenize_incrementally
+        detok = DetokState()
+        emitted = 0
         async for out in self.engine.generate(token_ids, sp, request_id=rid):
-            new = out.output_token_ids[sent:]
-            sent = len(out.output_token_ids)
-            if not new and not out.finished:
+            if self.tokenizer is not None:
+                text = detokenize_incrementally(
+                    self.tokenizer, out.output_token_ids, detok)
+                delta_text, emitted = text[emitted:], len(text)
+            else:
+                delta_text = ""
+            if not delta_text and not out.finished:
                 continue
-            delta_text = self.tokenizer.decode(new) if self.tokenizer else ""
             if chat:
                 payload = {"id": cid, "object": "chat.completion.chunk",
                            "created": _now(), "model": self.model_name,
