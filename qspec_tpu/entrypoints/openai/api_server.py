@@ -161,10 +161,12 @@ class OpenAIServer:
 
     async def score(self, request):
         """/v1/score (reference serving_score.py): relevance of text_2
-        item(s) to text_1. The reference runs cross-encoder checkpoints;
-        none exist in this image, so the score is BI-encoder cosine
-        similarity of last-token pooled embeddings — the response shape
-        matches the reference so clients port unchanged."""
+        item(s) to text_1. With a cross-encoder checkpoint
+        (params["score_head"], reference cross-encoder model class
+        models/registry.py:142-150) each pair is encoded JOINTLY through
+        the trunk and scored by the classification head — the reference's
+        true cross-encoding semantics. Embedding-only checkpoints fall
+        back to bi-encoder cosine with the same response shape."""
         import asyncio
         import math
 
@@ -175,21 +177,40 @@ class OpenAIServer:
             raise web.HTTPBadRequest(reason="text_1 and text_2 are required")
         t2_list = t2 if isinstance(t2, list) else [t2]
 
-        async def emb(text):
+        def toks_of(text):
+            return (self.tokenizer.encode(text)
+                    if isinstance(text, str) else list(text))
+
+        async def emb(token_ids):
             rid = next(self._request_counter)
             from qspec_tpu.sampling_params import SamplingParams as SP
-            token_ids = (self.tokenizer.encode(text)
-                         if isinstance(text, str) else list(text))
             final = None
             async for out in self.engine.generate(token_ids,
                                                   SP(max_tokens=1),
                                                   request_id=rid,
                                                   task="embed"):
                 final = out
-            return final.embedding, len(token_ids)
+            return final.embedding
 
-        results = await asyncio.gather(emb(t1), *(emb(t) for t in t2_list))
-        (e1, n1), rest = results[0], results[1:]
+        head = self.engine.engine.runner.params.get("score_head")
+        if head is not None:
+            from qspec_tpu.entrypoints.llm import cross_encoder_score
+            t1_ids = toks_of(t1)
+            pairs = [t1_ids + toks_of(t) for t in t2_list]
+            pooled = await asyncio.gather(*(emb(p) for p in pairs))
+            data = [{"object": "score", "index": i,
+                     "score": cross_encoder_score(head, e)}
+                    for i, e in enumerate(pooled)]
+            toks = sum(len(p) for p in pairs)
+            return web.json_response({
+                "id": f"score-{uuid.uuid4().hex[:24]}", "object": "list",
+                "model": self.model_name, "data": data,
+                "usage": {"prompt_tokens": toks, "total_tokens": toks},
+            })
+
+        all_ids = [toks_of(t1)] + [toks_of(t) for t in t2_list]
+        results = await asyncio.gather(*(emb(ids) for ids in all_ids))
+        e1, rest = results[0], results[1:]
 
         def cos(a, b):
             num = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -198,8 +219,8 @@ class OpenAIServer:
             return num / max(da * db, 1e-9)
 
         data = [{"object": "score", "index": i, "score": cos(e1, e)}
-                for i, (e, _) in enumerate(rest)]
-        toks = n1 + sum(n for _, n in rest)
+                for i, e in enumerate(rest)]
+        toks = sum(len(ids) for ids in all_ids)
         return web.json_response({
             "id": f"score-{uuid.uuid4().hex[:24]}", "object": "list",
             "model": self.model_name, "data": data,
@@ -325,11 +346,30 @@ class OpenAIServer:
             forced = forced_call_schema(tools, name)
         if forced is not None:
             sp.guided_json = forced
-        try:
+        # POSITIVE tools-support detection: a chat template that doesn't use
+        # `tools` silently DROPS the kwarg (Jinja ignores unused variables —
+        # no TypeError), so exception-based detection would leave the model
+        # blind to the tool definitions. Check the template source, and fall
+        # back to comparing renders with/without tools.
+        native = False
+        tmpl = getattr(self.tokenizer, "chat_template", None)
+        if tmpl is not None and "tools" in str(tmpl):
+            native = True
+        else:
+            try:
+                with_tools = self.tokenizer.apply_chat_template(
+                    messages, tools=tools, tokenize=True,
+                    add_generation_prompt=True)
+                without = self.tokenizer.apply_chat_template(
+                    messages, tokenize=True, add_generation_prompt=True)
+                native = with_tools != without
+            except (TypeError, ValueError):
+                native = False
+        if native:
             token_ids = self.tokenizer.apply_chat_template(
                 messages, tools=tools, tokenize=True,
                 add_generation_prompt=True)
-        except (TypeError, ValueError):
+        else:
             token_ids = self.tokenizer.apply_chat_template(
                 [tools_system_message(tools)] + list(messages),
                 tokenize=True, add_generation_prompt=True)
@@ -355,31 +395,42 @@ class OpenAIServer:
         want_tools = bool(tools) and tool_choice != "none"
         forced_tool = False
         if want_tools:
-            token_ids, forced_tool = self._tool_tokenize(messages, tools,
-                                                         tool_choice, sp)
+            try:
+                token_ids, forced_tool = self._tool_tokenize(
+                    messages, tools, tool_choice, sp)
+            except ValueError as e:
+                # unknown tool_choice name / unsupported JSON-schema feature
+                # in a tool's parameters: a client error, not a 500
+                raise web.HTTPBadRequest(reason=str(e))
         else:
             token_ids = self.tokenizer.apply_chat_template(
                 messages, tokenize=True, add_generation_prompt=True)
+        tool_names = [t.get("function", t).get("name")
+                      for t in (tools or ())]
         n = max(1, int(body.get("n", 1)))
         cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if body.get("stream"):
-            if want_tools:
-                raise web.HTTPBadRequest(
-                    reason="streaming with tools is not supported")
             if n > 1:
                 raise web.HTTPBadRequest(reason="streaming supports n=1")
             if images:
                 raise web.HTTPBadRequest(
                     reason="streaming with images is not supported")
             rid = next(self._request_counter)
-            return await self._stream(request, token_ids, sp, rid, cid, chat=True)
+            return await self._stream(request, token_ids, sp, rid, cid,
+                                      chat=True,
+                                      tool_names=tool_names
+                                      if want_tools else None)
 
-        finals = await asyncio.gather(
-            *(self._generate_one(token_ids, self._nth_sp(sp, j),
-                                 mm_images=images,
-                                 image_token_id=image_token_id)
-              for j in range(n)))
+        try:
+            finals = await asyncio.gather(
+                *(self._generate_one(token_ids, self._nth_sp(sp, j),
+                                     mm_images=images,
+                                     image_token_id=image_token_id)
+                  for j in range(n)))
+        except ValueError as e:
+            # grammar compilation of guided options happens in add_request
+            raise web.HTTPBadRequest(reason=str(e))
         choices = []
         for j, final in enumerate(finals):
             text = final.text or self.tokenizer.decode(final.output_token_ids)
@@ -388,7 +439,7 @@ class OpenAIServer:
             if want_tools:
                 from qspec_tpu.entrypoints.openai.tool_parser import (
                     parse_tool_calls)
-                content, calls = parse_tool_calls(text)
+                content, calls = parse_tool_calls(text, tool_names)
                 if forced_tool and not calls:
                     # guided decoding guarantees parseable JSON, but a
                     # max_tokens cutoff can truncate it mid-call
@@ -411,7 +462,8 @@ class OpenAIServer:
                       "total_tokens": len(token_ids) + c_toks},
         })
 
-    async def _stream(self, request, token_ids, sp, rid, cid, chat: bool):
+    async def _stream(self, request, token_ids, sp, rid, cid, chat: bool,
+                      tool_names=None):
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
                                            "Cache-Control": "no-cache"})
         await resp.prepare(request)
@@ -420,7 +472,30 @@ class OpenAIServer:
         # characters at chunk boundaries into U+FFFD mojibake
         from qspec_tpu.detokenizer import DetokState, detokenize_incrementally
         detok = DetokState()
+        # streaming tool-call extraction (reference hermes_tool_parser
+        # streaming path): content streams through, completed tool blocks
+        # become tool_calls deltas
+        parser = None
+        if chat and tool_names is not None:
+            from qspec_tpu.entrypoints.openai.tool_parser import (
+                StreamingToolParser)
+            parser = StreamingToolParser(tool_names)
         emitted = 0
+
+        async def write_chunk(delta, finish=None):
+            if chat:
+                payload = {"id": cid, "object": "chat.completion.chunk",
+                           "created": _now(), "model": self.model_name,
+                           "choices": [{"index": 0, "delta": delta,
+                                        "finish_reason": finish}]}
+            else:
+                payload = {"id": cid, "object": "text_completion",
+                           "created": _now(), "model": self.model_name,
+                           "choices": [{"index": 0,
+                                        "text": delta.get("content", ""),
+                                        "finish_reason": finish}]}
+            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+
         async for out in self.engine.generate(token_ids, sp, request_id=rid):
             if self.tokenizer is not None:
                 text = detokenize_incrementally(
@@ -428,22 +503,21 @@ class OpenAIServer:
                 delta_text, emitted = text[emitted:], len(text)
             else:
                 delta_text = ""
+            if parser is not None:
+                deltas = parser.push(delta_text)
+                if out.finished:
+                    deltas += parser.finish()
+                for d in deltas:
+                    await write_chunk(d)
+                if out.finished:
+                    finish = ("tool_calls" if parser.n_calls
+                              else out.finish_reason)
+                    await write_chunk({}, finish)
+                continue
             if not delta_text and not out.finished:
                 continue
-            if chat:
-                payload = {"id": cid, "object": "chat.completion.chunk",
-                           "created": _now(), "model": self.model_name,
-                           "choices": [{"index": 0,
-                                        "delta": {"content": delta_text},
-                                        "finish_reason": out.finish_reason
-                                        if out.finished else None}]}
-            else:
-                payload = {"id": cid, "object": "text_completion",
-                           "created": _now(), "model": self.model_name,
-                           "choices": [{"index": 0, "text": delta_text,
-                                        "finish_reason": out.finish_reason
-                                        if out.finished else None}]}
-            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+            await write_chunk({"content": delta_text},
+                              out.finish_reason if out.finished else None)
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

@@ -100,7 +100,7 @@ def _scan_json_objects(text: str) -> List[Tuple[int, int, object]]:
     return out
 
 
-def parse_tool_calls(text: str) -> Tuple[Optional[str], List[dict]]:
+def parse_tool_calls(text: str, tool_names=None) -> Tuple[Optional[str], List[dict]]:
     """Extract tool calls from generated text.
 
     Returns (content, tool_calls): content is the non-tool prose (None if
@@ -108,9 +108,22 @@ def parse_tool_calls(text: str) -> Tuple[Optional[str], List[dict]]:
     Accepted shapes: <tool_call>..</tool_call> blocks (canonical),
     [TOOL_CALLS] [..] (mistral), or bare JSON object(s) carrying
     name+arguments (llama-3 style / guided output).
+
+    ``tool_names``: the request's declared tool names. When given, only
+    objects whose "name" matches a declared tool are promoted to calls —
+    ordinary JSON content like {"name": "Alice", "age": 30} stays content
+    (reference tool parsers validate against the request's tools too).
     """
     calls: List[dict] = []
     content_parts: List[str] = []
+    names = set(tool_names) if tool_names is not None else None
+
+    def payload(obj):
+        c = _call_payload(obj)
+        if c is not None and names is not None and \
+                c["function"]["name"] not in names:
+            return None
+        return c
 
     if TOOL_CALL_OPEN in text:
         rest = text
@@ -121,9 +134,13 @@ def parse_tool_calls(text: str) -> Tuple[Optional[str], List[dict]]:
             if not sep:           # unterminated block: try to parse anyway
                 rest = ""
             try:
-                c = _call_payload(json.loads(body.strip()))
+                c = payload(json.loads(body.strip()))
                 if c:
                     calls.append(c)
+                else:
+                    # valid JSON that isn't a (declared) call: keep the
+                    # model's output as content rather than dropping it
+                    content_parts.append(body)
             except ValueError:
                 content_parts.append(body)
         content_parts.append(rest)
@@ -133,16 +150,17 @@ def parse_tool_calls(text: str) -> Tuple[Optional[str], List[dict]]:
         for _s, _e, val in _scan_json_objects(tail):
             vals = val if isinstance(val, list) else [val]
             for v in vals:
-                c = _call_payload(v)
+                c = payload(v)
                 if c:
                     calls.append(c)
             break                 # the marker owns exactly one JSON value
     else:
         # bare JSON object(s): only treat as calls when they carry the
-        # name+arguments shape, otherwise the text is plain content
+        # name+arguments shape (and match a declared tool), otherwise the
+        # text is plain content
         spans = []
         for s, e, val in _scan_json_objects(text):
-            c = _call_payload(val)
+            c = payload(val)
             if c:
                 calls.append(c)
                 spans.append((s, e))
@@ -157,3 +175,130 @@ def parse_tool_calls(text: str) -> Tuple[Optional[str], List[dict]]:
 
     content = "".join(content_parts).strip()
     return (content or None), calls
+
+
+def _longest_marker_suffix(text: str, markers) -> int:
+    """Chars at the end of `text` that form a PREFIX of some marker (they
+    might complete into the marker with the next delta, so they must be
+    held back from streaming)."""
+    best = 0
+    for m in markers:
+        for n in range(min(len(m), len(text)), 0, -1):
+            if text.endswith(m[:n]):
+                best = max(best, n)
+                break
+    return best
+
+
+class StreamingToolParser:
+    """Incremental tool-call extraction over SSE deltas (reference:
+    vllm/entrypoints/openai/tool_parsers/hermes_tool_parser.py streaming
+    path). ``push(delta_text)`` returns OpenAI `delta` payloads — content
+    fragments are streamed through immediately except for held-back text
+    that might begin a tool-call marker; a completed block is emitted as one
+    tool_calls delta (id + name + full arguments). ``finish()`` flushes any
+    held-back tail (an unterminated marker reverts to plain content).
+    """
+
+    MARKERS = (TOOL_CALL_OPEN, MISTRAL_MARK)
+
+    def __init__(self, tool_names=None):
+        self.names = set(tool_names) if tool_names is not None else None
+        self.buf = ""
+        self.mode = "content"      # "content" | "block" | "json"
+        self.n_calls = 0
+
+    def _payload(self, obj):
+        c = _call_payload(obj)
+        if c is not None and self.names is not None and \
+                c["function"]["name"] not in self.names:
+            return None
+        return c
+
+    def _call_delta(self, call) -> dict:
+        d = {"tool_calls": [{"index": self.n_calls, "id": call["id"],
+                             "type": "function",
+                             "function": call["function"]}]}
+        self.n_calls += 1
+        return d
+
+    def push(self, delta_text: str) -> List[dict]:
+        self.buf += delta_text
+        out: List[dict] = []
+        while True:
+            if self.mode == "content":
+                starts = []
+                open_i = self.buf.find(TOOL_CALL_OPEN)
+                if open_i != -1:
+                    starts.append((open_i, "block", len(TOOL_CALL_OPEN)))
+                mist_i = self.buf.find(MISTRAL_MARK)
+                if mist_i != -1:
+                    starts.append((mist_i, "json", len(MISTRAL_MARK)))
+                if not self.n_calls:
+                    brace_i = self.buf.find("{")
+                    if brace_i != -1:
+                        starts.append((brace_i, "json", 0))
+                if starts:
+                    i, mode, skip = min(starts)
+                    pre = self.buf[:i]
+                    if pre:
+                        out.append({"content": pre})
+                    self.buf = self.buf[i + skip:]
+                    self.mode = mode
+                    continue
+                hold = _longest_marker_suffix(self.buf, self.MARKERS)
+                # also hold back a trailing "{" tail (possible bare JSON)
+                if not self.n_calls:
+                    b = self.buf.find("{")
+                    if b != -1:
+                        hold = max(hold, len(self.buf) - b)
+                emit = self.buf[:len(self.buf) - hold]
+                if emit:
+                    out.append({"content": emit})
+                    self.buf = self.buf[len(emit):]
+                return out
+            if self.mode == "block":
+                body, sep, rest = self.buf.partition(TOOL_CALL_CLOSE)
+                if not sep:
+                    return out
+                try:
+                    c = self._payload(json.loads(body.strip()))
+                except ValueError:
+                    c = None
+                if c:
+                    out.append(self._call_delta(c))
+                elif body.strip():
+                    out.append({"content": body})
+                self.buf = rest
+                self.mode = "content"
+                continue
+            # "json": buffer until a top-level JSON value parses
+            s = self.buf.lstrip()
+            if not s:
+                return out
+            try:
+                val, end = json.JSONDecoder().raw_decode(s)
+            except ValueError:
+                return out      # incomplete (or never-JSON: flushed at finish)
+            vals = val if isinstance(val, list) else [val]
+            any_call = False
+            for v in vals:
+                c = self._payload(v)
+                if c:
+                    out.append(self._call_delta(c))
+                    any_call = True
+            consumed = len(self.buf) - len(s) + end
+            if not any_call:
+                out.append({"content": self.buf[:consumed]})
+            self.buf = self.buf[consumed:]
+            self.mode = "content"
+            continue
+
+    def finish(self) -> List[dict]:
+        """Flush the held-back tail as content (unterminated markers /
+        never-completing JSON are the model's literal output)."""
+        tail, self.buf = self.buf, ""
+        if self.mode == "block" and tail.strip():
+            tail = TOOL_CALL_OPEN + tail
+        self.mode = "content"
+        return [{"content": tail}] if tail else []

@@ -215,11 +215,200 @@ def test_chat_tools_no_calls_in_output():
     _run(make_server(PlainTokenizer()), body)
 
 
-def test_chat_tools_streaming_rejected():
+def test_chat_tools_undeclared_name_stays_content():
+    """A JSON object whose "name" is not a declared tool must stay content
+    (ADVICE: {"name": "Alice", "age": 30} is not a call)."""
+    content, calls = parse_tool_calls('{"name": "Alice", "age": 30}',
+                                      ["get_weather", "add"])
+    assert calls == []
+    assert "Alice" in content
+
+
+def test_block_without_name_keeps_content():
+    """Valid JSON in a <tool_call> block lacking "name" is model output,
+    not a silently-dropped call (ADVICE)."""
+    content, calls = parse_tool_calls(
+        '<tool_call>{"city": "SF"}</tool_call>', ["get_weather"])
+    assert calls == []
+    assert '"city"' in content
+
+
+def test_unknown_tool_choice_is_400():
     async def body(client):
         r = await client.post("/v1/chat/completions", json={
             "messages": [{"role": "user", "content": "hi"}],
-            "tools": TOOLS, "stream": True, "max_tokens": 4})
+            "tools": TOOLS, "max_tokens": 4,
+            "tool_choice": {"type": "function",
+                            "function": {"name": "nope"}}})
         assert r.status == 400
 
     _run(make_server(ToolTokenizer()), body)
+
+
+# -- streaming tool-call parser (reference hermes_tool_parser streaming) ----
+
+from qspec_tpu.entrypoints.openai.tool_parser import (  # noqa: E402
+    StreamingToolParser)
+
+NAMES = ["get_weather", "add"]
+
+
+def feed(parser, chunks):
+    deltas = []
+    for c in chunks:
+        deltas += parser.push(c)
+    deltas += parser.finish()
+    return deltas
+
+
+def _texts(deltas):
+    return "".join(d.get("content", "") for d in deltas if "content" in d)
+
+
+def _calls(deltas):
+    return [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+
+
+def test_stream_parser_block_split_at_awkward_points():
+    text = ('Let me check.<tool_call>{"name": "get_weather", '
+            '"arguments": {"city": "SF"}}</tool_call>done')
+    # split every 3 chars — markers and JSON straddle chunk boundaries
+    chunks = [text[i:i + 3] for i in range(0, len(text), 3)]
+    deltas = feed(StreamingToolParser(NAMES), chunks)
+    calls = _calls(deltas)
+    assert len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "SF"}
+    assert _texts(deltas) == "Let me check.done"
+
+
+def test_stream_parser_holds_back_marker_prefix():
+    p = StreamingToolParser(NAMES)
+    deltas = p.push("thinking <tool_")
+    # "<tool_" may complete into the marker: must NOT be streamed yet
+    assert _texts(deltas) == "thinking "
+    deltas = p.push('call>{"name": "add", "arguments": {"a": 1, "b": 2}}'
+                    "</tool_call>")
+    calls = _calls(deltas)
+    assert len(calls) == 1 and calls[0]["function"]["name"] == "add"
+
+
+def test_stream_parser_unterminated_marker_flushes_as_content():
+    p = StreamingToolParser(NAMES)
+    out = p.push("see <tool_")
+    out += p.finish()
+    assert _texts(out) == "see <tool_"
+    assert _calls(out) == []
+
+
+def test_stream_parser_bare_json_undeclared_is_content():
+    deltas = feed(StreamingToolParser(NAMES),
+                  ['{"name": "Al', 'ice", "age": 30}', " hi"])
+    assert _calls(deltas) == []
+    assert _texts(deltas) == '{"name": "Alice", "age": 30} hi'
+
+
+def test_stream_parser_bare_json_call():
+    deltas = feed(StreamingToolParser(NAMES),
+                  ['{"name": "add", "argu', 'ments": {"a": 1, "b": 2}}'])
+    calls = _calls(deltas)
+    assert len(calls) == 1
+    assert json.loads(calls[0]["function"]["arguments"]) == {"a": 1, "b": 2}
+    assert _texts(deltas) == ""
+
+
+def test_stream_parser_mistral_marker():
+    deltas = feed(StreamingToolParser(NAMES),
+                  ["[TOOL_", 'CALLS] [{"name": "add", ',
+                   '"arguments": {"a": 3, "b": 4}}]'])
+    calls = _calls(deltas)
+    assert len(calls) == 1 and calls[0]["function"]["name"] == "add"
+
+
+def test_stream_parser_two_blocks_indexed():
+    text = ('<tool_call>{"name": "add", "arguments": {"a": 1, "b": 2}}'
+            '</tool_call><tool_call>{"name": "add", '
+            '"arguments": {"a": 3, "b": 4}}</tool_call>')
+    deltas = feed(StreamingToolParser(NAMES), [text])
+    calls = _calls(deltas)
+    assert [c["index"] for c in calls] == [0, 1]
+
+
+# -- streaming over HTTP ----------------------------------------------------
+
+class CharTokenizer:
+    """Printable-ASCII char-level tokenizer (id == ord(char)) so guided
+    decoding can spell real JSON and incremental detokenization is
+    id-driven."""
+    eos_token_id = 0
+    vocab_size = 512  # match the tiny model's logits width
+
+    def encode(self, s):
+        return [ord(c) for c in s if 32 <= ord(c) < 127][:32]
+
+    def decode(self, ids):
+        return "".join(chr(i) for i in ids if 32 <= i < 127)
+
+    def get_vocab(self):
+        return {chr(i): i for i in range(32, 127)}
+
+    def convert_tokens_to_string(self, toks):
+        return "".join(toks)
+
+    def apply_chat_template(self, messages, tokenize=True,
+                            add_generation_prompt=True, tools=None):
+        text = " ".join(m["content"] for m in messages)
+        return self.encode(text)
+
+
+async def _collect_sse(r):
+    deltas, finish = [], None
+    async for line in r.content:
+        line = line.decode().strip()
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            continue
+        ch = json.loads(line[6:])["choices"][0]
+        deltas.append(ch["delta"])
+        if ch["finish_reason"]:
+            finish = ch["finish_reason"]
+    return deltas, finish
+
+
+def test_chat_tools_streaming_forced_call():
+    """stream=true + named tool_choice: the grammar-forced JSON call is
+    emitted as a tool_calls delta and finish_reason == tool_calls
+    (reference streams tool deltas; round-2 rejected this with a 400)."""
+    async def body(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "add 1 and 2"}],
+            "tools": TOOLS, "stream": True, "max_tokens": 200,
+            "tool_choice": {"type": "function", "function": {"name": "add"}}})
+        assert r.status == 200
+        deltas, finish = await _collect_sse(r)
+        assert finish == "tool_calls"
+        calls = [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+        assert len(calls) == 1
+        assert calls[0]["function"]["name"] == "add"
+        args = json.loads(calls[0]["function"]["arguments"])
+        assert set(args) == {"a", "b"}
+
+    _run(make_server(CharTokenizer()), body)
+
+
+def test_chat_tools_streaming_plain_content_reassembles():
+    """Tools declared but the model speaks prose: streamed content must
+    reassemble to the non-streaming text and finish normally."""
+    async def body(client):
+        req = {"messages": [{"role": "user", "content": "hello there"}],
+               "tools": TOOLS, "max_tokens": 12, "temperature": 0.0}
+        r = await client.post("/v1/chat/completions", json=req)
+        want = (await r.json())["choices"][0]["message"]["content"] or ""
+        r = await client.post("/v1/chat/completions",
+                              json={**req, "stream": True})
+        assert r.status == 200
+        deltas, finish = await _collect_sse(r)
+        got = "".join(d.get("content", "") for d in deltas)
+        assert got == want
+        assert finish != "tool_calls"
+
+    _run(make_server(CharTokenizer()), body)

@@ -77,8 +77,11 @@ def test_propose_matches_numpy_reference():
         return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
 
     def gelu(x):
-        from scipy.stats import norm
-        return x * norm.cdf(x)
+        # exact gelu via math.erf — no scipy dependency (the image may lack
+        # it; this is the only place the suite would have imported it)
+        from math import erf, sqrt
+        cdf = np.vectorize(lambda v: 0.5 * (1.0 + erf(v / sqrt(2.0))))
+        return x * cdf(x)
 
     state, last = h, last0
     want = np.zeros((B, K), np.int64)
