@@ -94,11 +94,12 @@ class LLMEngine:
         self._swap_pool = None
         if config.scheduler.preemption_mode == "swap":
             from qspec_tpu.core.swap import HostSwapPool
+            from qspec_tpu.ops.kv_cache import (kv_entry_bytes,
+                                                kv_has_scales)
             mc, cc = config.model, config.cache
-            per = 1 if cc.kv_cache_dtype == "int8" else 2
             page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
-                          * mc.head_dim * per)
-            if cc.kv_cache_dtype == "int8":   # per-(head, token) f32 scales
+                          * mc.head_dim * kv_entry_bytes(cc.kv_cache_dtype))
+            if kv_has_scales(cc.kv_cache_dtype):  # per-(head, token) f32
                 page_bytes += 2 * mc.num_layers * cc.page_size * mc.num_kv_heads * 4
             if self.runner.draft_cache is not None:
                 page_bytes *= 2
@@ -162,9 +163,9 @@ class LLMEngine:
             stats = jax.local_devices()[0].memory_stats()
             free = (stats["bytes_limit"] * cc.gpu_memory_utilization
                     - stats["bytes_in_use"])
-            per_entry = 1 if cc.kv_cache_dtype == "int8" else 2
+            from qspec_tpu.ops.kv_cache import kv_entry_bytes
             page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
-                          * mc.head_dim * per_entry)
+                          * mc.head_dim * kv_entry_bytes(cc.kv_cache_dtype))
             n_caches = 2 if (self.spec is not None
                              and not (self._ngram or self._medusa)) else 1
             fit = int(free // (page_bytes * n_caches))

@@ -30,7 +30,7 @@ class KVHandoff:
     first_token: int
     first_logprob: float
     page_size: int
-    kv_dtype: str                       # "bfloat16" | "int8"
+    kv_dtype: str                       # CacheConfig.kv_cache_dtype string
     pages: np.ndarray                   # [L, n_pages, 2, Hkv, S, D]
     scales: Optional[np.ndarray] = None  # [L, n_pages, 2, Hkv, S] (int8)
 

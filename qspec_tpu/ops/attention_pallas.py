@@ -133,7 +133,10 @@ def _paged_attn_kernel(
         # shape needed; leading-index slices are free.
         k = kv_buf[slot, 0]
         v = kv_buf[slot, 1]
-        if quant:
+        if k.dtype != jnp.bfloat16:
+            # int8: integer-valued bf16, per-token scales fold in below;
+            # fp8_e5m2: this astype IS the (scale-free) dequant;
+            # fp8_e4m3: cast + the same scale fold as int8
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
 

@@ -23,11 +23,19 @@ Writes are functional: `update_layer` scatters the new tokens' K/V into
 their slots with a single combined scatter and returns the new array
 (donated under jit, so in-place).
 
-Optional int8 KV quantization (per (head, token) scale, kv_scales
-[L, P, 2, Hkv, S]) mirrors the reference's kv_cache_dtype=int8 /
-fp8-KV option (csrc/cache_kernels.cu conversion path; QServe KV8): the
-Pallas kernel streams int8 pages + scales and folds the scales into
-score space (see attention_pallas.py).
+Optional 8-bit KV quantization mirrors the reference's kv_cache_dtype
+options (csrc/cache_kernels.cu int8/fp8 conversion paths; QServe KV8):
+
+- "int8":     per-(k/v, head, token) f32 scale (kv_scales [L, P, 2, Hkv, S]);
+              the Pallas kernel streams int8 pages + scales and folds the
+              scales into SCORE space (see attention_pallas.py).
+- "fp8_e4m3": same per-token scale plumbing, values stored as
+              float8_e4m3fn (q = x / (absmax/448)) — fp8's non-uniform grid
+              beats int8 near zero at the same byte cost.
+- "fp8_e5m2": scale-FREE direct cast (the reference's fp8_e5m2 default,
+              kv_cache_dtype="fp8"): half the bytes of bf16, no scale
+              arrays, dequant is one astype inside the kernel. e5m2 is
+              bf16-truncated so the cast is exact in exponent range.
 """
 
 from __future__ import annotations
@@ -37,6 +45,22 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+KV_DTYPES = ("bfloat16", "int8", "fp8_e4m3", "fp8_e5m2")
+
+
+def kv_entry_dtype(dtype: str):
+    return {"bfloat16": jnp.bfloat16, "int8": jnp.int8,
+            "fp8_e4m3": jnp.float8_e4m3fn,
+            "fp8_e5m2": jnp.float8_e5m2}[dtype]
+
+
+def kv_entry_bytes(dtype: str) -> int:
+    return 2 if dtype == "bfloat16" else 1
+
+
+def kv_has_scales(dtype: str) -> bool:
+    return dtype in ("int8", "fp8_e4m3")
+
 
 class KVCacheConfig(NamedTuple):
     num_layers: int
@@ -44,7 +68,7 @@ class KVCacheConfig(NamedTuple):
     head_dim: int
     num_pages: int
     page_size: int = 16
-    dtype: str = "bfloat16"  # "bfloat16" | "int8"
+    dtype: str = "bfloat16"  # one of KV_DTYPES
 
 
 class PagedKVCache(NamedTuple):
@@ -73,18 +97,17 @@ class PagedKVCache(NamedTuple):
 def allocate(cfg: KVCacheConfig) -> PagedKVCache:
     shape = (cfg.num_layers, cfg.num_pages, 2, cfg.num_kv_heads, cfg.page_size,
              cfg.head_dim)
-    if cfg.dtype == "int8":
-        return PagedKVCache(
-            kv_pages=jnp.zeros(shape, jnp.int8),
-            kv_scales=jnp.zeros(shape[:-1], jnp.float32),
-        )
-    return PagedKVCache(jnp.zeros(shape, jnp.bfloat16))
+    pages = jnp.zeros(shape, kv_entry_dtype(cfg.dtype))
+    if kv_has_scales(cfg.dtype):
+        return PagedKVCache(kv_pages=pages,
+                            kv_scales=jnp.zeros(shape[:-1], jnp.float32))
+    return PagedKVCache(pages)
 
 
 def kv_cache_bytes(cfg: KVCacheConfig) -> int:
-    per = 1 if cfg.dtype == "int8" else 2
+    per = kv_entry_bytes(cfg.dtype)
     base = 2 * cfg.num_layers * cfg.num_pages * cfg.page_size * cfg.num_kv_heads * cfg.head_dim * per
-    if cfg.dtype == "int8":
+    if kv_has_scales(cfg.dtype):
         base += 2 * cfg.num_layers * cfg.num_pages * cfg.page_size * cfg.num_kv_heads * 4
     return base
 
@@ -118,11 +141,16 @@ def update_layer(cache: PagedKVCache, layer, k_new: jnp.ndarray, v_new: jnp.ndar
     kv_new = jnp.stack([k_new, v_new], axis=1)  # [T, 2, H, D]
 
     if cache.kv_scales is not None:
+        dtype = cache.kv_pages.dtype
+        qmax = 127.0 if dtype == jnp.int8 else 448.0  # e4m3 max normal
         kv_abs = jnp.max(jnp.abs(kv_new.astype(jnp.float32)), axis=-1,
                          keepdims=True)
-        s = jnp.maximum(kv_abs, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(kv_new.astype(jnp.float32) / s),
-                     -128, 127).astype(jnp.int8)
+        s = jnp.maximum(kv_abs, 1e-8) / qmax
+        scaled = kv_new.astype(jnp.float32) / s
+        if dtype == jnp.int8:
+            q = jnp.clip(jnp.round(scaled), -128, 127).astype(jnp.int8)
+        else:                       # fp8_e4m3: the cast itself rounds
+            q = scaled.astype(dtype)
         flat = flat.at[rows].set(q.reshape(-1, D), mode="drop")
         s_flat = cache.kv_scales.reshape(L * P * 2 * H * S)
         s_flat = s_flat.at[rows].set(s.reshape(-1), mode="drop")
@@ -149,4 +177,6 @@ def gather_layer(cache: PagedKVCache, layer: int, block_tables: jnp.ndarray):
         sc = cache.kv_scales[layer][block_tables]
         sc = sc.transpose(2, 0, 3, 1, 4).reshape(2, B, H, P * S, 1)
         kv = (kv.astype(jnp.float32) * sc).astype(jnp.bfloat16)
+    elif kv.dtype != jnp.bfloat16:  # fp8_e5m2: scale-free cast
+        kv = kv.astype(jnp.bfloat16)
     return kv[0], kv[1]

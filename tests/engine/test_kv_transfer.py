@@ -38,7 +38,7 @@ def drain(eng):
     return outs
 
 
-@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8", "fp8_e5m2"])
 def test_disaggregated_prefill_matches_single_engine(setup, kv_dtype):
     mc, params = setup
     rng = np.random.default_rng(9)

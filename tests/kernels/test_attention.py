@@ -111,17 +111,26 @@ def test_padded_prefill_matches_exact(rng):
         np.testing.assert_allclose(o, outs[0], atol=1e-4, rtol=1e-4)
 
 
-def test_int8_kv_cache_roundtrip(rng):
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8_e4m3", "fp8_e5m2"])
+def test_quantized_kv_cache_roundtrip(rng, kv_dtype):
+    """8-bit KV options (reference kv_cache_dtype int8/fp8,
+    csrc/cache_kernels.cu conversion paths): write-quantize via
+    update_layer, read-dequantize via gather_layer."""
     cfg = kvc.KVCacheConfig(num_layers=1, num_kv_heads=2, head_dim=32,
-                            num_pages=4, page_size=4, dtype="int8")
+                            num_pages=4, page_size=4, dtype=kv_dtype)
     cache = kvc.allocate(cfg)
+    assert (cache.kv_scales is not None) == kvc.kv_has_scales(kv_dtype)
     k = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((4, 2, 32)).astype(np.float32), jnp.bfloat16)
     slots = jnp.asarray([4, 5, 6, 7], jnp.int32)
     cache = kvc.update_layer(cache, 0, k, v, slots)
     kd, vd = kvc.gather_layer(cache, 0, jnp.asarray([[1]], jnp.int32))
+    assert kd.dtype == jnp.bfloat16
+    # e5m2 keeps only 2 mantissa bits: widest tolerance of the three
+    tol = dict(int8=(0.03, 0.05), fp8_e4m3=(0.03, 0.07),
+               fp8_e5m2=(0.2, 0.25))[kv_dtype]
     np.testing.assert_allclose(np.asarray(kd[0, :, :4], np.float32).transpose(1, 0, 2),
-                               np.asarray(k, np.float32), atol=0.03, rtol=0.05)
+                               np.asarray(k, np.float32), atol=tol[0], rtol=tol[1])
 
 
 def test_pallas_large_query_blocks(rng):
@@ -142,12 +151,14 @@ def test_pallas_large_query_blocks(rng):
 
 
 @pytest.mark.parametrize("Q", [1, 4])
-def test_pallas_int8_kv_matches_ref(rng, Q):
-    """int8 KV stays on the Pallas fast path: scales stream with the pages
-    and fold into score space (k) / probabilities (v)."""
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8_e4m3", "fp8_e5m2"])
+def test_pallas_quantized_kv_matches_ref(rng, Q, kv_dtype):
+    """8-bit KV stays on the Pallas fast path: int8/fp8_e4m3 stream scales
+    with the pages and fold them into score space (k) / probabilities (v);
+    fp8_e5m2 dequantizes with a bare in-kernel astype."""
     B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
     cfg = kvc.KVCacheConfig(num_layers=1, num_kv_heads=Hkv, head_dim=D,
-                            num_pages=16, page_size=S, dtype="int8")
+                            num_pages=16, page_size=S, dtype=kv_dtype)
     cache = kvc.allocate(cfg)
     # populate via update_layer so quantization matches production writes
     T = 40
@@ -165,8 +176,9 @@ def test_pallas_int8_kv_matches_ref(rng, Q):
     ref = paged_attention_ref(q, cache, 0, block_tables, ctx_lens, scale)
     out = paged_attention_pallas(q, cache.kv_pages, block_tables, ctx_lens,
                                  scale, kv_scales=cache.kv_scales)
+    tol = 8e-2 if kv_dtype == "fp8_e5m2" else 4e-2
     np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32), atol=4e-2, rtol=4e-2)
+                               np.asarray(ref, np.float32), atol=tol, rtol=tol)
 
 
 # -- sliding window (Mistral; reference quarot_llama.py:125-136) ------------

@@ -23,8 +23,11 @@ def setup():
     return mc, params, sched
 
 
-def run_engine(mc, params, sched, spec, prompts, max_tokens=20, temp=0.0):
-    cfg = EngineConfig(model=mc, cache=CacheConfig(page_size=16),
+def run_engine(mc, params, sched, spec, prompts, max_tokens=20, temp=0.0,
+               kv_dtype="bfloat16"):
+    cfg = EngineConfig(model=mc,
+                       cache=CacheConfig(page_size=16,
+                                         kv_cache_dtype=kv_dtype),
                        scheduler=sched, speculative=spec)
     eng = LLMEngine(cfg, params)
     for p in prompts:
@@ -249,3 +252,18 @@ def test_chained_dispatch_equivalence(setup, method):
         if unchained[r] and unchained[r][-1] == 511:
             pytest.skip("stop id sampled; oracle void for this seed")
     assert chained == unchained
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8_e4m3", "fp8_e5m2"])
+def test_greedy_spec_equals_ar_quantized_kv(setup, kv_dtype):
+    """The spec==AR greedy invariant must survive 8-bit KV (reference
+    kv_cache_dtype int8/fp8): quantization changes WHAT both paths compute,
+    but they must still compute the same thing."""
+    mc, params, sched = setup
+    ps = prompts()
+    ar, _ = run_engine(mc, params, sched, None, ps, kv_dtype=kv_dtype)
+    sp, eng = run_engine(mc, params, sched,
+                         SpeculativeConfig(num_speculative_tokens=3), ps,
+                         kv_dtype=kv_dtype)
+    assert ar == sp
+    assert eng.spec_metrics.num_spec_rounds > 0
