@@ -92,6 +92,36 @@ class ModelConfig:
     shared_expert_intermediate_size: int = 0      # 0 -> no shared expert
     moe_norm_topk_prob: bool = False
     moe_softmax_before_topk: bool = False
+    # deepseek-moe variations (reference DeepseekForCausalLM,
+    # models/deepseek.py): the first k layers keep a DENSE MLP
+    # (first_k_dense_replace) — their stack lives in params["layers_dense"]
+    # and runs as a separate scan segment; the shared expert adds its
+    # output directly (no sigmoid gate, unlike qwen2-moe)
+    first_k_dense: int = 0
+    shared_expert_gated: bool = True
+    # cross-encoder sequence-classification head (reference cross-encoder
+    # model class, models/registry.py:142-150 + serving_score.py): >0 adds
+    # params["score_head"] {w: [H, num_labels], b} applied to the pooled
+    # hidden; /v1/score then runs TRUE cross-encoding (query+doc jointly
+    # through the trunk) instead of bi-encoder cosine
+    num_labels: int = 0
+    # pre-RMSNorm GPT-family graph knobs (reference models/{opt,gpt2,
+    # starcoder2,falcon}.py). These serve bf16/grouped-int4 only — the
+    # QuaRot pipeline's norm folding assumes weightless RMSNorm.
+    # "layernorm": mean-subtracting LayerNorm with bias
+    # (params layers.input_norm_b / post_norm_b / final_norm_b)
+    norm_type: str = "rmsnorm"        # "rmsnorm" | "layernorm"
+    # False: non-gated MLP fc1 -> act -> fc2 ("gate_up" holds fc1 [H, I])
+    mlp_gated: bool = True
+    # "learned": trained position table params["pos_embed"] added to the
+    # token embedding (GPT-2/Starcoder2 wpe); "learned_opt": same with
+    # OPT's +2 position offset; rope is skipped for both
+    position_embedding: str = "rope"  # "rope"|"learned"|"learned_opt"
+    # Falcon parallel blocks: x + attn(norm(x)) + mlp(norm(x)) with ONE
+    # shared input norm (reference falcon.py parallel_attn)
+    parallel_block: bool = False
+    # bias on every projection incl. o/down (OPT/GPT-2/Starcoder2)
+    linear_bias: bool = False
 
     @property
     def resolved_lm_head_quant(self) -> str:
@@ -193,6 +223,38 @@ class ModelConfig:
     def from_hf_config(hf: dict) -> "ModelConfig":
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
+        if mt in ("opt", "gpt2", "starcoder2", "falcon"):
+            return ModelConfig._from_gpt_family(mt, hf)
+        if mt == "deepseek":
+            # deepseek-moe V1 (reference models/deepseek.py): llama
+            # attention; MoE on every layer past first_k_dense_replace with
+            # softmax-then-topk routing and UNGATED always-on shared experts
+            # sized n_shared_experts * moe_intermediate_size
+            nh = hf["num_attention_heads"]
+            if hf.get("moe_layer_freq", 1) != 1:
+                raise ValueError("deepseek moe_layer_freq != 1 unsupported")
+            return ModelConfig(
+                arch="deepseek",
+                num_experts=hf["n_routed_experts"],
+                num_experts_per_tok=hf["num_experts_per_tok"],
+                moe_intermediate_size=hf["moe_intermediate_size"],
+                shared_expert_intermediate_size=(
+                    hf.get("n_shared_experts", 0) or 0)
+                * hf["moe_intermediate_size"],
+                shared_expert_gated=False,
+                first_k_dense=hf.get("first_k_dense_replace", 0),
+                moe_softmax_before_topk=True,
+                moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh),
+                head_dim=hf["hidden_size"] // nh,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               4096),
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
         arch = ("qwen3moe" if "qwen3_moe" in mt
                 else "qwen3" if "qwen3" in mt
                 else "qwen2moe" if "qwen2_moe" in mt
@@ -200,7 +262,11 @@ class ModelConfig:
                 else "mixtral" if "mixtral" in mt
                 else "gemma2" if "gemma2" in mt
                 else "gemma" if "gemma" in mt
-                else "granite" if "granite" in mt else "llama")
+                else "granite" if "granite" in mt
+                # baichuan (rope variant) and internlm2 ARE the llama graph;
+                # only their checkpoint key layouts differ (families.py)
+                else "baichuan" if "baichuan" in mt
+                else "internlm2" if "internlm2" in mt else "llama")
         nh = hf["num_attention_heads"]
         gemma = arch in ("gemma", "gemma2")
         gemma2 = arch == "gemma2"
@@ -259,6 +325,80 @@ class ModelConfig:
             sliding_window=hf.get("sliding_window"),
         )
 
+    @staticmethod
+    def _from_gpt_family(mt: str, hf: dict) -> "ModelConfig":
+        """Pre-RMSNorm families (reference models/{opt,gpt2,starcoder2,
+        falcon}.py): LayerNorm / non-gated MLP / learned-position /
+        parallel-block graph knobs instead of per-family module trees."""
+        if mt == "opt":
+            nh = hf["num_attention_heads"]
+            if not hf.get("do_layer_norm_before", True):
+                raise ValueError("OPT post-LayerNorm (350m) not supported")
+            return ModelConfig(
+                arch="opt", norm_type="layernorm", mlp_gated=False,
+                position_embedding="learned_opt", parallel_block=False,
+                linear_bias=hf.get("enable_bias", True),
+                hidden_act=hf.get("activation_function", "relu"),
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["ffn_dim"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=nh, head_dim=hf["hidden_size"] // nh,
+                max_position_embeddings=hf.get("max_position_embeddings", 2048),
+                rms_norm_eps=1e-5, quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", True))
+        if mt == "gpt2":
+            nh = hf["n_head"]
+            return ModelConfig(
+                arch="gpt2", norm_type="layernorm", mlp_gated=False,
+                position_embedding="learned", linear_bias=True,
+                hidden_act=hf.get("activation_function", "gelu_new"),
+                vocab_size=hf["vocab_size"], hidden_size=hf["n_embd"],
+                intermediate_size=hf.get("n_inner") or 4 * hf["n_embd"],
+                num_layers=hf["n_layer"], num_heads=nh, num_kv_heads=nh,
+                head_dim=hf["n_embd"] // nh,
+                max_position_embeddings=hf.get("n_positions", 1024),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=True)
+        if mt == "starcoder2":
+            nh = hf["num_attention_heads"]
+            return ModelConfig(
+                arch="starcoder2", norm_type="layernorm", mlp_gated=False,
+                linear_bias=hf.get("use_bias", True),
+                hidden_act="gelu_tanh",
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh),
+                head_dim=hf["hidden_size"] // nh,
+                rope_theta=hf.get("rope_theta", 100000.0),
+                sliding_window=hf.get("sliding_window"),
+                max_position_embeddings=hf.get("max_position_embeddings", 4096),
+                rms_norm_eps=hf.get("norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", True))
+        # falcon: parallel blocks, fused qkv, gelu MLP of width 4H
+        nh = hf["num_attention_heads"]
+        if not hf.get("parallel_attn", True) or hf.get("alibi"):
+            raise ValueError("falcon non-parallel / alibi variants not "
+                             "supported")
+        nkv = (hf.get("num_kv_heads", nh)
+               if hf.get("new_decoder_architecture") else
+               (1 if hf.get("multi_query", True) else nh))
+        return ModelConfig(
+            arch="falcon", norm_type="layernorm", mlp_gated=False,
+            parallel_block=True, linear_bias=False,
+            hidden_act="gelu",
+            vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+            intermediate_size=hf.get("ffn_hidden_size", 4 * hf["hidden_size"]),
+            num_layers=hf["num_hidden_layers"], num_heads=nh,
+            num_kv_heads=nkv, head_dim=hf["hidden_size"] // nh,
+            rope_theta=hf.get("rope_theta", 10000.0),
+            max_position_embeddings=hf.get("max_position_embeddings", 2048),
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            quant="none", weightless_norm=False,
+            tie_word_embeddings=hf.get("tie_word_embeddings", True))
+
 
 @dataclasses.dataclass(frozen=True)
 class CacheConfig:
@@ -269,7 +409,7 @@ class CacheConfig:
     # ~180 GB/s at 16-token pages on v5e). 16 is fine for CPU tests.
     page_size: int = 128
     num_pages: Optional[int] = None      # None -> derive from memory fraction
-    kv_cache_dtype: str = "bfloat16"     # "bfloat16" | "int8"
+    kv_cache_dtype: str = "bfloat16"     # "bfloat16"|"int8"|"fp8_e4m3"|"fp8_e5m2"
     enable_prefix_caching: bool = True
     gpu_memory_utilization: float = 0.9  # kept name-compatible; means HBM here
     # host RAM budget for swap-mode preemption (reference swap_space,

@@ -14,6 +14,23 @@ from qspec_tpu.engine.llm_engine import LLMEngine, RequestOutput
 from qspec_tpu.sampling_params import SamplingParams
 
 
+def cross_encoder_score(head, pooled) -> float:
+    """Sequence-classification head over a pooled hidden state (reference
+    cross-encoder pooling, serving_score.py): sigmoid for a 1-logit head,
+    probability of the last label for a softmax head."""
+    import math
+
+    import numpy as np
+    w = np.asarray(head["w"], np.float32)
+    logits = np.asarray(pooled, np.float32) @ w
+    if "b" in head:
+        logits = logits + np.asarray(head["b"], np.float32)
+    if logits.shape[-1] == 1:
+        return float(1.0 / (1.0 + math.exp(-float(logits[0]))))
+    e = np.exp(logits - logits.max())
+    return float((e / e.sum())[-1])
+
+
 class LLM:
     def __init__(self, model: str = "tiny", params=None, mesh=None,
                  tokenizer=None, seed: int = 0, draft_model: Optional[str] = None,
@@ -75,7 +92,17 @@ class LLM:
                     except KeyError:  # float checkpoint: quantize offline
                         params, cfg = quantize_float(model, cfg)
                 else:
-                    params, cfg = load_hf_float(model, cfg)
+                    from qspec_tpu.model_loader.families import (
+                        CONVERTERS, load_family_float)
+                    if cfg.arch in CONVERTERS:
+                        # non-llama checkpoint layouts (OPT/GPT-2/
+                        # starcoder2/falcon/baichuan/internlm2/deepseek)
+                        from qspec_tpu.model_loader.loader import (
+                            _read_safetensors)
+                        params, cfg = load_family_float(
+                            _read_safetensors(model), cfg)
+                    else:
+                        params, cfg = load_hf_float(model, cfg)
                 self.engine_config = self.engine_config.__class__(
                     **{**self.engine_config.__dict__, "model": cfg})
             else:
@@ -202,6 +229,33 @@ class LLM:
                 if out.finished:
                     results[out.request_id] = out
         return [results[i].embedding for i in ids]
+
+    def score(self, text_1, text_2s: Sequence) -> List[float]:
+        """Relevance of each text_2 to text_1 (reference LLM.score /
+        serving_score.py). With a cross-encoder checkpoint
+        (ModelConfig.num_labels > 0 -> params["score_head"], the reference's
+        cross-encoder model class, models/registry.py:142-150) each
+        (text_1, text_2) pair is encoded JOINTLY through the trunk and the
+        classification head maps the pooled hidden to a score (sigmoid for
+        num_labels == 1, last-label softmax otherwise). Without a head the
+        score falls back to bi-encoder cosine over pooled embeddings."""
+        head = self.llm_engine.runner.params.get("score_head")
+        if head is None:
+            import math
+            embs = self.embed([text_1] + list(text_2s))
+            e1, rest = embs[0], embs[1:]
+
+            def cos(a, b):
+                num = sum(float(x) * float(y) for x, y in zip(a, b))
+                da = math.sqrt(sum(float(x) ** 2 for x in a))
+                db = math.sqrt(sum(float(y) ** 2 for y in b))
+                return num / max(da * db, 1e-9)
+
+            return [cos(e1, e) for e in rest]
+        t1 = self._encode(text_1)
+        pairs = [t1 + self._encode(t2) for t2 in text_2s]
+        pooled = self.embed(pairs)
+        return [cross_encoder_score(head, e) for e in pooled]
 
     def beam_search(self, prompts: Sequence[Union[str, List[int]]],
                     params=None):

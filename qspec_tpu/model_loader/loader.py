@@ -22,6 +22,7 @@ Three sources:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -60,7 +61,14 @@ def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
 
 def config_from_hf_dir(path: str) -> ModelConfig:
     with open(os.path.join(path, "config.json")) as f:
-        return ModelConfig.from_hf_config(json.load(f))
+        hf = json.load(f)
+    if hf.get("architectures"):
+        # architectures strings carry information model_type lacks (e.g.
+        # BaiChuan vs Baichuan rope/alibi split) — route through the
+        # registry when present
+        from qspec_tpu.models.registry import resolve
+        return resolve(hf)
+    return ModelConfig.from_hf_config(hf)
 
 
 def _common(cfg: ModelConfig, dtype=jnp.bfloat16):
@@ -183,6 +191,21 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
     return params, cfg
 
 
+def _score_head(sd, xform):
+    """Extract an HF sequence-classification head if present ("score.weight"
+    llama-style / "classifier.weight" bert-style, [num_labels, H]); xform
+    maps [H, num_labels] into the model's final-hidden basis."""
+    for key in ("score.weight", "classifier.weight"):
+        if key in sd:
+            w = np.asarray(sd[key], np.float32).T  # [H, num_labels]
+            head = {"w": jnp.asarray(xform(w), jnp.float32)}
+            bkey = key[:-6] + "bias"
+            if bkey in sd:
+                head["b"] = jnp.asarray(np.asarray(sd[bkey], np.float32))
+            return head
+    return None
+
+
 def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                    tp_size: int = 1, seed: int = 0, dtype=jnp.bfloat16,
                    bits: Optional[int] = 4):
@@ -209,6 +232,11 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         if cfg is None:
             cfg = config_from_hf_dir(path_or_sd)
         sd = _read_safetensors(path_or_sd)
+    from qspec_tpu.model_loader.families import LLAMA_KEY_REMAPS
+    if cfg.arch in LLAMA_KEY_REMAPS:
+        # baichuan/internlm2 ARE the llama graph under other key names:
+        # remap, then the full QuaRot rotate+quantize pipeline applies
+        sd = LLAMA_KEY_REMAPS[cfg.arch](sd, cfg)
     if cfg.post_norms:
         raise ValueError(
             "QuaRot rotation folds norm gammas into adjacent projections; "
@@ -361,6 +389,15 @@ def quantize_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         "hadamards": make_hadamards(cfg),
         **_common(cfg),
     }
+    # cross-encoder classification head (reference cross-encoder classes,
+    # models/registry.py:142-150): like lm_head, the head consumes the
+    # final hidden, so it picks up the folded final-norm gamma and the
+    # residual rotation (w' = Q^T (gamma * w))
+    head = _score_head(sd, lambda w: Q.T @ (gfin[:, None] * w))
+    if head is not None:
+        params["score_head"] = head
+        cfg = dataclasses.replace(cfg,
+                                  num_labels=int(head["w"].shape[1]))
     return params, cfg
 
 
@@ -428,4 +465,9 @@ def load_qspec(path: str, cfg: Optional[ModelConfig] = None, tp_size: int = 1,
         "hadamards": make_hadamards(cfg),
         **_common(cfg),
     }
+    head = _score_head(sd, lambda w: w)
+    if head is not None:
+        params["score_head"] = head
+        cfg = dataclasses.replace(cfg,
+                                  num_labels=int(head["w"].shape[1]))
     return params, cfg

@@ -118,8 +118,26 @@ def _linear(x, w, scheme, xq=None, li=None):
     return out
 
 
-def _norm_maybe_quant(x, gamma, eps, scheme):
+def layernorm(x, gamma, beta, eps):
+    """Mean-subtracting LayerNorm with optional bias (OPT/GPT-2/Starcoder2
+    pre-RMSNorm families; reference models/opt.py et al. use nn.LayerNorm).
+    XLA fuses this chain; no Pallas needed at bf16."""
+    x32 = x.astype(jnp.float32)
+    xc = x32 - jnp.mean(x32, axis=-1, keepdims=True)
+    n = xc * jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + eps)
+    out = n * gamma.astype(jnp.float32)
+    if beta is not None:
+        out = out + beta.astype(jnp.float32)
+    return out.astype(jnp.bfloat16)
+
+
+def _norm_maybe_quant(x, gamma, eps, scheme, beta=None, norm_type="rmsnorm"):
     """Returns (normed bf16 or None, quantized or None)."""
+    if norm_type == "layernorm":
+        # LayerNorm families serve bf16/w4g only (no QuaRot folding), so
+        # the fused norm->quant path never applies
+        assert scheme not in QUANT_ACT_SCHEMES
+        return layernorm(x, gamma, beta, eps), None
     if scheme in QUANT_ACT_SCHEMES:
         bits = 4 if scheme == "w4a4" else 8
         if gamma is None:
@@ -134,6 +152,21 @@ def _act_quant(x, scheme):
     (reference Quantizer: quarot fuse_sym_quant / _i8)."""
     from qspec_tpu.ops.quant import sym_quant_int8
     return sym_quant_int4(x) if scheme == "w4a4" else sym_quant_int8(x)
+
+
+def _plain_act(x, hidden_act: str):
+    """Non-gated MLP activation (OPT relu, GPT-2 gelu_new, Starcoder2 /
+    Falcon gelu)."""
+    x32 = x.astype(jnp.float32)
+    if hidden_act == "relu":
+        a = jax.nn.relu(x32)
+    elif hidden_act == "gelu":
+        a = jax.nn.gelu(x32, approximate=False)
+    elif hidden_act in ("gelu_tanh", "gelu_new"):
+        a = jax.nn.gelu(x32, approximate=True)
+    else:
+        a = jax.nn.silu(x32)
+    return a.astype(jnp.bfloat16)
 
 
 def _glu_act(gate, up, hidden_act: str):
@@ -259,16 +292,21 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
         se = _expert_mlp(layers["shared_gate_up"], layers["shared_down"], li,
                          hadamards["shared_K"] if quarot else None,
                          hadamards["shared_P"] if quarot else None)
-        sgate = jax.nn.sigmoid(jnp.dot(
-            x_fp, layers["shared_gate"][li].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32))               # [T, 1]
-        delta = delta + sgate * se.astype(jnp.float32) / ntp
+        if cfg.shared_expert_gated:
+            sgate = jax.nn.sigmoid(jnp.dot(
+                x_fp, layers["shared_gate"][li].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32))           # [T, 1]
+            delta = delta + sgate * se.astype(jnp.float32) / ntp
+        else:
+            # deepseek shared experts add their output directly (reference
+            # deepseek.py DeepseekMoE: no gate on shared_experts)
+            delta = delta + se.astype(jnp.float32) / ntp
     return delta
 
 
 def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
                   rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
-                  lora=None, lora_ids=None):
+                  lora=None, lora_ids=None, weight_idx=None):
     """One decoder layer. x: [T, hidden] bf16 (replicated across the model
     axis); ``layers`` is the layer-STACKED param dict (leaves [L, ...]) and
     ``layer_idx`` selects both the weight layer (in-kernel, no slab copy)
@@ -278,10 +316,19 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     """
     B, Q = batch.positions.shape
     T = B * Q
-    li = layer_idx
+    # weight_idx: index into THIS stacked tree when it is a segment of the
+    # model (deepseek's dense-prefix/moe-rest split scans); layer_idx stays
+    # the GLOBAL layer for the KV cache and sliding-window alternation
+    li = layer_idx if weight_idx is None else weight_idx
     quarot = cfg.quant == "w4"
     gamma_in = None if quarot else layers["input_norm"][li]
-    gamma_post = None if quarot else layers["post_norm"][li]
+    # falcon parallel blocks have no post-attention norm at all
+    gamma_post = (None if quarot or cfg.parallel_block
+                  else layers["post_norm"][li])
+    beta_in = (layers["input_norm_b"][li]
+               if "input_norm_b" in layers else None)
+    beta_post = (layers["post_norm_b"][li]
+                 if "post_norm_b" in layers else None)
 
     def _maybe_lora(name, x_fp, out):
         """Add the per-token LoRA delta (see qspec_tpu/lora/layers.py).
@@ -343,11 +390,12 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     window = cfg.sliding_window
     if window is not None and cfg.sliding_window_pattern > 1:
         from qspec_tpu.ops.attention_pallas import NO_WINDOW
-        window = jnp.where(li % cfg.sliding_window_pattern == 0,
+        window = jnp.where(layer_idx % cfg.sliding_window_pattern == 0,
                            window, NO_WINDOW)
 
     # --- attention block ---
-    xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme)
+    xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme,
+                               beta=beta_in, norm_type=cfg.norm_type)
     qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
     if lora is not None:
         qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
@@ -362,7 +410,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
         q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
         k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache)
+    if cfg.position_embedding == "rope":
+        q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache)
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
 
@@ -416,10 +465,17 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         # granite scales every block output before the residual add
         # (reference granite.py GraniteDecoderLayer residual_multiplier)
         o = o * cfg.residual_multiplier
-    x = x + o.astype(x.dtype)
 
     # --- mlp block ---
-    xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme)
+    if cfg.parallel_block:
+        # falcon parallel layout (reference falcon.py parallel_attn): the
+        # MLP reads the SAME normed input as attention; both residuals add
+        # at the block end. `o` is held back until then.
+        pass
+    else:
+        x = x + o.astype(x.dtype)
+        xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme,
+                                   beta=beta_post, norm_type=cfg.norm_type)
     if cfg.num_experts:
         delta = _moe_block(xn, xq, layers, li, cfg, scheme, hadamards,
                            axis_name)
@@ -432,9 +488,14 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     gate_up = _linear(xn, layers["gate_up"], scheme, xq, li)  # [T, 2*I/ntp]
     if lora is not None:
         gate_up = _maybe_lora("gate_up", _fp_input(xn, xq), gate_up)
-    i_local = gate_up.shape[-1] // 2
-    gate, up = gate_up[:, :i_local], gate_up[:, i_local:]
-    act = _glu_act(gate, up, cfg.hidden_act)
+    if cfg.mlp_gated:
+        i_local = gate_up.shape[-1] // 2
+        gate, up = gate_up[:, :i_local], gate_up[:, i_local:]
+        act = _glu_act(gate, up, cfg.hidden_act)
+    else:
+        # non-gated fc1 -> act -> fc2 (OPT/GPT-2/Starcoder2/Falcon;
+        # "gate_up" holds fc1 [H, I])
+        act = _plain_act(gate_up, cfg.hidden_act)
 
     if quarot:
         if axis_name is not None and ntp > 1:
@@ -465,7 +526,10 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                        layers["post_ffw_norm"][li], eps=cfg.rms_norm_eps)
     if cfg.residual_multiplier != 1.0:
         down = down * cfg.residual_multiplier
-    x = x + down.astype(x.dtype)
+    if cfg.parallel_block:
+        x = x + o.astype(x.dtype) + down.astype(x.dtype)
+    else:
+        x = x + down.astype(x.dtype)
     return x, cache
 
 
@@ -519,6 +583,13 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
             x = jnp.where(keep, ie, x)
         else:
             x = ie
+    if cfg.position_embedding in ("learned", "learned_opt"):
+        # trained position table (GPT-2/Starcoder2 wpe; OPT keeps a legacy
+        # +2 offset, reference opt.py OPTLearnedPositionalEmbedding)
+        pos = batch.positions.reshape(-1)
+        if cfg.position_embedding == "learned_opt":
+            pos = pos + 2
+        x = x + params["pos_embed"][pos].astype(x.dtype)
 
     rope_cache = params["rope_cache"]
     hadamards = params.get("hadamards")
@@ -546,6 +617,35 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
 
         (x, cache), _ = jax.lax.scan(
             body, (x, cache), (params["lora"]["layers"], layer_ids))
+    elif cfg.num_experts and cfg.first_k_dense:
+        # deepseek: the first k layers are DENSE (first_k_dense_replace,
+        # reference deepseek.py) — two scan segments over two stacked trees
+        # keeps every stack uniform with zero padding weights; the KV cache
+        # still indexes by the GLOBAL layer id
+        import dataclasses as _dc
+        dense_cfg = _dc.replace(cfg, num_experts=0)
+        kd = cfg.first_k_dense
+
+        def body_dense(carry, li):
+            x, cache = carry
+            x, cache = decoder_layer(x, params["layers_dense"], cache, li,
+                                     dense_cfg, batch, rope_cache, hadamards,
+                                     scheme, axis_name)
+            return (x, cache), None
+
+        (x, cache), _ = jax.lax.scan(body_dense, (x, cache), layer_ids[:kd])
+
+        def body_moe(carry, xs):
+            x, cache = carry
+            li, wi = xs
+            x, cache = decoder_layer(x, layers, cache, li, cfg, batch,
+                                     rope_cache, hadamards, scheme,
+                                     axis_name, weight_idx=wi)
+            return (x, cache), None
+
+        (x, cache), _ = jax.lax.scan(
+            body_moe, (x, cache),
+            (layer_ids[kd:], jnp.arange(L - kd, dtype=jnp.int32)))
     else:
         def body(carry, li):
             x, cache = carry
@@ -555,21 +655,26 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
 
         (x, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)
 
+    def _final_norm(h):
+        if cfg.quant == "w4":
+            return rmsnorm(h, None, eps=cfg.rms_norm_eps)
+        if cfg.norm_type == "layernorm":
+            return layernorm(h, params["final_norm"],
+                             params.get("final_norm_b"), cfg.rms_norm_eps)
+        return rmsnorm(h, params["final_norm"], eps=cfg.rms_norm_eps)
+
     hidden_full = None
     if return_hidden == "all":
         # post-final-norm hidden at EVERY position (eagle prefill needs the
         # whole span) while logits still honour logits_indices
-        gamma_f = None if cfg.quant == "w4" else params["final_norm"]
-        hidden_full = rmsnorm(x, gamma_f,
-                              eps=cfg.rms_norm_eps).reshape(B, Q, -1)
+        hidden_full = _final_norm(x).reshape(B, Q, -1)
 
     if logits_indices is not None:
         flat = logits_indices + jnp.arange(B) * Q
         x = x[flat]
         Q = 1
 
-    gamma = None if cfg.quant == "w4" else params["final_norm"]
-    x = rmsnorm(x, gamma, eps=cfg.rms_norm_eps)
+    x = _final_norm(x)
     logits = compute_logits(x, params["lm_head"])
     if cfg.final_logit_softcap:
         # gemma2 final-logit softcapping (reference gemma2.py
@@ -814,13 +919,14 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
                 jax.tree.map(lambda *xs: jnp.stack(xs), *dn))
 
     layers = []
-    for _ in range(cfg.num_layers):
+    layers_dense = []
+    for _li in range(cfg.num_layers):
         layer = {
             "qkv": make_proj(H, cfg.qkv_out, bias=cfg.qkv_bias,
                              col_blocks=(cfg.q_size, cfg.kv_size, cfg.kv_size)),
             "o": make_proj(cfg.q_size, H, shard_in=True),
         }
-        if cfg.num_experts:
+        if cfg.num_experts and _li >= cfg.first_k_dense:
             layer["router"] = jnp.asarray(dense(H, cfg.num_experts), dtype)
             layer["experts_gate_up"], layer["experts_down"] = make_experts()
             if cfg.shared_expert_intermediate_size:
@@ -830,20 +936,38 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
                     dtype=dtype)
                 layer["shared_down"] = pack_proj_weight(
                     dense(Is, H), cfg.quant, shard_in=True, dtype=dtype)
-                layer["shared_gate"] = jnp.asarray(dense(H, 1), dtype)
-        else:
+                if cfg.shared_expert_gated:
+                    layer["shared_gate"] = jnp.asarray(dense(H, 1), dtype)
+        elif cfg.mlp_gated:
             layer["gate_up"] = make_proj(H, 2 * I, col_blocks=(I, I))
             layer["down"] = make_proj(I, H, shard_in=True)
+        else:
+            layer["gate_up"] = make_proj(H, I, bias=cfg.linear_bias)
+            layer["down"] = make_proj(I, H, shard_in=True,
+                                      bias=cfg.linear_bias)
+        if cfg.linear_bias:
+            layer["qkv"] = make_proj(H, cfg.qkv_out, bias=True,
+                                     col_blocks=(cfg.q_size, cfg.kv_size,
+                                                 cfg.kv_size))
+            layer["o"] = make_proj(cfg.q_size, H, shard_in=True, bias=True)
         if cfg.quant != "w4":
             layer["input_norm"] = jnp.ones((H,), dtype)
-            layer["post_norm"] = jnp.ones((H,), dtype)
+            if not cfg.parallel_block:
+                layer["post_norm"] = jnp.ones((H,), dtype)
+            if cfg.norm_type == "layernorm":
+                layer["input_norm_b"] = jnp.zeros((H,), dtype)
+                if not cfg.parallel_block:
+                    layer["post_norm_b"] = jnp.zeros((H,), dtype)
             if cfg.post_norms:
                 layer["post_attn_norm"] = jnp.ones((H,), dtype)
                 layer["post_ffw_norm"] = jnp.ones((H,), dtype)
         if cfg.qk_norm:  # live in every quant mode (post-projection gammas)
             layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
             layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
-        layers.append(layer)
+        if cfg.num_experts and _li < cfg.first_k_dense:
+            layers_dense.append(layer)
+        else:
+            layers.append(layer)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
     params = {
@@ -853,8 +977,24 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
         "rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
                                       cfg.rope_theta, rope_scaling=cfg.rope_scaling),
     }
+    if layers_dense:
+        params["layers_dense"] = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                              *layers_dense)
     if cfg.quant == "w4":
         params["hadamards"] = make_hadamards(cfg)
     else:
         params["final_norm"] = jnp.ones((H,), dtype)
+        if cfg.norm_type == "layernorm":
+            params["final_norm_b"] = jnp.zeros((H,), dtype)
+    if cfg.position_embedding in ("learned", "learned_opt"):
+        extra = 2 if cfg.position_embedding == "learned_opt" else 0
+        params["pos_embed"] = jnp.asarray(
+            dense(cfg.max_position_embeddings + extra, H), dtype)
+    if cfg.num_labels:
+        # cross-encoder sequence-classification head over the pooled hidden
+        # (reference cross-encoder model class, models/registry.py:142-150)
+        params["score_head"] = {
+            "w": jnp.asarray(dense(H, cfg.num_labels), jnp.float32),
+            "b": jnp.zeros((cfg.num_labels,), jnp.float32),
+        }
     return params

@@ -325,3 +325,42 @@ def test_score_endpoint(server):
         assert r.status == 400
 
     _run(server, body)
+
+
+def test_score_endpoint_cross_encoder():
+    """/v1/score with a cross-encoder checkpoint (params["score_head"],
+    reference serving_score.py + cross-encoder registry classes): each
+    (text_1, text_2) pair is encoded JOINTLY through the trunk — the score
+    must equal head(pooled(concat(t1, t2))), not any bi-encoder cosine."""
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.llm import LLM, cross_encoder_score
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from qspec_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(quant="w4", num_labels=1)
+    params = init_params(cfg, seed=0)
+    tok = FakeTokenizer()
+    args = EngineArgs(model="tiny", max_model_len=256, max_num_seqs=4)
+    server = build_server(args, model_name="xenc", params=params,
+                          tokenizer=tok)
+
+    # expected: joint pass through an identically-built offline engine
+    ref_llm = LLM(model="tiny", params=params, tokenizer=tok,
+                  max_model_len=256, max_num_seqs=4)
+    t1, t2 = "the quick brown fox", "jumped over"
+    want = ref_llm.score(t1, [t2])[0]
+    pair = tok.encode(t1) + tok.encode(t2)
+    pooled = ref_llm.embed([pair])[0]
+    assert want == pytest.approx(cross_encoder_score(
+        params["score_head"], pooled), abs=1e-5)
+    assert 0.0 < want < 1.0    # sigmoid of a single-logit head
+
+    async def body(client):
+        r = await client.post("/v1/score",
+                              json={"text_1": t1, "text_2": [t2]})
+        assert r.status == 200, await r.text()
+        data = (await r.json())["data"]
+        assert data[0]["score"] == pytest.approx(want, abs=1e-5)
+
+    _run(server, body)

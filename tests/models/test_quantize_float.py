@@ -111,3 +111,47 @@ def test_w4a8_correlated(rng):
     w4a4 = run_ours(params, cfg, tokens, "w4a4")
     corr44 = np.corrcoef(ref.ravel(), w4a4.ravel())[0, 1]
     assert corr >= corr44 - 0.02
+
+
+def test_score_head_rotated_matches_float(rng):
+    """A sequence-classification head in the checkpoint ("score.weight",
+    cross-encoder ingestion) gets the lm_head treatment — folded final-norm
+    gamma + residual rotation — so head(pooled) from the quantized model
+    must track hf_final_hidden @ W_score^T from the float one."""
+    hf, _, _ = build()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    torch.manual_seed(1)
+    w = torch.randn(3, 128) * 0.05          # [num_labels, H]
+    sd["score.weight"] = w.numpy()
+    sd["score.bias"] = (torch.randn(3) * 0.01).numpy()
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=448,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                      rope_theta=10000.0, max_position_embeddings=128)
+    params, qcfg = quantize_float(sd, cfg)
+    assert qcfg.num_labels == 3
+    assert params["score_head"]["w"].shape == (128, 3)
+
+    tokens = rng.integers(1, 256, size=12).tolist()
+    T = len(tokens)
+    kv_cfg = kvc.KVCacheConfig(num_layers=cfg.num_layers,
+                               num_kv_heads=cfg.num_kv_heads,
+                               head_dim=cfg.head_dim, num_pages=8,
+                               page_size=16)
+    cache = kvc.allocate(kv_cfg)
+    batch = AttentionBatch(
+        positions=jnp.arange(T, dtype=jnp.int32)[None, :],
+        slot_mapping=(jnp.arange(T, dtype=jnp.int32) + 16)[None, :],
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        ctx_lens=jnp.asarray([T], jnp.int32))
+    _, hidden, _ = model_forward(params, qcfg,
+                                 jnp.asarray(np.asarray(tokens)[None]),
+                                 cache, batch, scheme="w4a16",
+                                 return_hidden=True)
+    got = (np.asarray(hidden[0, -1], np.float32)
+           @ np.asarray(params["score_head"]["w"], np.float32)
+           + np.asarray(params["score_head"]["b"], np.float32))
+
+    with torch.no_grad():
+        hf_h = hf.model(torch.tensor([tokens])).last_hidden_state[0, -1]
+        want = (hf_h @ w.T + torch.tensor(sd["score.bias"])).numpy()
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
