@@ -1,0 +1,374 @@
+"""Float state-dict converters for non-llama-keyed model families.
+
+The llama-keyed families (llama/qwen/mistral/gemma/phi3/granite/...) load
+through model_loader.loader.load_hf_float; the families here use different
+checkpoint layouts — GPT-2's Conv1D orientation, OPT's decoder.* prefix,
+Falcon's fused query_key_value, Baichuan's W_pack, InternLM2's interleaved
+wqkv — and are translated into the SAME param tree the engine serves
+(models/llama.py model_forward with the norm_type / mlp_gated /
+position_embedding / parallel_block graph knobs from ModelConfig).
+
+Reference model files: vllm/model_executor/models/{opt,gpt2,starcoder2,
+falcon,baichuan,internlm2}.py — each reference file is a full torch module;
+here a family is a config translation (models/registry.py) plus this
+state-dict mapping, because the TPU graph is a single parameterized
+function rather than a module tree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qspec_tpu.config import ModelConfig
+
+
+def _t(sd, name):
+    return np.asarray(sd[name], np.float32).T
+
+
+def _arr(sd, name):
+    return np.asarray(sd[name], np.float32)
+
+
+def _stack(layers):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _finish(params, cfg: ModelConfig, dtype):
+    from qspec_tpu.ops.rotary import make_rope_cache
+    params["rope_cache"] = make_rope_cache(
+        cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta,
+        rope_scaling=cfg.rope_scaling)
+    return params
+
+
+def convert_opt(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """OPT (reference vllm/model_executor/models/opt.py): decoder.* prefix,
+    learned positions with the +2 offset table, pre-LayerNorm, ReLU fc MLP,
+    biases everywhere, tied lm_head."""
+    pre = "model.decoder."
+    if pre + "project_in.weight" in sd:
+        raise ValueError("OPT word_embed_proj_dim != hidden_size (350m "
+                         "layout) is not supported")
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}layers.{i}."
+        qkv_w = np.concatenate([_t(sd, p + f"self_attn.{n}_proj.weight")
+                                for n in ("q", "k", "v")], axis=1)
+        qkv_b = np.concatenate([_arr(sd, p + f"self_attn.{n}_proj.bias")
+                                for n in ("q", "k", "v")])
+        layers.append({
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.out_proj.weight"), dtype),
+                  "b": jnp.asarray(_arr(sd, p + "self_attn.out_proj.bias"), dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "fc1.weight"), dtype),
+                        "b": jnp.asarray(_arr(sd, p + "fc1.bias"), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "fc2.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "fc2.bias"), dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "self_attn_layer_norm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "self_attn_layer_norm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "final_layer_norm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "final_layer_norm.bias"), dtype),
+        })
+    embed = _arr(sd, pre + "embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "pos_embed": jnp.asarray(_arr(sd, pre + "embed_positions.weight"),
+                                 dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "final_layer_norm.weight"),
+                                  dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "final_layer_norm.bias"),
+                                    dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_gpt2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """GPT-2 (reference models/gpt2.py): transformer.* prefix, Conv1D
+    weights already [in, out] (no transpose), fused c_attn = [q|k|v],
+    learned wpe positions, gelu_new fc MLP, tied head."""
+    pre = "transformer."
+
+    def conv(name):  # Conv1D: stored [in, out]
+        return np.asarray(sd[name], np.float32)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(conv(p + "attn.c_attn.weight"), dtype),
+                    "b": jnp.asarray(_arr(sd, p + "attn.c_attn.bias"), dtype)},
+            "o": {"w": jnp.asarray(conv(p + "attn.c_proj.weight"), dtype),
+                  "b": jnp.asarray(_arr(sd, p + "attn.c_proj.bias"), dtype)},
+            "gate_up": {"w": jnp.asarray(conv(p + "mlp.c_fc.weight"), dtype),
+                        "b": jnp.asarray(_arr(sd, p + "mlp.c_fc.bias"), dtype)},
+            "down": {"w": jnp.asarray(conv(p + "mlp.c_proj.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.c_proj.bias"), dtype)},
+            "input_norm": jnp.asarray(_arr(sd, p + "ln_1.weight"), dtype),
+            "input_norm_b": jnp.asarray(_arr(sd, p + "ln_1.bias"), dtype),
+            "post_norm": jnp.asarray(_arr(sd, p + "ln_2.weight"), dtype),
+            "post_norm_b": jnp.asarray(_arr(sd, p + "ln_2.bias"), dtype),
+        })
+    embed = _arr(sd, pre + "wte.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "pos_embed": jnp.asarray(_arr(sd, pre + "wpe.weight"), dtype),
+        "lm_head": pack_lm_head(embed.T, cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_starcoder2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Starcoder2 (reference models/starcoder2.py): llama-style keys with
+    biases, LayerNorm, non-gated c_fc/c_proj gelu MLP, rope, GQA."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        qkv_w = np.concatenate([_t(sd, p + f"self_attn.{n}_proj.weight")
+                                for n in ("q", "k", "v")], axis=1)
+        qkv_b = np.concatenate([_arr(sd, p + f"self_attn.{n}_proj.bias")
+                                for n in ("q", "k", "v")])
+        layers.append({
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"), dtype),
+                  "b": jnp.asarray(_arr(sd, p + "self_attn.o_proj.bias"), dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.c_fc.weight"), dtype),
+                        "b": jnp.asarray(_arr(sd, p + "mlp.c_fc.bias"), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.c_proj.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.c_proj.bias"), dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, "model.norm.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_falcon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Falcon (reference models/falcon.py): parallel attention+MLP blocks
+    with ONE input LayerNorm, fused query_key_value, gelu MLP, rope.
+
+    Fused-QKV layouts: multi_query (7B) stores [q_heads..., k, v] — already
+    our q|k|v order; new_decoder_architecture (40B/180B) interleaves per kv
+    group ([g, q_per_group + 2, dh]) and is de-interleaved here."""
+    pre = "transformer."
+    nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        w = _t(sd, p + "self_attention.query_key_value.weight")  # [H, out]
+        if nkv not in (1, nh):
+            # new-decoder GQA interleave: [nkv, q_per_group + 2, dh]
+            grouped = w.reshape(w.shape[0], nkv, nh // nkv + 2, dh)
+            q = grouped[:, :, :-2].reshape(w.shape[0], nh * dh)
+            k = grouped[:, :, -2].reshape(w.shape[0], nkv * dh)
+            v = grouped[:, :, -1].reshape(w.shape[0], nkv * dh)
+            w = np.concatenate([q, k, v], axis=1)
+        ln_w = sd.get(p + "input_layernorm.weight",
+                      sd.get(p + "ln_attn.weight"))
+        ln_b = sd.get(p + "input_layernorm.bias", sd.get(p + "ln_attn.bias"))
+        layers.append({
+            "qkv": {"w": jnp.asarray(w, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attention.dense.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.dense_h_to_4h.weight"),
+                                         dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.dense_4h_to_h.weight"),
+                                      dtype)},
+            "input_norm": jnp.asarray(np.asarray(ln_w, np.float32), dtype),
+            "input_norm_b": jnp.asarray(np.asarray(ln_b, np.float32), dtype),
+        })
+    embed = _arr(sd, pre + "word_embeddings.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def baichuan_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
+    """Baichuan-7B (reference models/baichuan.py): the llama graph with a
+    fused W_pack qkv ([3H, H] rows q|k|v). Returns a llama-keyed state dict
+    so BOTH the bf16 loader and the QuaRot rotate+quantize pipeline serve
+    it (13B/ALiBi is rejected at config translation)."""
+    remapped = {}
+    H = cfg.hidden_size
+    for k, v in sd.items():
+        if k.endswith("self_attn.W_pack.weight"):
+            base = k[:-len("W_pack.weight")]
+            w = np.asarray(v, np.float32)
+            remapped[base + "q_proj.weight"] = w[:H]
+            remapped[base + "k_proj.weight"] = w[H:2 * H]
+            remapped[base + "v_proj.weight"] = w[2 * H:]
+        else:
+            remapped[k] = v
+    return remapped
+
+
+def internlm2_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
+    """InternLM2 (reference models/internlm2.py): tok_embeddings/output
+    naming, attention.wqkv packed per kv-group as [g, q_per_group + 2, dh]
+    (de-interleaved to q|k|v here), feed_forward.w1/w3/w2 gated MLP."""
+    nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    remapped = {
+        "model.embed_tokens.weight": sd["model.tok_embeddings.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["output.weight"],
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        w = np.asarray(sd[p + "attention.wqkv.weight"], np.float32)  # [out, H]
+        grouped = w.reshape(nkv, nh // nkv + 2, dh, -1)
+        remapped[p + "self_attn.q_proj.weight"] = \
+            grouped[:, :-2].reshape(nh * dh, -1)
+        remapped[p + "self_attn.k_proj.weight"] = \
+            grouped[:, -2].reshape(nkv * dh, -1)
+        remapped[p + "self_attn.v_proj.weight"] = \
+            grouped[:, -1].reshape(nkv * dh, -1)
+        remapped[p + "self_attn.o_proj.weight"] = sd[p + "attention.wo.weight"]
+        remapped[p + "mlp.gate_proj.weight"] = sd[p + "feed_forward.w1.weight"]
+        remapped[p + "mlp.up_proj.weight"] = sd[p + "feed_forward.w3.weight"]
+        remapped[p + "mlp.down_proj.weight"] = sd[p + "feed_forward.w2.weight"]
+        remapped[p + "input_layernorm.weight"] = sd[p + "attention_norm.weight"]
+        remapped[p + "post_attention_layernorm.weight"] = \
+            sd[p + "ffn_norm.weight"]
+    return remapped
+
+
+LLAMA_KEY_REMAPS = {
+    "baichuan": baichuan_to_llama_keys,
+    "internlm2": internlm2_to_llama_keys,
+}
+
+
+def convert_baichuan(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    from qspec_tpu.model_loader.loader import load_hf_float
+    params, _ = load_hf_float(baichuan_to_llama_keys(sd, cfg), cfg,
+                              dtype=dtype)
+    return params
+
+
+def convert_internlm2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    from qspec_tpu.model_loader.loader import load_hf_float
+    params, _ = load_hf_float(internlm2_to_llama_keys(sd, cfg), cfg,
+                              dtype=dtype)
+    return params
+
+
+def convert_deepseek(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """DeepSeek-MoE V1 (reference models/deepseek.py): llama attention keys;
+    the first first_k_dense layers keep a dense llama MLP (stacked into
+    params["layers_dense"]); MoE layers carry mlp.gate (router),
+    mlp.experts.{e}.* and the UNGATED mlp.shared_experts.*."""
+    dense_layers, moe_layers = [], []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layer = {
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+        }
+        if i < cfg.first_k_dense:
+            layer["gate_up"] = {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.gate_proj.weight"),
+                 _t(sd, p + "mlp.up_proj.weight")], axis=1), dtype)}
+            layer["down"] = {"w": jnp.asarray(
+                _t(sd, p + "mlp.down_proj.weight"), dtype)}
+            dense_layers.append(layer)
+            continue
+        layer["router"] = jnp.asarray(_t(sd, p + "mlp.gate.weight"), dtype)
+        gu = [np.concatenate([_t(sd, f"{p}mlp.experts.{e}.gate_proj.weight"),
+                              _t(sd, f"{p}mlp.experts.{e}.up_proj.weight")],
+                             axis=1) for e in range(cfg.num_experts)]
+        dn = [_t(sd, f"{p}mlp.experts.{e}.down_proj.weight")
+              for e in range(cfg.num_experts)]
+        layer["experts_gate_up"] = {"w": jnp.asarray(np.stack(gu), dtype)}
+        layer["experts_down"] = {"w": jnp.asarray(np.stack(dn), dtype)}
+        if cfg.shared_expert_intermediate_size:
+            layer["shared_gate_up"] = {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.shared_experts.gate_proj.weight"),
+                 _t(sd, p + "mlp.shared_experts.up_proj.weight")],
+                axis=1), dtype)}
+            layer["shared_down"] = {"w": jnp.asarray(
+                _t(sd, p + "mlp.shared_experts.down_proj.weight"), dtype)}
+        moe_layers.append(layer)
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(moe_layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+    }
+    if dense_layers:
+        params["layers_dense"] = _stack(dense_layers)
+    return _finish(params, cfg, dtype)
+
+
+CONVERTERS = {
+    "opt": convert_opt,
+    "deepseek": convert_deepseek,
+    "gpt2": convert_gpt2,
+    "starcoder2": convert_starcoder2,
+    "falcon": convert_falcon,
+    "baichuan": convert_baichuan,
+    "internlm2": convert_internlm2,
+}
+
+
+def load_family_float(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Convert a family state dict to (params, serving cfg)."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, quant="none", weightless_norm=False)
+    fn = CONVERTERS.get(cfg.arch)
+    if fn is None:
+        raise ValueError(f"no family converter for arch {cfg.arch!r}")
+    return fn(sd, cfg, dtype=dtype), cfg

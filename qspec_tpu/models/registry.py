@@ -127,6 +127,83 @@ def _qwen2_moe(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("OPTForCausalLM")
+@register("opt")
+def _opt(hf: dict) -> ModelConfig:
+    # OPT: learned +2-offset positions, pre-LayerNorm, ReLU fc MLP, biases
+    # everywhere, tied head (reference vllm/model_executor/models/opt.py)
+    hf = {**hf, "model_type": "opt"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("GPT2LMHeadModel")
+@register("gpt2")
+def _gpt2(hf: dict) -> ModelConfig:
+    # GPT-2: Conv1D checkpoint orientation, wpe learned positions,
+    # gelu_new fc MLP, fused c_attn (reference models/gpt2.py)
+    hf = {**hf, "model_type": "gpt2"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("Starcoder2ForCausalLM")
+@register("starcoder2")
+def _starcoder2(hf: dict) -> ModelConfig:
+    # starcoder2: LayerNorm + biases + non-gated gelu c_fc/c_proj MLP with
+    # rope and GQA (reference models/starcoder2.py)
+    hf = {**hf, "model_type": "starcoder2"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("FalconForCausalLM")
+@register("RWForCausalLM")
+@register("falcon")
+def _falcon(hf: dict) -> ModelConfig:
+    # falcon: parallel attention+MLP blocks sharing one LayerNorm, fused
+    # query_key_value, MQA/new-decoder GQA, rope (reference models/falcon.py;
+    # alibi and non-parallel variants are rejected in from_hf_config)
+    hf = {**hf, "model_type": "falcon"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("BaiChuanForCausalLM")   # 7B (rope)
+@register("baichuan")
+def _baichuan(hf: dict) -> ModelConfig:
+    # baichuan-7B: llama graph + fused W_pack qkv (reference
+    # models/baichuan.py BaiChuanForCausalLM, position_embedding="ROPE")
+    hf = {**hf, "model_type": "baichuan"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("BaichuanForCausalLM")   # 13B (alibi) — explicit rejection
+def _baichuan13(hf: dict) -> ModelConfig:
+    # the reference distinguishes 7B/13B by the architecture string's
+    # capital C (models/baichuan.py); 13B uses ALiBi which this build
+    # does not implement
+    raise ValueError("Baichuan-13B (ALiBi) is not supported; the rope "
+                     "7B variant (BaiChuanForCausalLM) is")
+
+
+@register("InternLM2ForCausalLM")
+@register("internlm2")
+def _internlm2(hf: dict) -> ModelConfig:
+    # internlm2: llama graph; checkpoint uses tok_embeddings/output naming,
+    # per-kv-group interleaved wqkv, feed_forward.w1/w3/w2 (reference
+    # models/internlm2.py; de-interleave in model_loader/families.py)
+    hf = {**hf, "model_type": "internlm2"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("DeepseekForCausalLM")
+@register("deepseek")
+def _deepseek(hf: dict) -> ModelConfig:
+    # deepseek-moe V1: llama attention + per-layer MoE past a dense prefix
+    # (first_k_dense_replace), softmax-then-topk routing, UNGATED shared
+    # experts (reference models/deepseek.py DeepseekMoE). The V2/V3 MLA
+    # attention is not implemented.
+    hf = {**hf, "model_type": "deepseek"}
+    return ModelConfig.from_hf_config(hf)
+
+
 def resolve(hf_config: dict) -> ModelConfig:
     archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
     for a in archs:
