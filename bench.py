@@ -41,27 +41,22 @@ def build(model_size: str):
 INDUCTION_CKPT = None  # auto: newest of checkpoints/induction_lm_v*
 
 
-def load_induction(base: str = INDUCTION_CKPT):
-    """REAL-weights regime: the in-image-trained induction LM
-    (benchmarks/train_induction.py, final copy-acc 1.000) pushed through the
-    offline QuaRot rotate+int4-quantize pipeline — the same path a downloaded
-    HF checkpoint takes. Greedy continuations of its prompts genuinely repeat
-    prompt structure, which is exactly the reference's prompt-lookup workload
+def load_trained(pattern: str):
+    """REAL-weights regimes: an in-image-trained LM
+    (benchmarks/train_induction.py) pushed through the offline QuaRot
+    rotate+int4-quantize pipeline — the same path a downloaded HF checkpoint
+    takes. Greedy continuations of its prompts genuinely repeat prompt
+    structure, which is exactly the reference's prompt-lookup workload
     (vllm/spec_decode/ngram_worker.py), so acceptance here is honest."""
     import glob
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    if base is None:
-        cands = sorted(glob.glob(os.path.join(here, "checkpoints",
-                                              "induction_lm_v*.npz")))
-        if not cands:
-            return None, None
-        base = cands[-1][:-4]
-    else:
-        base = os.path.join(here, base)
-    if not os.path.exists(base + ".npz"):
-        return None, None
+    cands = sorted(glob.glob(os.path.join(here, "checkpoints",
+                                          pattern + ".npz")))
+    if not cands:
+        return None, None, None
+    base = cands[-1][:-4]
     import json as _json
 
     from qspec_tpu.config import ModelConfig
@@ -75,6 +70,10 @@ def load_induction(base: str = INDUCTION_CKPT):
     # the copy circuit only generalizes to positions seen in training:
     # the bench must keep prompt+output inside this window
     return cfg, params, int(meta.get("train_seq", 768))
+
+
+def load_induction(base: str = INDUCTION_CKPT):
+    return load_trained("induction_lm_v*")
 
 
 def load_medusa_regime():
@@ -154,7 +153,7 @@ def induction_prompts(n: int, prompt_len: int, vocab: int, seed: int = 0):
 
 def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
              page_size=128, rounds=4, warmup=True, draft_scheme="w4a8",
-             method="qspec", spec_k=3):
+             method="qspec", spec_k=3, draft_kv_window=None):
     """One engine run. A short warmup pass (2 tokens per prompt) triggers all
     compiles so the timed run measures steady-state throughput."""
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
@@ -177,7 +176,8 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
                       speculative=SpeculativeConfig(num_speculative_tokens=spec_k,
                                                     rounds_per_step=rounds,
                                                     draft_scheme=draft_scheme,
-                                                    method=method)
+                                                    method=method,
+                                                    draft_kv_window=draft_kv_window)
                       if spec else None)
 
     import os
@@ -225,6 +225,9 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     result and per-proposer results (each with vs_baseline/mismatches)."""
     import jax
 
+    qspec_k = args.spec_k or 3
+    window = None
+    max_num_seqs = args.max_num_seqs or 4
     if model == "induction":
         cfg, params, train_seq = load_induction()
         if cfg is None:
@@ -243,6 +246,33 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         # rounds=8 -> 4074 tok/s vs k=8 + rounds=4 -> 3048)
         ngram_default_k = 12
         rounds = args.rounds or 8
+    elif model == "medium":
+        # SERVING-SCALE real-weights regime (the headline): ~110M-param GQA
+        # model (benchmarks/train_induction.py --preset medium) at batch 32
+        # and ~1k context, where a decode step is dominated by KV + weight
+        # STREAMING, not dispatch. A verify pass streams that traffic once
+        # per k+1 emitted tokens, and the shared-weights qspec draft runs
+        # under a MagicDec-style KV window (draft_kv_window) so its own KV
+        # traffic is ~window/ctx of the target's — speculation wins on
+        # physics here, which is the regime the QSpec method is FOR
+        # (reference README.md:50-57 demonstrates on A100 at batch 4 where
+        # W4A16 dequant GEMM is the bound; on TPU the bound is HBM).
+        cfg, params, train_seq = load_trained("induction_medium_v*")
+        if cfg is None:
+            print("# medium checkpoint missing — run benchmarks/"
+                  "train_induction.py --preset medium",
+                  file=sys.stderr, flush=True)
+            return None
+        max_num_seqs = args.max_num_seqs or 32
+        n_prompts = args.prompts or max_num_seqs
+        prompt_len = args.prompt_len or min(256, train_seq // 4)
+        max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
+        prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
+        ngram_default_k = 12
+        qspec_k = args.spec_k or 8
+        # cover the copy circuit's lookback (max period 64) with margin
+        window = 192
+        rounds = args.rounds or 4
     else:
         cfg = build(model)
         rounds = args.rounds or 4
@@ -268,14 +298,14 @@ def bench_model(model: str, args, *, ngram_default_k=4):
           file=sys.stderr, flush=True)
 
     ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
-                  max_num_seqs=args.max_num_seqs, rounds=rounds)
+                  max_num_seqs=max_num_seqs, rounds=rounds)
     print(f"# [{model}] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s "
           f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s)",
           file=sys.stderr, flush=True)
 
     runs = []
     if args.proposer in ("model", "both", "all"):
-        runs.append(("qspec", "qspec", args.spec_k or 3))
+        runs.append(("qspec", "qspec", qspec_k))
     if args.proposer in ("ngram", "both", "all"):
         # the reference's prompt-lookup regime (ngram_worker.py): zero-cost
         # proposals, so spec wins whenever acceptance beats the small
@@ -285,8 +315,9 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     results = []
     for label, method, k in runs:
         sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
-                      max_num_seqs=args.max_num_seqs, rounds=rounds,
-                      draft_scheme=args.draft_scheme, method=method, spec_k=k)
+                      max_num_seqs=max_num_seqs, rounds=rounds,
+                      draft_scheme=args.draft_scheme, method=method, spec_k=k,
+                      draft_kv_window=window if method == "qspec" else None)
         print(f"# [{model}] {label} (k={k}): {sp['tokens_per_sec']:.2f} tok/s "
               f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
               f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)
@@ -379,11 +410,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny model smoke")
     ap.add_argument("--model", default=None,
-                    choices=["tiny", "1b", "8b", "induction"])
+                    choices=["tiny", "1b", "8b", "induction", "medium"])
     ap.add_argument("--prompts", type=int, default=None)
     ap.add_argument("--prompt-len", type=int, default=None)
     ap.add_argument("--max-tokens", type=int, default=None)
-    ap.add_argument("--max-num-seqs", type=int, default=4)
+    ap.add_argument("--max-num-seqs", type=int, default=None,
+                help="engine batch cap (default 4; 32 for the medium regime)")
     ap.add_argument("--draft-scheme", default="w4a8",
                     choices=["w4a4", "w4a8", "w4a16"])
     ap.add_argument("--proposer", default="all",
@@ -418,10 +450,14 @@ def main():
     elif args.model:
         models = [args.model]
     elif on_tpu:
-        # default full sweep: the synthetic Llama-3-8B A/B (absolute tok/s)
-        # plus the REAL-weights induction/prompt-lookup regime (honest
-        # acceptance + on-hardware greedy invariant)
-        models = ["8b", "induction"]
+        # default full sweep: REAL-weights regimes only — the serving-scale
+        # medium model (the headline: KV+weight-streaming-bound decode) and
+        # the small induction/prompt-lookup regime (honest acceptance +
+        # on-hardware greedy invariant). The synthetic-weights 8B stays
+        # reachable via --model 8b: its acceptance numbers are meaningless
+        # noise (random weights put quantization-scale gaps between
+        # near-tied logits), so it is not part of the honest A/B.
+        models = ["medium", "induction"]
     else:
         models = ["tiny"]
 

@@ -182,7 +182,8 @@ def to_hf_state_dict(params, cfg) -> dict:
 
 
 def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
-          seed: int = 0, log_every: int = 100, preset: str = "small"):
+          seed: int = 0, log_every: int = 100, preset: str = "small",
+          save_every: int = 0, save_fn=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -228,6 +229,11 @@ def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
             l, acc = jax.device_get((l, acc))
             print(f"step {i}: loss {float(l):.4f} copy-acc {float(acc):.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if save_every and save_fn is not None and i and i % save_every == 0:
+            # periodic snapshot: long runs can be harvested as soon as the
+            # copy circuit saturates instead of waiting for the final step
+            save_fn({**params, "rope_cache": rope}, cfg, float(acc))
+            print(f"step {i}: snapshot saved", flush=True)
     return {**params, "rope_cache": rope}, cfg, float(acc)
 
 
@@ -243,19 +249,25 @@ def main():
     ap.add_argument("--preset", default="small",
                     choices=["small", "medium", "big"])
     ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="snapshot the checkpoint every N steps")
     args = ap.parse_args()
 
+    def save(params, cfg, acc):
+        sd = to_hf_state_dict(params, cfg)
+        os.makedirs(os.path.dirname(os.path.abspath(args.out + ".npz")),
+                    exist_ok=True)
+        np.savez(args.out + ".npz", **{k: v.astype(np.float16)
+                                       for k, v in sd.items()})
+        with open(args.out + ".json", "w") as f:
+            json.dump({"copy_acc": acc, "train_seq": args.seq,
+                       "cfg": {k: v for k, v in cfg.__dict__.items()
+                               if not k.startswith("_")}}, f, indent=1)
+
     params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr,
-                             seq=args.seq, preset=args.preset)
-    sd = to_hf_state_dict(params, cfg)
-    os.makedirs(os.path.dirname(os.path.abspath(args.out + ".npz")),
-                exist_ok=True)
-    np.savez(args.out + ".npz", **{k: v.astype(np.float16)
-                                   for k, v in sd.items()})
-    with open(args.out + ".json", "w") as f:
-        json.dump({"copy_acc": acc, "train_seq": args.seq,
-                   "cfg": {k: v for k, v in cfg.__dict__.items()
-                           if not k.startswith("_")}}, f, indent=1)
+                             seq=args.seq, preset=args.preset,
+                             save_every=args.save_every, save_fn=save)
+    save(params, cfg, acc)
     print(f"saved {args.out}.npz (final copy-acc {acc:.3f})")
 
 

@@ -26,18 +26,34 @@ class EngineArgs:
     max_num_seqs: int = 8
     max_num_batched_tokens: int = 2048
     block_size: int = 128
-    kv_cache_dtype: str = "bfloat16"
+    kv_cache_dtype: str = "bfloat16"    # bfloat16|int8|fp8_e4m3|fp8_e5m2
+    num_pages: Optional[int] = None      # None -> derive from free HBM
     gpu_memory_utilization: float = 0.9
+    # vocab-projection dtype (ModelConfig.lm_head_quant)
+    lm_head_quant: str = "auto"          # auto|bf16|int8|int4
     # reference --swap-space / --preemption-mode: swap parks preempted KV
     # in host RAM instead of recomputing it
     swap_space: float = 4.0              # GiB
     preemption_mode: str = "recompute"   # "recompute" | "swap"
     enable_chunked_prefill: bool = True
+    prefill_chunk_size: int = 512
     enable_prefix_caching: bool = True
+    # co-schedule running decodes with prefill chunks (admissions stop
+    # stalling the running batch; core/scheduler.py mixed batches)
+    mix_decode_with_prefill: bool = True
+    # fused decode steps per host dispatch (reference multi-step runner)
+    steps_per_decode_call: int = 1
     tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
     num_speculative_tokens: Optional[int] = None
     speculative_draft_scheme: str = "w4a4"
     speculative_disable_by_batch_size: Optional[int] = None
+    # "rejection_sampler" (lossless) | "typical_acceptance_sampler" (lossy)
+    spec_acceptance_method: str = "rejection_sampler"
+    # fused speculative rounds per host dispatch
+    spec_rounds_per_step: int = 1
+    # MagicDec-style sliding window on the shared-weights draft KV reads
+    spec_draft_kv_window: Optional[int] = None
     # reference --speculative-model: "[ngram]" selects prompt-lookup
     # proposals; "[medusa]" selects trained Medusa heads (params must carry
     # a "medusa" subtree, spec_decode/medusa.load_medusa); a directory path
@@ -55,7 +71,11 @@ class EngineArgs:
         for f in dataclasses.fields(EngineArgs):
             name = "--" + f.name.replace("_", "-")
             if f.type == "bool" or isinstance(f.default, bool):
-                parser.add_argument(name, action="store_true", default=f.default)
+                # BooleanOptionalAction: default-True flags get a working
+                # --no-* form (store_true could never turn them off)
+                parser.add_argument(name,
+                                    action=argparse.BooleanOptionalAction,
+                                    default=f.default)
             else:
                 typ = int if isinstance(f.default, int) and f.default is not None else \
                     float if isinstance(f.default, float) else str
@@ -89,19 +109,24 @@ class EngineArgs:
             method = "qspec"
             if self.speculative_model and \
                     self.speculative_model.strip("[]").lower() in (
-                        "ngram", "medusa", "mlp_speculator"):
+                        "ngram", "medusa", "eagle", "mlp_speculator"):
                 method = self.speculative_model.strip("[]").lower()
             spec = SpeculativeConfig(
                 num_speculative_tokens=self.num_speculative_tokens,
                 draft_scheme=self.speculative_draft_scheme,
                 disable_by_batch_size=self.speculative_disable_by_batch_size,
                 method=method,
+                acceptance_method=self.spec_acceptance_method,
+                rounds_per_step=self.spec_rounds_per_step,
+                draft_kv_window=self.spec_draft_kv_window,
                 ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min)
         return EngineConfig(
             model=self.model_config(),
             cache=CacheConfig(page_size=self.block_size,
+                              num_pages=self.num_pages,
                               kv_cache_dtype=self.kv_cache_dtype,
+                              enable_prefix_caching=self.enable_prefix_caching,
                               gpu_memory_utilization=self.gpu_memory_utilization,
                               swap_space_gb=self.swap_space),
             scheduler=SchedulerConfig(
@@ -109,7 +134,12 @@ class EngineArgs:
                 max_num_batched_tokens=self.max_num_batched_tokens,
                 max_model_len=self.max_model_len,
                 enable_chunked_prefill=self.enable_chunked_prefill,
+                prefill_chunk_size=self.prefill_chunk_size,
+                mix_decode_with_prefill=self.mix_decode_with_prefill,
+                steps_per_decode_call=self.steps_per_decode_call,
                 preemption_mode=self.preemption_mode),
-            parallel=ParallelConfig(tensor_parallel_size=self.tensor_parallel_size),
+            parallel=ParallelConfig(
+                tensor_parallel_size=self.tensor_parallel_size,
+                data_parallel_size=self.data_parallel_size),
             speculative=spec,
         )

@@ -21,8 +21,32 @@ def enable_persistent_compile_cache(path: str = None) -> None:
         return
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "cpu" and not os.environ.get("QSPEC_COMPILE_CACHE"):
+        # CPU-only processes (tests) skip the cache: jaxlib's XLA:CPU
+        # executable serializer can SEGFAULT in put_executable_and_time,
+        # and CPU compiles are cheap anyway. The cache exists for the
+        # minutes-long remote TPU compiles.
+        return
+
     cache_dir = path or os.environ.get("QSPEC_COMPILE_CACHE",
                                        os.path.expanduser("~/.cache/qspec_tpu/xla"))
+    # Salt the directory with a host-CPU fingerprint: XLA:CPU AOT artifacts
+    # target the exact feature set of the machine that compiled them, and
+    # loading one compiled on a different host SIGSEGVs mid-run ("Compile
+    # machine features ... vs host machine features" warning). A per-
+    # fingerprint subdir makes a moved cache directory a miss, not a crash.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        cache_dir = os.path.join(cache_dir,
+                                 hashlib.sha1(flags.encode()).hexdigest()[:12])
+    except OSError:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
