@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import math
 import os
 import sys
 import time
@@ -105,10 +106,16 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
     # head init: near-identity resblock with PER-HEAD random noise on w1 —
     # identical zero inits left one head stuck in a symmetric saddle
     # (observed: head 1 plateaued at 0.13 while its neighbours reached
-    # 0.8+); head = engine-basis lm_head (the reference's clone init)
+    # 0.8+); head = engine-basis lm_head (the reference's clone init).
+    # The noise must be SMALL relative to the identity path: at scale s the
+    # perturbation silu(z @ w1) has magnitude ~ s*sqrt(H)*|z| — a flat 0.02
+    # at H=512 injects ~0.45|z| and destroys the identity init entirely
+    # (measured: ALL heads stuck <0.35 where zero-init reached 0.8+).
+    # s = 0.02/sqrt(H) keeps the perturbation ~2% of z: symmetry broken,
+    # identity preserved.
     rng0 = np.random.default_rng(seed + 99)
     w1_init = (rng0.standard_normal((heads_k, H, H)).astype(np.float32)
-               * 0.02)
+               * (0.02 / math.sqrt(H)))
     heads = {
         "w1": jnp.asarray(w1_init),
         "b1": jnp.zeros((heads_k, H), jnp.float32),

@@ -2,7 +2,7 @@
 
 Run with:
 
-    QSPEC_TPU_TESTS=1 python -m pytest tests/tpu -m tpu -q
+    QSPEC_TPU_TESTS=1 python -m pytest tests/tpu -m tpu -q -p no:xdist
 
 Without QSPEC_TPU_TESTS=1 the parent conftest forces the CPU platform and
 every test here auto-skips, so the default `pytest tests/` stays CPU-only.

@@ -33,6 +33,14 @@ def make_cache(rng, Hkv=4, P=80, S=128, D=128, L=2, dtype="bfloat16"):
         return cache._replace(kv_pages=jnp.asarray(vals),
                               kv_scales=jnp.asarray(scales))
     kv = rng.standard_normal(cache.kv_pages.shape).astype(np.float32)
+    if dtype.startswith("fp8"):
+        pages = jnp.asarray(kv, kvc.kv_entry_dtype(dtype))
+        if cache.kv_scales is not None:  # e4m3: modest per-token scales
+            scales = (rng.random(cache.kv_scales.shape) * 0.02
+                      + 0.01).astype(np.float32)
+            return cache._replace(kv_pages=pages,
+                                  kv_scales=jnp.asarray(scales))
+        return cache._replace(kv_pages=pages)
     return cache._replace(kv_pages=jnp.asarray(kv, jnp.bfloat16))
 
 
@@ -70,6 +78,14 @@ def test_attention_int8_kv(rng, Q):
     """int8 KV pages + per-(head,token) scales dequantized inside the kernel."""
     cache = make_cache(rng, dtype="int8")
     _attn_pair(rng, cache, B=4, Q=Q, Hq=16, layer=1)
+
+
+@pytest.mark.parametrize("kv_dtype", ["fp8_e4m3", "fp8_e5m2"])
+def test_attention_fp8_kv(rng, kv_dtype):
+    """fp8 KV pages on Mosaic: e4m3 with in-score scale folds, e5m2 via the
+    bare in-kernel astype (kv_cache_dtype=fp8_* production shapes)."""
+    cache = make_cache(rng, dtype=kv_dtype)
+    _attn_pair(rng, cache, B=4, Q=2, Hq=16, layer=1)
 
 
 def test_attention_long_block_table(rng):
