@@ -74,7 +74,9 @@ def load_base(base: str = None):
 def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
           seq: int = 256, lr: float = 1e-3, base_lr: float = 1e-4,
           seed: int = 0, quant_seed: int = 0, log_every: int = 200,
-          base: str = None, head_weight: float = 0.2):
+          base: str = None, head_weight: float = 0.2,
+          init_heads: str = None, boost_head: int = -1,
+          boost: float = 4.0):
     """Joint (Medusa-2-style) training: the heads AND the base are trained
     together, warm-started from the existing induction checkpoint.
 
@@ -121,6 +123,17 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
         "b1": jnp.zeros((heads_k, H), jnp.float32),
         "head": jnp.broadcast_to(lm_rot_of(params)[None], (heads_k, H, V)).copy(),
     }
+    if init_heads:
+        # warm start from an existing heads checkpoint (escape a single
+        # stuck head without re-deriving the rest): the noise init above is
+        # ADDED to the loaded w1 so a saddle-symmetric head gets kicked
+        with np.load(init_heads) as z:
+            heads = {
+                "w1": jnp.asarray(z["w1"], jnp.float32) + heads["w1"],
+                "b1": jnp.asarray(z["b1"], jnp.float32),
+                "head": jnp.asarray(z["head"], jnp.float32),
+            }
+        assert heads["w1"].shape[0] == heads_k, "heads count mismatch"
 
     warmup = min(100, max(1, steps // 10))
     tx = optax.multi_transform(
@@ -175,7 +188,14 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
             return lj, aj
 
         hls, accs = jax.lax.map(head_loss, jnp.arange(heads_k))
-        return base_loss + head_weight * hls.sum(), (base_acc, accs)
+        # per-head loss weights: a backbone that stashes every offset BUT
+        # one (observed: +3 linear-probes at chance while +2/+4 probe high,
+        # scratch/exp42_head1_probe.py) needs the missing head upweighted
+        # or the joint loss keeps riding the offsets it already serves
+        wts = jnp.ones((heads_k,), jnp.float32)
+        if boost_head >= 0:
+            wts = wts.at[boost_head].set(boost)
+        return base_loss + head_weight * (wts * hls).sum(), (base_acc, accs)
 
     @jax.jit
     def step(st, s, tokens):
@@ -213,6 +233,12 @@ def main():
     ap.add_argument("--head-weight", type=float, default=0.4)
     ap.add_argument("--base", default=None,
                     help="induction checkpoint basename (default: newest)")
+    ap.add_argument("--init-heads", default=None,
+                    help="warm-start heads from this .npz (escape a stuck "
+                         "head without retraining the rest)")
+    ap.add_argument("--boost-head", type=int, default=-1,
+                    help="upweight this head's loss (stuck-offset rescue)")
+    ap.add_argument("--boost", type=float, default=4.0)
     ap.add_argument("--quant-seed", type=int, default=0,
                     help="must match quantize_float's seed at serving time")
     ap.add_argument("--out", default=DEFAULT_OUT)
@@ -224,7 +250,9 @@ def main():
     heads, accs, base_acc, base_params, base_name, cfg, train_seq = train(
         heads_k=args.heads, steps=args.steps, batch=args.batch, seq=args.seq,
         lr=args.lr, base_lr=args.base_lr, base=args.base,
-        quant_seed=args.quant_seed, head_weight=args.head_weight)
+        quant_seed=args.quant_seed, head_weight=args.head_weight,
+        init_heads=args.init_heads, boost_head=args.boost_head,
+        boost=args.boost)
     import jax
 
     from train_induction import to_hf_state_dict
