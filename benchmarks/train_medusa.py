@@ -221,6 +221,22 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
             min(seq, train_seq))
 
 
+def self_distill(heads, base_params, cfg, rope, *, steps: int,
+                 batch: int = 16, prompt_len: int = 384,
+                 total_len: int = 736, lr: float = 1e-4,
+                 quant_seed: int = 0, n_seqs: int = 768):
+    """Phase 2 — Medusa self-distillation against the QUANTIZED engine's
+    own greedy continuations (see benchmarks/_medusa_distill.py for the
+    why and the corpus construction)."""
+    from _medusa_distill import build_quant_corpus, distill_heads
+
+    z, toks = build_quant_corpus(base_params, cfg, rope, n_seqs=n_seqs,
+                                 prompt_len=prompt_len, total_len=total_len,
+                                 quant_seed=quant_seed, seed=quant_seed)
+    return distill_heads(heads, z, toks, prompt_len=prompt_len, steps=steps,
+                         batch=batch, lr=lr, seed=quant_seed)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--heads", type=int, default=7)
@@ -241,43 +257,81 @@ def main():
     ap.add_argument("--boost", type=float, default=4.0)
     ap.add_argument("--quant-seed", type=int, default=0,
                     help="must match quantize_float's seed at serving time")
+    ap.add_argument("--self-distill", type=int, default=0,
+                    help="phase-2 steps: train heads on the base's OWN "
+                         "greedy continuations (what serving accepts)")
+    ap.add_argument("--distill-lr", type=float, default=1e-4)
+    ap.add_argument("--distill-batch", type=int, default=16)
+    ap.add_argument("--distill-only", action="store_true",
+                    help="skip joint training: load --base + --init-heads "
+                         "and run only the self-distill phase")
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--base-out", default=None,
                     help="where to save the jointly-tuned base (default: "
                          "checkpoints/induction_lm_v<next>)")
     args = ap.parse_args()
 
-    heads, accs, base_acc, base_params, base_name, cfg, train_seq = train(
-        heads_k=args.heads, steps=args.steps, batch=args.batch, seq=args.seq,
-        lr=args.lr, base_lr=args.base_lr, base=args.base,
-        quant_seed=args.quant_seed, head_weight=args.head_weight,
-        init_heads=args.init_heads, boost_head=args.boost_head,
-        boost=args.boost)
     import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.ops.hadamard import random_hadamard_matrix
+
+    if args.distill_only:
+        assert args.init_heads, "--distill-only needs --init-heads"
+        if not args.self_distill:
+            args.self_distill = 1500
+        params, cfg, meta, base_name = load_base(args.base)
+        rope = params.pop("rope_cache")
+        with np.load(args.init_heads) as z:
+            heads = {k: jnp.asarray(z[k], jnp.float32)
+                     for k in ("w1", "b1", "head")}
+        base_params, base_acc = params, float(meta.get("copy_acc", 0.0))
+        train_seq = int(meta.get("train_seq", 768))
+    else:
+        heads, accs, base_acc, base_out_p, base_name, cfg, train_seq = train(
+            heads_k=args.heads, steps=args.steps, batch=args.batch,
+            seq=args.seq, lr=args.lr, base_lr=args.base_lr, base=args.base,
+            quant_seed=args.quant_seed, head_weight=args.head_weight,
+            init_heads=args.init_heads, boost_head=args.boost_head,
+            boost=args.boost)
+        rope = base_out_p.pop("rope_cache")
+        base_params = base_out_p
+
+    if args.self_distill:
+        heads, accs = self_distill(
+            heads, base_params, cfg, rope, steps=args.self_distill,
+            batch=args.distill_batch, lr=args.distill_lr,
+            prompt_len=min(384, train_seq // 2),
+            total_len=train_seq - 32, quant_seed=args.quant_seed)
+    base_params = {**base_params, "rope_cache": rope}
 
     from train_induction import to_hf_state_dict
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base_out = args.base_out
-    if base_out is None:
-        # the jointly-tuned base is the MEDUSA regime's base, deliberately
-        # outside the induction_lm_v* namespace: bench.py pairs it with the
-        # heads (load_medusa_regime) while the ngram/qspec regimes keep the
-        # original, quantization-robust base
-        import re
-        existing = [int(m.group(1)) for f in glob.glob(os.path.join(
-            here, "checkpoints", "medusa_base_v*.npz"))
-            if (m := re.search(r"_v(\d+)\.npz$", f))]
-        n = max(existing, default=0) + 1
-        base_out = os.path.join(here, "checkpoints", f"medusa_base_v{n}")
-    sd = to_hf_state_dict(base_params, cfg)
-    np.savez(base_out + ".npz", **{k: v.astype(np.float16)
-                                   for k, v in sd.items()})
-    with open(base_out + ".json", "w") as f:
-        json.dump({"copy_acc": base_acc, "train_seq": args.seq,
-                   "medusa_joint": True,
-                   "cfg": {k: v for k, v in cfg.__dict__.items()
-                           if not k.startswith("_")}}, f, indent=1)
+    if args.distill_only:
+        # base unchanged — heads keep pointing at it
+        base_out = os.path.join(here, "checkpoints", base_name)
+    else:
+        base_out = args.base_out
+        if base_out is None:
+            # the jointly-tuned base is the MEDUSA regime's base,
+            # deliberately outside the induction_lm_v* namespace: bench.py
+            # pairs it with the heads (load_medusa_regime) while the
+            # ngram/qspec regimes keep the original base
+            import re
+            existing = [int(m.group(1)) for f in glob.glob(os.path.join(
+                here, "checkpoints", "medusa_base_v*.npz"))
+                if (m := re.search(r"_v(\d+)\.npz$", f))]
+            n = max(existing, default=0) + 1
+            base_out = os.path.join(here, "checkpoints", f"medusa_base_v{n}")
+        sd = to_hf_state_dict(base_params, cfg)
+        np.savez(base_out + ".npz", **{k: v.astype(np.float16)
+                                       for k, v in sd.items()})
+        with open(base_out + ".json", "w") as f:
+            json.dump({"copy_acc": base_acc, "train_seq": args.seq,
+                       "medusa_joint": True,
+                       "cfg": {k: v for k, v in cfg.__dict__.items()
+                               if not k.startswith("_")}}, f, indent=1)
 
     hd = {k: np.asarray(jax.device_get(v), np.float16)
           for k, v in heads.items()}
@@ -285,11 +339,13 @@ def main():
                 exist_ok=True)
     np.savez(args.out + ".npz", **hd)
     with open(args.out + ".json", "w") as f:
-        json.dump({"base": os.path.basename(base_out), "heads": args.heads,
+        json.dump({"base": os.path.basename(base_out),
+                   "heads": int(hd["b1"].shape[0]),
                    "head_top1_acc": accs, "base_copy_acc": base_acc,
+                   "self_distilled": bool(args.self_distill),
                    "quant_seed": args.quant_seed}, f, indent=1)
-    print(f"saved {base_out}.npz (base copy-acc {base_acc:.3f}) and "
-          f"{args.out}.npz (head accs {accs})")
+    print(f"saved heads -> {args.out}.npz (base {base_out}, "
+          f"head accs {accs})")
 
 
 if __name__ == "__main__":

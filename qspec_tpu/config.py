@@ -122,6 +122,24 @@ class ModelConfig:
     parallel_block: bool = False
     # bias on every projection incl. o/down (OPT/GPT-2/Starcoder2)
     linear_bias: bool = False
+    # partial rotary: rope only the first `rotary_dim` dims of each head
+    # (StableLM rope_pct / GPT-NeoX rotary_pct / Phi partial_rotary_factor /
+    # GPT-J rotary_dim; reference rotary_embedding.py rotary_dim).
+    # None = full head_dim.
+    rotary_dim: Optional[int] = None
+    # "neox": rotate half-split pairs (x_i, x_{i+d/2}); "gptj": rotate
+    # interleaved pairs (x_{2i}, x_{2i+1}) (reference get_rope
+    # is_neox_style=False — GPT-J, Cohere/CommandR)
+    rope_style: str = "neox"          # "neox" | "gptj"
+    # parallel_block norm count: 1 = attn and MLP share the input norm
+    # (falcon/phi/gptj/cohere); 2 = MLP reads its own post_attention norm of
+    # the SAME residual input (GPT-NeoX use_parallel_residual)
+    parallel_norms: int = 1
+    # additive bias on the vocab projection (phi/gptj ParallelLMHead
+    # bias=True); stored as params["lm_head_b"]
+    lm_head_bias: bool = False
+    # clamp qkv projection outputs to [-clip_qkv, +clip_qkv] (OLMo)
+    clip_qkv: Optional[float] = None
 
     @property
     def resolved_lm_head_quant(self) -> str:
@@ -223,7 +241,8 @@ class ModelConfig:
     def from_hf_config(hf: dict) -> "ModelConfig":
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
-        if mt in ("opt", "gpt2", "starcoder2", "falcon"):
+        if mt in ("opt", "gpt2", "starcoder2", "falcon", "stablelm",
+                  "gpt_neox", "phi", "gptj", "cohere", "olmo"):
             return ModelConfig._from_gpt_family(mt, hf)
         if mt == "deepseek":
             # deepseek-moe V1 (reference models/deepseek.py): llama
@@ -375,6 +394,145 @@ class ModelConfig:
                 sliding_window=hf.get("sliding_window"),
                 max_position_embeddings=hf.get("max_position_embeddings", 4096),
                 rms_norm_eps=hf.get("norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", True))
+        if mt == "stablelm":
+            # stablelm (reference models/stablelm.py): LayerNorm(+bias),
+            # gated silu MLP, PARTIAL rotary (rope_pct/partial_rotary_factor
+            # of head_dim), optional qkv bias (use_qkv_bias), GQA
+            nh = hf["num_attention_heads"]
+            dh = hf["hidden_size"] // nh
+            pct = hf.get("partial_rotary_factor", hf.get("rope_pct", 0.25))
+            return ModelConfig(
+                arch="stablelm", norm_type="layernorm", mlp_gated=True,
+                hidden_act="silu",
+                linear_bias=False, qkv_bias=hf.get("use_qkv_bias", False),
+                rotary_dim=max(2, int(dh * pct)) // 2 * 2,
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh), head_dim=dh,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               4096),
+                rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        if mt == "gpt_neox":
+            # GPT-NeoX/Pythia (reference models/gpt_neox.py): LayerNorm,
+            # biases, non-gated gelu MLP, partial rotary (rotary_pct),
+            # use_parallel_residual blocks with TWO norms (attention and
+            # MLP each norm the same residual input)
+            nh = hf["num_attention_heads"]
+            dh = hf["hidden_size"] // nh
+            return ModelConfig(
+                arch="gpt_neox", norm_type="layernorm", mlp_gated=False,
+                parallel_block=hf.get("use_parallel_residual", True),
+                parallel_norms=2, linear_bias=True,
+                hidden_act=hf.get("hidden_act", "gelu"),
+                rotary_dim=max(2, int(dh * hf.get("rotary_pct", 0.25)))
+                // 2 * 2,
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=nh, head_dim=dh,
+                rope_theta=hf.get("rotary_emb_base", 10000.0),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               2048),
+                rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        if mt == "phi":
+            # phi-1/1.5/2 (reference models/phi.py): parallel attn+MLP
+            # sharing ONE input LayerNorm, partial rotary, gelu_new MLP,
+            # biases everywhere, lm_head WITH bias, untied
+            nh = hf["num_attention_heads"]
+            dh = hf["hidden_size"] // nh
+            pct = hf.get("partial_rotary_factor", 0.5)
+            return ModelConfig(
+                arch="phi", norm_type="layernorm", mlp_gated=False,
+                parallel_block=True, parallel_norms=1, linear_bias=True,
+                lm_head_bias=True,
+                hidden_act=hf.get("hidden_act", "gelu_new"),
+                rotary_dim=max(2, int(dh * pct)) // 2 * 2,
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh) or nh,
+                head_dim=dh,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               2048),
+                rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        if mt == "gptj":
+            # GPT-J (reference models/gpt_j.py): parallel attn+MLP sharing
+            # ln_1, INTERLEAVED (gptj-style) partial rotary over rotary_dim,
+            # gelu_new fc MLP with biases, attention without biases,
+            # lm_head with bias, untied
+            nh = hf["n_head"]
+            dh = hf["n_embd"] // nh
+            return ModelConfig(
+                arch="gptj", norm_type="layernorm", mlp_gated=False,
+                parallel_block=True, parallel_norms=1, linear_bias=False,
+                lm_head_bias=True, rope_style="gptj",
+                hidden_act=hf.get("activation_function", "gelu_new"),
+                rotary_dim=hf.get("rotary_dim") or dh,
+                vocab_size=hf["vocab_size"], hidden_size=hf["n_embd"],
+                intermediate_size=hf.get("n_inner") or 4 * hf["n_embd"],
+                num_layers=hf["n_layer"], num_heads=nh,
+                num_kv_heads=nh, head_dim=dh,
+                rope_theta=10000.0,
+                max_position_embeddings=hf.get("n_positions", 2048),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        if mt == "cohere":
+            # Cohere/CommandR (reference models/commandr.py): parallel
+            # attn+MLP sharing one bias-free LayerNorm, gptj-style
+            # (non-neox) rope, gated silu MLP, ALWAYS-tied embeddings,
+            # final logits multiplied by logit_scale
+            nh = hf["num_attention_heads"]
+            if hf.get("use_qk_norm"):
+                raise ValueError("cohere use_qk_norm (per-head LayerNorm) "
+                                 "not supported")
+            scale = hf.get("logit_scale", 1.0)
+            return ModelConfig(
+                arch="cohere", norm_type="layernorm", mlp_gated=True,
+                parallel_block=True, parallel_norms=1, linear_bias=False,
+                qkv_bias=hf.get("attention_bias", False),
+                rope_style="gptj", hidden_act="silu",
+                logits_scaling=(1.0 / scale) if scale != 1.0 else None,
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh),
+                head_dim=hf["hidden_size"] // nh,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               8192),
+                rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=True)
+        if mt == "olmo":
+            # OLMo (reference models/olmo.py): NON-PARAMETRIC LayerNorm
+            # (converter stores gamma=1/beta=0), gated silu MLP, no biases,
+            # optional clip_qkv clamp
+            nh = hf["num_attention_heads"]
+            return ModelConfig(
+                arch="olmo", norm_type="layernorm", mlp_gated=True,
+                hidden_act="silu", linear_bias=False,
+                clip_qkv=hf.get("clip_qkv"),
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=hf.get("num_key_value_heads", nh),
+                head_dim=hf["hidden_size"] // nh,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               2048),
+                rms_norm_eps=1e-5,
                 quant="none", weightless_norm=False,
                 tie_word_embeddings=hf.get("tie_word_embeddings", True))
         # falcon: parallel blocks, fused qkv, gelu MLP of width 4H

@@ -41,7 +41,8 @@ def _stack(layers):
 def _finish(params, cfg: ModelConfig, dtype):
     from qspec_tpu.ops.rotary import make_rope_cache
     params["rope_cache"] = make_rope_cache(
-        cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta,
+        cfg.rotary_dim or cfg.head_dim,
+        cfg.max_position_embeddings, cfg.rope_theta,
         rope_scaling=cfg.rope_scaling)
     return params
 
@@ -353,6 +354,258 @@ def convert_deepseek(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_stablelm(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """StableLM (reference models/stablelm.py): llama-keyed checkpoint with
+    LayerNorm(+bias) norms, gated silu MLP, optional qkv bias, partial
+    rotary (handled by cfg.rotary_dim)."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        qkv = {"w": jnp.asarray(np.concatenate(
+            [_t(sd, p + f"self_attn.{n}_proj.weight")
+             for n in ("q", "k", "v")], axis=1), dtype)}
+        if p + "self_attn.q_proj.bias" in sd:
+            qkv["b"] = jnp.asarray(np.concatenate(
+                [_arr(sd, p + f"self_attn.{n}_proj.bias")
+                 for n in ("q", "k", "v")]), dtype)
+        layers.append({
+            "qkv": qkv,
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.gate_proj.weight"),
+                 _t(sd, p + "mlp.up_proj.weight")], axis=1), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.down_proj.weight"),
+                                      dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, "model.norm.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_gpt_neox(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """GPT-NeoX/Pythia (reference models/gpt_neox.py): gpt_neox.* prefix,
+    fused query_key_value interleaved PER HEAD ([nh, 3, dh] rows —
+    de-interleaved to q|k|v here), parallel residual with two norms,
+    non-gated gelu MLP, untied embed_out head."""
+    pre = "gpt_neox."
+    nh, dh = cfg.num_heads, cfg.head_dim
+    H = cfg.hidden_size
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}layers.{i}."
+        w = _t(sd, p + "attention.query_key_value.weight")  # [H, 3H]
+        w = w.reshape(H, nh, 3, dh)
+        qkv_w = np.concatenate([w[:, :, j].reshape(H, nh * dh)
+                                for j in range(3)], axis=1)
+        b = _arr(sd, p + "attention.query_key_value.bias").reshape(nh, 3, dh)
+        qkv_b = np.concatenate([b[:, j].reshape(nh * dh) for j in range(3)])
+        layers.append({
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "attention.dense.weight"),
+                                   dtype),
+                  "b": jnp.asarray(_arr(sd, p + "attention.dense.bias"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_h_to_4h.weight"), dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_h_to_4h.bias"),
+                                 dtype)},
+            "down": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_4h_to_h.weight"), dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_4h_to_h.bias"),
+                                 dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(_arr(sd, pre + "embed_in.weight"), dtype),
+        "lm_head": pack_lm_head(_t(sd, "embed_out.weight"), cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(
+            _arr(sd, pre + "final_layer_norm.weight"), dtype),
+        "final_norm_b": jnp.asarray(
+            _arr(sd, pre + "final_layer_norm.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_phi(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Phi-1/1.5/2 (reference models/phi.py): llama-style keys with biases,
+    self_attn.dense output proj, fc1/fc2 MLP, ONE input LayerNorm per block
+    (parallel), final_layernorm, lm_head with bias."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype),
+                "b": jnp.asarray(np.concatenate(
+                    [_arr(sd, p + f"self_attn.{n}_proj.bias")
+                     for n in ("q", "k", "v")]), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.dense.weight"),
+                                   dtype),
+                  "b": jnp.asarray(_arr(sd, p + "self_attn.dense.bias"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.fc1.weight"), dtype),
+                        "b": jnp.asarray(_arr(sd, p + "mlp.fc1.bias"),
+                                         dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.fc2.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.fc2.bias"), dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(_t(sd, "lm_head.weight"), cfg, dtype),
+        "lm_head_b": jnp.asarray(_arr(sd, "lm_head.bias"), dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(
+            _arr(sd, "model.final_layernorm.weight"), dtype),
+        "final_norm_b": jnp.asarray(
+            _arr(sd, "model.final_layernorm.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_gptj(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """GPT-J (reference models/gpt_j.py): transformer.h.* prefix, separate
+    unbiased q/k/v/out projections, fc_in/fc_out MLP with biases, shared
+    ln_1 parallel block, lm_head with bias."""
+    pre = "transformer."
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "attn.out_proj.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.fc_in.weight"),
+                                         dtype),
+                        "b": jnp.asarray(_arr(sd, p + "mlp.fc_in.bias"),
+                                         dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.fc_out.weight"),
+                                      dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.fc_out.bias"),
+                                      dtype)},
+            "input_norm": jnp.asarray(_arr(sd, p + "ln_1.weight"), dtype),
+            "input_norm_b": jnp.asarray(_arr(sd, p + "ln_1.bias"), dtype),
+        })
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(_arr(sd, pre + "wte.weight"), dtype),
+        "lm_head": pack_lm_head(_t(sd, "lm_head.weight"), cfg, dtype),
+        "lm_head_b": jnp.asarray(_arr(sd, "lm_head.bias"), dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_cohere(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Cohere/CommandR (reference models/commandr.py): llama-keyed weights,
+    ONE bias-free LayerNorm per block (parallel attn+MLP), bias-free final
+    norm, ALWAYS-tied embeddings (logit_scale rides cfg.logits_scaling)."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        qkv = {"w": jnp.asarray(np.concatenate(
+            [_t(sd, p + f"self_attn.{n}_proj.weight")
+             for n in ("q", "k", "v")], axis=1), dtype)}
+        if p + "self_attn.q_proj.bias" in sd:
+            qkv["b"] = jnp.asarray(np.concatenate(
+                [_arr(sd, p + f"self_attn.{n}_proj.bias")
+                 for n in ("q", "k", "v")]), dtype)
+        layers.append({
+            "qkv": qkv,
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.gate_proj.weight"),
+                 _t(sd, p + "mlp.up_proj.weight")], axis=1), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.down_proj.weight"),
+                                      dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(embed.T, cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_olmo(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """OLMo (reference models/olmo.py): llama-keyed weights with
+    NON-PARAMETRIC LayerNorms — the checkpoint carries no norm tensors, so
+    gamma=1 (and no beta) is stored to keep the graph uniform."""
+    ones = jnp.ones((cfg.hidden_size,), dtype)
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.gate_proj.weight"),
+                 _t(sd, p + "mlp.up_proj.weight")], axis=1), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.down_proj.weight"),
+                                      dtype)},
+            "input_norm": ones,
+            "post_norm": ones,
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": ones,
+    }
+    return _finish(params, cfg, dtype)
+
+
 CONVERTERS = {
     "opt": convert_opt,
     "deepseek": convert_deepseek,
@@ -361,6 +614,12 @@ CONVERTERS = {
     "falcon": convert_falcon,
     "baichuan": convert_baichuan,
     "internlm2": convert_internlm2,
+    "stablelm": convert_stablelm,
+    "gpt_neox": convert_gpt_neox,
+    "phi": convert_phi,
+    "gptj": convert_gptj,
+    "cohere": convert_cohere,
+    "olmo": convert_olmo,
 }
 
 

@@ -72,7 +72,8 @@ def config_from_hf_dir(path: str) -> ModelConfig:
 
 
 def _common(cfg: ModelConfig, dtype=jnp.bfloat16):
-    return {"rope_cache": make_rope_cache(cfg.head_dim, cfg.max_position_embeddings,
+    return {"rope_cache": make_rope_cache(cfg.rotary_dim or cfg.head_dim,
+                                        cfg.max_position_embeddings,
                                           cfg.rope_theta, rope_scaling=cfg.rope_scaling)}
 
 

@@ -322,8 +322,11 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     li = layer_idx if weight_idx is None else weight_idx
     quarot = cfg.quant == "w4"
     gamma_in = None if quarot else layers["input_norm"][li]
-    # falcon parallel blocks have no post-attention norm at all
-    gamma_post = (None if quarot or cfg.parallel_block
+    # falcon/phi/gptj/cohere parallel blocks have no post-attention norm at
+    # all; GPT-NeoX parallel blocks (parallel_norms=2) keep one as the
+    # MLP's own input norm over the SAME residual input
+    gamma_post = (None if quarot
+                  or (cfg.parallel_block and cfg.parallel_norms == 1)
                   else layers["post_norm"][li])
     beta_in = (layers["input_norm_b"][li]
                if "input_norm_b" in layers else None)
@@ -399,6 +402,9 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
     if lora is not None:
         qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
+    if cfg.clip_qkv is not None:
+        # OLMo clamps qkv activations (reference olmo.py clip_qkv)
+        qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
     q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
     q = q.reshape(T, heads_l, cfg.head_dim)
     k = k.reshape(T, kv_heads_l, cfg.head_dim)
@@ -411,7 +417,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
         k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
     if cfg.position_embedding == "rope":
-        q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache)
+        q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache,
+                          style=cfg.rope_style)
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
 
@@ -468,10 +475,15 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
 
     # --- mlp block ---
     if cfg.parallel_block:
-        # falcon parallel layout (reference falcon.py parallel_attn): the
-        # MLP reads the SAME normed input as attention; both residuals add
-        # at the block end. `o` is held back until then.
-        pass
+        # falcon/phi/gptj/cohere parallel layout (reference falcon.py
+        # parallel_attn, phi.py, commandr.py): the MLP reads the SAME
+        # normed input as attention; both residuals add at the block end.
+        # GPT-NeoX (parallel_norms=2, use_parallel_residual) norms the
+        # same residual input with its own post_attention norm.
+        if cfg.parallel_norms == 2:
+            xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps,
+                                       scheme, beta=beta_post,
+                                       norm_type=cfg.norm_type)
     else:
         x = x + o.astype(x.dtype)
         xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme,
@@ -687,6 +699,10 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         logits = logits / cfg.logits_scaling
     if axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=1, tiled=True)
+    if "lm_head_b" in params:
+        # phi/gptj ParallelLMHead(bias=True); kept full-vocab + replicated,
+        # so it adds after the TP gather
+        logits = logits + params["lm_head_b"].astype(jnp.float32)
     if return_hidden == "all":
         return logits.reshape(B, Q, -1), hidden_full, cache
     if return_hidden:

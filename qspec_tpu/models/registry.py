@@ -204,6 +204,67 @@ def _deepseek(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("StableLmForCausalLM")
+@register("StableLMEpochForCausalLM")
+@register("stablelm")
+def _stablelm(hf: dict) -> ModelConfig:
+    # stablelm: LayerNorm(+bias), gated silu MLP, PARTIAL rotary
+    # (partial_rotary_factor/rope_pct of head_dim), optional qkv bias
+    # (reference models/stablelm.py)
+    hf = {**hf, "model_type": "stablelm"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("GPTNeoXForCausalLM")
+@register("gpt_neox")
+def _gpt_neox(hf: dict) -> ModelConfig:
+    # GPT-NeoX/Pythia: LayerNorm+biases, non-gated gelu MLP, partial rotary
+    # (rotary_pct), use_parallel_residual with TWO norms per block
+    # (reference models/gpt_neox.py)
+    hf = {**hf, "model_type": "gpt_neox"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("PhiForCausalLM")
+@register("phi")
+def _phi(hf: dict) -> ModelConfig:
+    # phi-1/1.5/2: parallel attn+MLP sharing ONE input LayerNorm, partial
+    # rotary, gelu_new MLP, biases, lm_head WITH bias (reference
+    # models/phi.py; phi-3 is the separate llama-graph Phi3ForCausalLM)
+    hf = {**hf, "model_type": "phi"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("GPTJForCausalLM")
+@register("gptj")
+def _gptj(hf: dict) -> ModelConfig:
+    # GPT-J: parallel block sharing ln_1, INTERLEAVED (gptj-style) rotary
+    # over rotary_dim, gelu_new MLP with biases, lm_head with bias
+    # (reference models/gpt_j.py)
+    hf = {**hf, "model_type": "gptj"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("CohereForCausalLM")
+@register("Cohere2ForCausalLM")
+@register("cohere")
+def _cohere(hf: dict) -> ModelConfig:
+    # Cohere/CommandR: parallel attn+MLP sharing one bias-free LayerNorm,
+    # gptj-style rope, tied embeddings, logit_scale on the final logits
+    # (reference models/commandr.py)
+    hf = {**hf, "model_type": "cohere"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("OlmoForCausalLM")
+@register("olmo")
+def _olmo(hf: dict) -> ModelConfig:
+    # OLMo: non-parametric LayerNorm, gated silu MLP, no biases, clip_qkv
+    # clamp (reference models/olmo.py)
+    hf = {**hf, "model_type": "olmo"}
+    return ModelConfig.from_hf_config(hf)
+
+
 def resolve(hf_config: dict) -> ModelConfig:
     archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
     for a in archs:

@@ -78,16 +78,36 @@ def make_rope_cache(head_dim: int, max_positions: int = 8192, base: float = 5000
 
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
-               cache: jnp.ndarray):
-    """Neox-style rotation. q: [T, Hq, D], k: [T, Hk, D], positions: [T]."""
-    cos = cache[0][positions][:, None, :]  # [T, 1, D/2]
+               cache: jnp.ndarray, style: str = "neox"):
+    """Rotary rotation. q: [T, Hq, D], k: [T, Hk, D], positions: [T].
+
+    The rotated width is the cache's (2 * cache.shape[-1]); when it is
+    smaller than D the remaining dims pass through unrotated (partial
+    rotary — StableLM/GPT-NeoX/Phi/GPT-J, reference
+    rotary_embedding.py rotary_dim < head_size).
+
+    style: "neox" rotates half-split pairs (x_i, x_{i+rd/2}); "gptj"
+    rotates interleaved pairs (x_{2i}, x_{2i+1}) (reference
+    RotaryEmbedding is_neox_style=False — GPT-J, Cohere).
+    """
+    cos = cache[0][positions][:, None, :]  # [T, 1, rd/2]
     sin = cache[1][positions][:, None, :]
+    rd = 2 * cache.shape[-1]
 
     def rot(x):
         xf = x.astype(jnp.float32)
-        half = x.shape[-1] // 2
-        x1, x2 = xf[..., :half], xf[..., half:]
-        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        xr, xp = xf[..., :rd], xf[..., rd:]
+        if style == "gptj":
+            x1, x2 = xr[..., 0::2], xr[..., 1::2]
+            out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                            axis=-1).reshape(xr.shape)
+        else:
+            half = rd // 2
+            x1, x2 = xr[..., :half], xr[..., half:]
+            out = jnp.concatenate([x1 * cos - x2 * sin,
+                                   x2 * cos + x1 * sin], axis=-1)
+        if rd < x.shape[-1]:
+            out = jnp.concatenate([out, xp], axis=-1)
         return out.astype(x.dtype)
 
     return rot(q), rot(k)

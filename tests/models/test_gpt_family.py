@@ -48,9 +48,13 @@ def check_against_hf(hf_model, hf_cfg_dict, tokens, atol=0.25):
     got = run_ours(params, cfg, tokens)
     with torch.no_grad():
         want = hf_model(torch.tensor([tokens])).logits[0].numpy()
-    # bf16 trunk vs f32 HF: compare top-1 everywhere + logit closeness
-    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.95, \
-        (got.argmax(-1), want.argmax(-1))
+    # bf16 trunk vs f32 HF: compare top-1 everywhere + logit closeness.
+    # Random tiny weights put genuine near-ties at some positions (top-2
+    # margins under the bf16 noise floor) — those count as agreement.
+    top2 = np.sort(want, axis=-1)
+    tied = (top2[:, -1] - top2[:, -2]) < 0.01
+    agree = (got.argmax(-1) == want.argmax(-1)) | tied
+    assert agree.mean() > 0.95, (got.argmax(-1), want.argmax(-1))
     np.testing.assert_allclose(got, want, atol=atol, rtol=0.05)
     return cfg
 
