@@ -68,7 +68,9 @@ class ModelConfig:
     logits_scaling: Optional[float] = None
     # quantization scheme of the stored checkpoint:
     # "w4"   QuaRot packed int4, per-channel symmetric (dual-scheme QSpec)
-    # "w4g"  grouped asymmetric int4 (AWQ/GPTQ ingestion, W4A16 only)
+    # "w4g"  grouped asymmetric int4 (AWQ/GPTQ/compressed-tensors
+    #        pack-quantized ingestion, W4A16 only)
+    # "w8"   per-channel int8 (compressed-tensors int-quantized, W8A16)
     # "none" bf16
     quant: str = "w4"
     # vocab-projection weight dtype. At decode M the dense bf16 head streams
@@ -145,7 +147,7 @@ class ModelConfig:
     def resolved_lm_head_quant(self) -> str:
         if self.lm_head_quant != "auto":
             return self.lm_head_quant
-        return "int8" if self.quant in ("w4", "w4g") else "bf16"
+        return "int8" if self.quant in ("w4", "w4g", "w8") else "bf16"
 
     @property
     def expert_intermediate_size(self) -> int:

@@ -170,10 +170,53 @@ def _grammar_advance_emitted(st, g, toks):
 
 
 def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
-                *, cfg, scheme, k, axis_name=None, lora_ids=None, gstate=None):
+                *, cfg, scheme, k, axis_name=None, lora_ids=None, gstate=None,
+                prev_tokens=None):
+    """k sequential draft forwards; returns (tokens [B,k], probs, cache).
+
+    ``prev_tokens`` (the token at ``start_pos - 1``) upgrades the FIRST step
+    to a Q=2 pass over [prev, last]. This closes the draft-KV hole left by
+    the PREVIOUS round: the k-th proposal's KV is never written during its
+    own round (the scan's last step produces it but the next step — which
+    would write it — never runs), so a fully-accepted round would otherwise
+    leave a permanently stale draft-cache entry at that position. One such
+    hole per full-acceptance round compounds into garbage draft attention
+    and caps acceptance around ~0.6 even for a draft that is arithmetically
+    identical to the target (observed: w4a16 full-context draft at 0.66).
+    Re-processing the predecessor token rewrites that slot with the correct
+    KV at zero extra weight traffic — the same self-healing structure the
+    verify pass gets for free by scoring [last, d_1..d_k]. (The reference's
+    draft runner re-runs all tokens emitted since the previous round for the
+    same reason: vllm/spec_decode/multi_step_worker.py sampler_output
+    feeding seq updates before proposals.) Rows at start_pos == 0 (1-token
+    prompts, no predecessor) route the phantom query's KV write to the
+    reserved null page; its garbage output is discarded.
+    """
     page_size = cache.page_size
     if gstate is None:
         gstate = st.grammar_state
+
+    first_k = k
+    toks0 = probs0 = None
+    if prev_tokens is not None:
+        key, k0 = jax.random.split(key)
+        p2 = jnp.stack([start_pos - 1, start_pos], axis=1)       # [B, 2]
+        slot2 = jnp.where(
+            p2 >= 0,
+            _slot_of(block_tables, jnp.maximum(p2, 0), page_size), 0)
+        batch = AttentionBatch(positions=p2, slot_mapping=slot2,
+                               block_tables=block_tables,
+                               ctx_lens=start_pos + 1)
+        t2 = jnp.stack([prev_tokens, last_tokens], axis=1)
+        logits, cache = model_forward(params, cfg, t2, cache, batch,
+                                      scheme=scheme, axis_name=axis_name,
+                                      lora_ids=lora_ids)
+        probs0 = sampling_probs(logits[:, 1], st, gstate)
+        toks0 = sample(logits[:, 1], st, k0, gstate)
+        gstate = (grammar_advance(st, gstate, toks0)
+                  if gstate is not None else None)
+        last_tokens, start_pos = toks0, start_pos + 1
+        first_k = k - 1
 
     def body(carry, step_key):
         cache, tok, pos, g = carry
@@ -191,10 +234,19 @@ def _draft_impl(params, cache, last_tokens, start_pos, block_tables, st, key,
         g = grammar_advance(st, g, nxt) if g is not None else None
         return (cache, nxt, pos + 1, g), (nxt, probs)
 
-    keys = jax.random.split(key, k)
-    (cache, _, _, _), (toks, probs) = jax.lax.scan(
-        body, (cache, last_tokens, start_pos, gstate), keys)
-    return jnp.moveaxis(toks, 0, 1), jnp.moveaxis(probs, 0, 1), cache
+    if first_k > 0:
+        keys = jax.random.split(key, first_k)
+        (cache, _, _, _), (toks, probs) = jax.lax.scan(
+            body, (cache, last_tokens, start_pos, gstate), keys)
+        toks, probs = jnp.moveaxis(toks, 0, 1), jnp.moveaxis(probs, 0, 1)
+    else:
+        B = last_tokens.shape[0]
+        toks = jnp.zeros((B, 0), last_tokens.dtype)
+        probs = jnp.zeros((B, 0, cfg.vocab_size), jnp.float32)
+    if toks0 is not None:
+        toks = jnp.concatenate([toks0[:, None], toks], axis=1)
+        probs = jnp.concatenate([probs0[:, None], probs], axis=1)
+    return toks, probs, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scheme", "k", "axis_name"),
@@ -304,7 +356,8 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
                                     "axis_name", "draft_axis_name",
                                     "acceptance"),
                    donate_argnames=("draft_cache", "cache"))
-def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
+def spec_rounds_step(params, draft_cache, cache, last_tokens, prev_tokens,
+                     start_pos,
                      block_tables, max_new, enable, st, key, lora_ids=None,
                      draft_params=None, *, cfg, draft_scheme, verify_scheme, k,
                      num_rounds=1, axis_name=None, draft_cfg=None,
@@ -351,12 +404,12 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
     d_lora = lora_ids if draft_params is None else None
 
     def round_body(carry, round_key):
-        draft_cache, cache, last, pos, budget, g = carry
+        draft_cache, cache, last, prev, pos, budget, g = carry
         dk, vk = jax.random.split(round_key)
         d_toks, d_probs, draft_cache = _draft_impl(
             d_params, draft_cache, last, pos, block_tables, st, dk,
             cfg=d_cfg, scheme=draft_scheme, k=k, axis_name=d_axis,
-            lora_ids=d_lora, gstate=g)
+            lora_ids=d_lora, gstate=g, prev_tokens=prev)
         # oracle mode: -1 tokens always reject; zeroed q makes the recovery
         # residual max(p - q, 0) = p exactly, so emission is bit-exact AR
         d_toks = jnp.where(enable, d_toks, -1)
@@ -377,16 +430,24 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, start_pos,
         new_last = jnp.take_along_axis(result.tokens, gather_idx, axis=1)[:, 0]
         new_last = jnp.where(active, new_last, last)
         new_pos = pos + acc
+        # predecessor token (at new_pos - 1) for the next round's draft
+        # backfill pass: emitted[acc-2] when >= 2 tokens were emitted, else
+        # this round's input `last` keeps that position
+        idx2 = jnp.maximum(acc - 2, 0)[:, None]
+        cand = jnp.take_along_axis(result.tokens, idx2, axis=1)[:, 0]
+        new_prev = jnp.where(acc >= 2, cand, last)
+        new_prev = jnp.where(active, new_prev, prev)
         g = _grammar_advance_emitted(st, g, toks)
-        return ((draft_cache, cache, new_last, new_pos, budget - acc, g),
-                (toks, acc, lps))
+        return ((draft_cache, cache, new_last, new_prev, new_pos,
+                 budget - acc, g), (toks, acc, lps))
 
     keys = jax.random.split(key, num_rounds)
-    (draft_cache, cache, f_last, f_pos, f_budget, _), (toks, accs, lps) = \
-        jax.lax.scan(
-        round_body, (draft_cache, cache, last_tokens, start_pos, max_new,
-                     st.grammar_state), keys)
-    return toks, accs, lps, (f_last, f_pos, f_budget), draft_cache, cache
+    (draft_cache, cache, f_last, f_prev, f_pos, f_budget, _), \
+        (toks, accs, lps) = jax.lax.scan(
+        round_body, (draft_cache, cache, last_tokens, prev_tokens, start_pos,
+                     max_new, st.grammar_state), keys)
+    return toks, accs, lps, (f_last, f_prev, f_pos, f_budget), \
+        draft_cache, cache
 
 
 @functools.partial(jax.jit,
@@ -776,16 +837,19 @@ class ModelRunner:
         self.page_size = page_size
         self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
         self.key = jax.random.PRNGKey(0)
-        self._verify_scheme = ("w4a16" if self.cfg.quant in ("w4", "w4g")
+        self._verify_scheme = ("w4a16" if self.cfg.quant in ("w4", "w4g", "w8")
                                else "bf16")
-        if (config.speculative is not None and self.cfg.quant == "w4g"
+        if (config.speculative is not None
+                and self.cfg.quant in ("w4g", "w8")
                 and config.speculative.method in ("qspec", "qspec_null")
-                and config.speculative.draft_model is None):
+                and config.speculative.draft_model is None
+                and config.speculative.draft_scheme != "w4a16"):
             raise ValueError(
-                "AWQ/GPTQ (w4g) checkpoints have no QuaRot rotations, so the "
-                "shared-weights w4a4/w4a8 draft scheme is unavailable; use "
-                "method='ngram'/'medusa'/'mlp_speculator' or a separate "
-                "draft_model")
+                "AWQ/GPTQ/compressed-tensors (w4g/w8) checkpoints have no "
+                "QuaRot rotations, so the shared-weights w4a4/w4a8 draft "
+                "scheme is unavailable; use draft_scheme='w4a16' (with "
+                "draft_kv_window), method='ngram'/'medusa'/'mlp_speculator', "
+                "or a separate draft_model")
         k = config.speculative.num_speculative_tokens if config.speculative else 1
         draft_scheme = (config.speculative.draft_scheme if config.speculative
                         else "w4a4")
@@ -1141,11 +1205,15 @@ class ModelRunner:
         """
         B = self._bucket_batch(len(seqs))
         last = np.zeros(B, np.int32)
+        prev = np.zeros(B, np.int32)
         pos = np.zeros(B, np.int32)
         max_new = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
         for i, s in enumerate(seqs):
             last[i] = s.last_token()
+            toks = s.token_ids
+            # token at pos-1 for the draft's backfill pass (_draft_impl)
+            prev[i] = toks[-2] if len(toks) >= 2 else last[i]
             pos[i] = s.num_tokens - 1
             max_new[i] = max(s.sampling_params.max_tokens - len(s.output_token_ids), 0)
             tables[i] = s.page_ids
@@ -1155,16 +1223,18 @@ class ModelRunner:
         tables_d = jnp.asarray(self._pad_block_tables(tables))
         lora = self._lora_ids(seqs, B)
         last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        prev_d = jnp.asarray(prev)
         budget_d = jnp.asarray(max_new)
         en_d = jnp.asarray(bool(enable))
         parts = []
         for _ in range(max(1, chain)):
             toks, accs, lps, adv, self.draft_cache, self.cache = \
                 self.fns["spec_rounds"](
-                    self.params, self.draft_cache, self.cache, last_d, pos_d,
+                    self.params, self.draft_cache, self.cache, last_d, prev_d,
+                    pos_d,
                     tables_d, budget_d, en_d, st, self._next_key(), lora,
                     *extra)
-            last_d, pos_d, budget_d = adv
+            last_d, prev_d, pos_d, budget_d = adv
             parts.append((toks, accs, lps))
         parts = jax.device_get(parts)
         toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)

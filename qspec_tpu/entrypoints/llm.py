@@ -86,6 +86,13 @@ class LLM:
                                                                 load_gptq)
                     load_g = load_awq if qmethod == "awq" else load_gptq
                     params, cfg = load_g(model, cfg)
+                elif qmethod == "compressed-tensors":
+                    from qspec_tpu.model_loader.ct import \
+                        load_compressed_tensors
+                    with open(os.path.join(model, "config.json")) as f:
+                        qcfg = _json.load(f).get("quantization_config") or {}
+                    params, cfg = load_compressed_tensors(model, cfg,
+                                                          qconfig=qcfg)
                 elif cfg.quant == "w4":
                     try:
                         params, cfg = load_qspec(model, cfg)

@@ -151,7 +151,9 @@ def pack_grouped_proj(q: np.ndarray, zp: np.ndarray, s: np.ndarray, *,
 
 
 def _load_grouped(sd: dict, cfg: ModelConfig, fmt: str, tp_size: int,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, proj_reader=None):
+    """``proj_reader(prefix) -> (q [K,N], zp [G,N], s [G,N])`` overrides the
+    AWQ/GPTQ tensor-name unpacking (compressed-tensors ingestion, ct.py)."""
     from qspec_tpu.model_loader.loader import _common
 
     cfg = ModelConfig(**{**cfg.__dict__, "quant": "w4g",
@@ -159,6 +161,8 @@ def _load_grouped(sd: dict, cfg: ModelConfig, fmt: str, tp_size: int,
     unpack = unpack_awq if fmt == "awq" else unpack_gptq
 
     def proj(prefix):
+        if proj_reader is not None:
+            return proj_reader(prefix)
         args = [np.asarray(sd[prefix + ".qweight"]),
                 np.asarray(sd[prefix + ".qzeros"]),
                 np.asarray(sd[prefix + ".scales"])]

@@ -87,7 +87,8 @@ def _linear(x, w, scheme, xq=None, li=None):
         kdim = (x.shape[-1] if x is not None else xq.values.shape[-1])
         return backend_is_tpu() and kdim % 256 == 0
 
-    if scheme == "bf16" or (scheme == "w4a16" and "qw" not in w):
+    if scheme == "bf16" or (scheme == "w4a16" and "qw" not in w
+                            and "w8" not in w):
         # second case: rotated-but-unquantized params (algebra testing)
         if x is None:
             from qspec_tpu.ops.quant import sym_dequant
@@ -103,6 +104,15 @@ def _linear(x, w, scheme, xq=None, li=None):
         else:
             out = matmul_w4a16_g_ref(x, _take("qw"), _take("qs_g"),
                                      _take("qo_g"))
+    elif scheme == "w4a16" and "w8" in w:
+        # per-channel int8 weights (compressed-tensors int-quantized
+        # ingestion, model_loader/ct.py)
+        from qspec_tpu.ops.linear_kernels import (matmul_w8a16,
+                                                  matmul_w8a16_g_ref)
+        if _fast_ok():
+            out = matmul_w8a16(x, w["w8"], w["s8"], layer_idx=li)
+        else:
+            out = matmul_w8a16_g_ref(x, _take("w8"), _take("s8"))
     elif scheme == "w4a16":
         if _fast_ok():
             out = matmul_w4a16(x, w["qw"], w["qs"], layer_idx=li)
@@ -570,13 +580,15 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     similarities are invariant under the orthonormal rotation).
     """
     assert scheme in SCHEMES
-    if scheme != "bf16" and cfg.quant not in ("w4", "w4g"):
+    if scheme != "bf16" and cfg.quant not in ("w4", "w4g", "w8"):
         raise ValueError("quantized scheme on an unquantized checkpoint")
-    if scheme in QUANT_ACT_SCHEMES and cfg.quant == "w4g":
-        # grouped AWQ/GPTQ weights carry no QuaRot rotations: quantized
-        # activations would be outlier-dominated; only W4A16 serves them
+    if scheme in QUANT_ACT_SCHEMES and cfg.quant in ("w4g", "w8"):
+        # grouped AWQ/GPTQ / int8 weights carry no QuaRot rotations:
+        # quantized activations would be outlier-dominated; only W4A16
+        # (weight-only dequant) serves them
         raise ValueError("w4a4/w4a8 drafting requires a QuaRot (quant='w4') "
-                         "checkpoint; AWQ/GPTQ models are W4A16-only")
+                         "checkpoint; AWQ/GPTQ/compressed-tensors models are "
+                         "weight-only-quant")
     B, Q = token_ids.shape
     x = params["embed"][token_ids.reshape(-1)].astype(jnp.bfloat16)
     if cfg.embed_scale is not None:

@@ -432,10 +432,20 @@ def _choose_bn_w8(k: int, n: int):
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
                  bias: Optional[jnp.ndarray] = None, *,
-                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """x [M, K] bf16 @ int8 w [K, N] -> [M, N] out_dtype (per-N-channel scales)."""
+                 out_dtype=jnp.bfloat16,
+                 layer_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x [M, K] bf16 @ int8 w [K, N] -> [M, N] out_dtype (per-N-channel scales).
+
+    Serves the int8 lm_head and W8A16 trunks (compressed-tensors
+    int-quantized ingestion, model_loader/ct.py). With ``layer_idx`` the
+    weight side is the stacked [L, K, N] array (+ scales [L, N]) and tiles
+    of layer ``layer_idx`` stream straight from HBM via scalar prefetch.
+    """
     m, k = x.shape
-    kw, n = w_q.shape
+    if layer_idx is not None:
+        L, kw, n = w_q.shape
+    else:
+        kw, n = w_q.shape
     assert k == kw, (x.shape, w_q.shape)
     m_pad = round_up(max(m, 16), 16)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
@@ -444,27 +454,54 @@ def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
         bm //= 2
     bn = _choose_bn_w8(k, n)
     grid = (m_pad // bm, cdiv(n, bn))
-    out = pl.pallas_call(
-        _w8a16_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        interpret=interpret_mode(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n,
-            bytes_accessed=k * n + m_pad * k * 2 + m_pad * n * 2,
-            transcendentals=0,
-        ),
-    )(x, w_q, w_scales.reshape(1, -1))
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n,
+        bytes_accessed=k * n + m_pad * k * 2 + m_pad * n * 2,
+        transcendentals=0,
+    )
+    if layer_idx is None:
+        out = pl.pallas_call(
+            _w8a16_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+            interpret=interpret_mode(),
+            cost_estimate=cost,
+        )(x, w_q, w_scales.reshape(1, -1))
+    else:
+        specs = [
+            pl.BlockSpec((bm, k), lambda i, j, li: (i, 0)),
+            pl.BlockSpec((1, k, bn), lambda i, j, li: (li[0], 0, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, li: (li[0], 0, j)),
+        ]
+        out = pl.pallas_call(
+            _stacked_kernel(_w8a16_kernel),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=specs,
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j, li: (i, j)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+            interpret=interpret_mode(), cost_estimate=cost,
+        )(jnp.atleast_1d(layer_idx).astype(jnp.int32), x, w_q,
+          w_scales.reshape(L, 1, n))
     out = out[:m]
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)
     return out
+
+
+def matmul_w8a16_g_ref(x: jnp.ndarray, w_q: jnp.ndarray,
+                       w_scales: jnp.ndarray,
+                       out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """jnp reference for the W8A16 path (CPU fallback for tiny dims):
+    x [M,K] bf16 @ int8 w [K,N] with per-N scales."""
+    w = w_q.astype(jnp.float32) * w_scales.astype(jnp.float32)[None, :]
+    return jnp.dot(x.astype(jnp.float32), w).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))

@@ -296,12 +296,12 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                               draft_cfg=draft_cfg,  # windowed shared draft OK
                               draft_axis_name=None if sep_draft else "inherit")
     if sep_draft:
-        in_specs = (pspecs, dcspec, cspec, R, R, R, R, R, mr_st_spec(), R, R,
-                    dpspecs)
-        out_specs = (P(), P(), P(), (P(), P(), P()), dcspec, cspec)
+        in_specs = (pspecs, dcspec, cspec, R, R, R, R, R, R, mr_st_spec(), R,
+                    R, dpspecs)
+        out_specs = (P(), P(), P(), (P(), P(), P(), P()), dcspec, cspec)
     else:
-        in_specs = (pspecs, cspec, cspec, R, R, R, R, R, mr_st_spec(), R, R)
-        out_specs = (P(), P(), P(), (P(), P(), P()), cspec, cspec)
+        in_specs = (pspecs, cspec, cspec, R, R, R, R, R, R, mr_st_spec(), R, R)
+        out_specs = (P(), P(), P(), (P(), P(), P(), P()), cspec, cspec)
     mapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
     fns["spec_rounds"] = jax.jit(mapped, donate_argnums=(1, 2))

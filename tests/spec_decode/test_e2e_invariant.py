@@ -254,6 +254,30 @@ def test_chained_dispatch_equivalence(setup, method):
     assert chained == unchained
 
 
+def test_identical_draft_acceptance_stays_high(setup):
+    """Draft-KV integrity: a w4a16 full-context shared-weights draft is
+    arithmetically the target, so greedy acceptance must stay ~1.0 across
+    MANY rounds. Regression for the draft-cache hole: the k-th proposal's
+    KV is produced by the draft scan's last step but only written by a step
+    that never runs, so every fully-accepted round used to leave one
+    permanently-stale draft-cache position; holes compounded until
+    acceptance plateaued ~0.6 (observed on hardware with real weights at
+    every draft scheme). The Q=2 backfill pass in _draft_impl repairs the
+    hole each round."""
+    mc, params, sched = setup
+    ps = prompts()
+    sp, eng = run_engine(
+        mc, params, sched,
+        SpeculativeConfig(num_speculative_tokens=3, rounds_per_step=2,
+                          draft_scheme="w4a16"), ps, max_tokens=48)
+    m = eng.spec_metrics
+    assert m.num_draft_tokens > 100   # enough rounds for holes to compound
+    # random tiny weights put a few argmaxes within Q=1-vs-Q=k+1 kernel-shape
+    # ULPs of a tie (measured ~0.95 here, stationary in generation length;
+    # the hole bug plateaued at ~0.6, and real weights measure 0.987)
+    assert m.draft_acceptance_rate > 0.9, m.summary()
+
+
 @pytest.mark.parametrize("kv_dtype", ["int8", "fp8_e4m3", "fp8_e5m2"])
 def test_greedy_spec_equals_ar_quantized_kv(setup, kv_dtype):
     """The spec==AR greedy invariant must survive 8-bit KV (reference
