@@ -163,11 +163,25 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
     from qspec_tpu.engine.llm_engine import LLMEngine
     from qspec_tpu.sampling_params import SamplingParams
 
-    max_len = max(len(p) for p in prompts) + max_tokens + 8 * rounds
+    # size max_model_len with CHAIN-dispatch slack: the engine chains up to
+    # 8 fused calls on device-resident state, and each call needs
+    # (k+1)*rounds lookahead slots ALLOCATABLE (block tables and the page
+    # pool are both sized by max_model_len). Without the slack,
+    # append_slots fails near the end of generation, the chain collapses
+    # to 1, and every call pays the ~30 ms tunnel dispatch exactly in the
+    # deep-context half where speculation wins.
+    per_call = (spec_k + 1) * rounds if spec else rounds * 4
+    max_len = max(len(p) for p in prompts) + max_tokens + 8 * per_call
     sched = SchedulerConfig(max_num_seqs=max_num_seqs,
                             max_model_len=max_len,
-                            prefill_chunk_size=512,
-                            max_num_batched_tokens=4096,
+                            # wide prefill rectangles: the whole prompt set
+                            # prefills in 1-2 dispatches — at ~30 ms tunnel
+                            # round-trip per dispatch, 8 sequential 4096-token
+                            # rectangles used to cost ~0.5 s of pure dispatch
+                            # in BOTH arms of the A/B
+                            prefill_chunk_size=1024,
+                            max_num_batched_tokens=max(4096,
+                                                       1024 * max_num_seqs),
                             decode_batch_buckets=(max_num_seqs,),
                             # a 256 bucket catches the 188-token tail chunks
                             # of 700-token prompts (they padded 2.7x to 512)
@@ -269,10 +283,12 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         n_prompts = args.prompts or max_num_seqs
         # LONG-context serving point (the regime speculation is FOR —
         # MagicDec's thesis and the reference's own batch-serving case): at
-        # ctx ~2k and B=32 a decode step streams ~1 GB of KV, which a
+        # ctx ~2k and B=32 a decode step streams ~0.5-1 GB of KV, which a
         # verify pass amortizes over k+1 tokens while the windowed draft
-        # reads ~window/ctx of it
-        prompt_len = args.prompt_len or min(1024, train_seq // 2)
+        # reads ~window/ctx of it. Prompt 512 + 1504 output keeps the
+        # decode phase (where the method acts) dominant over the prefill
+        # wall both arms share.
+        prompt_len = args.prompt_len or min(512, train_seq // 4)
         max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
         prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
         ngram_default_k = 12
@@ -280,8 +296,8 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         # cover the copy circuit's lookback (max period 64) with margin
         window = 192 if args.draft_window is None else (
             args.draft_window or None)
-        # 8 fused rounds/call amortize the tunnel dispatch; AR gets the
-        # matching 32-step fused decode call
+        # 8 fused rounds/call amortize the tunnel dispatch (measured best
+        # of 4/8/12/16); AR gets the matching 32-step fused decode call
         rounds = args.rounds or 8
     else:
         cfg = build(model)

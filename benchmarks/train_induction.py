@@ -183,7 +183,13 @@ def to_hf_state_dict(params, cfg) -> dict:
 
 def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
           seed: int = 0, log_every: int = 100, preset: str = "small",
-          save_every: int = 0, save_fn=None):
+          save_every: int = 0, save_fn=None, init_from: str = None):
+    """``init_from``: warm-start from an existing checkpoint basename —
+    the position-window EXTENSION path (e.g. a seq-768-trained model
+    fine-tuned at seq 2048). Induction-circuit formation from scratch is
+    lr/seq-sensitive (a from-scratch seq-2048 run plateaued at copy-acc
+    0.017 where seq-768 reached 0.997); extending an existing circuit to
+    new rope positions converges in a few hundred steps instead."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -191,8 +197,20 @@ def train(steps: int = 1200, batch: int = 32, seq: int = 256, lr: float = 3e-4,
     from qspec_tpu.models.llama import init_params
 
     cfg = model_cfg(preset)
-    params = jax.tree.map(lambda a: a.astype(jnp.float32),
-                          init_params(cfg, seed=seed, dtype=jnp.float32))
+    if init_from:
+        import json as _json
+        with open(init_from + ".json") as f:
+            meta = _json.load(f)
+        from qspec_tpu.config import ModelConfig
+        from qspec_tpu.model_loader.loader import load_hf_float
+        icfg = ModelConfig(**meta["cfg"])
+        assert icfg.hidden_size == cfg.hidden_size \
+            and icfg.num_layers == cfg.num_layers, "preset mismatch"
+        params, _ = load_hf_float(dict(np.load(init_from + ".npz")), cfg)
+        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    else:
+        params = jax.tree.map(lambda a: a.astype(jnp.float32),
+                              init_params(cfg, seed=seed, dtype=jnp.float32))
     rope = params.pop("rope_cache")  # not trained
 
     warmup = min(50, max(1, steps // 4))
@@ -251,6 +269,9 @@ def main():
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--save-every", type=int, default=0,
                     help="snapshot the checkpoint every N steps")
+    ap.add_argument("--init", default=None,
+                    help="checkpoint basename to warm-start from "
+                         "(position-window extension)")
     args = ap.parse_args()
 
     def save(params, cfg, acc):
@@ -266,7 +287,8 @@ def main():
 
     params, cfg, acc = train(steps=args.steps, batch=args.batch, lr=args.lr,
                              seq=args.seq, preset=args.preset,
-                             save_every=args.save_every, save_fn=save)
+                             save_every=args.save_every, save_fn=save,
+                             init_from=args.init)
     save(params, cfg, acc)
     print(f"saved {args.out}.npz (final copy-acc {acc:.3f})")
 

@@ -71,12 +71,79 @@ def load_base(base: str = None):
     return params, cfg, meta, os.path.basename(base)
 
 
+def make_fake_quant(cfg, Q, quant_seed: int = 0):
+    """Serving-exact QAT transform: rotate each projection into the basis
+    quantize_float will quantize it in (gamma-fold + Q / per-head Hadamard /
+    H_I — loader.py:221-296), apply per-out-channel symmetric int4
+    fake-quant (straight-through gradients), rotate back. The backbone then
+    trains its future-token stashing against the EXACT weight noise the
+    served int4 engine has — without this, heads reaching 0.88-0.99 top-1
+    on float hiddens measure 0.46-0.77 on the quantized engine's hiddens
+    (checkpoints/induction_medusa_v2.json) and acceptance lands ~0.32."""
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.ops.hadamard import decompose_dim, hadamard_matrix
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    nh, dh = cfg.num_heads, cfg.head_dim
+    Hh = jnp.asarray(hadamard_matrix(nh), jnp.float32) / math.sqrt(nh)
+    K_f, P_f = decompose_dim(I)
+    HI = jnp.asarray(np.kron(hadamard_matrix(K_f), hadamard_matrix(P_f)),
+                     jnp.float32) / math.sqrt(I)
+
+    def fq(w, bits):
+        lim = 2 ** (bits - 1)
+        s = jnp.maximum(jnp.abs(w).max(0, keepdims=True), 1e-8) / (lim - 1)
+        q = jnp.clip(jnp.round(w / s), -lim, lim - 1) * s
+        return w + jax.lax.stop_gradient(q - w)
+
+    def safe(g):
+        # gamma-fold/unfold needs nonzero gammas; keep sign, clamp magnitude
+        return jnp.where(jnp.abs(g) < 1e-4, jnp.where(g < 0, -1e-4, 1e-4), g)
+
+    def qat_layer(lp):
+        gin = safe(lp["input_norm"].astype(jnp.float32))[:, None]
+        gpost = safe(lp["post_norm"].astype(jnp.float32))[:, None]
+        out = dict(lp)
+
+        w = lp["qkv"]["w"].astype(jnp.float32)
+        out["qkv"] = {**lp["qkv"],
+                      "w": (Q @ fq(Q.T @ (gin * w), 4)) / gin}
+
+        w = lp["o"]["w"].astype(jnp.float32).reshape(nh, dh, H)
+        rot = jnp.einsum("jh,hdk->jdk", Hh, w).reshape(nh * dh, H) @ Q
+        v = (fq(rot, 4) @ Q.T).reshape(nh, dh, H)
+        out["o"] = {**lp["o"],
+                    "w": jnp.einsum("jh,jdk->hdk", Hh, v).reshape(nh * dh, H)}
+
+        w = lp["gate_up"]["w"].astype(jnp.float32)
+        out["gate_up"] = {**lp["gate_up"],
+                          "w": (Q @ fq(Q.T @ (gpost * w), 4)) / gpost}
+
+        w = lp["down"]["w"].astype(jnp.float32)
+        out["down"] = {**lp["down"],
+                       "w": HI.T @ (fq((HI @ w) @ Q, 4) @ Q.T)}
+        return out
+
+    def qat(params):
+        p = dict(params)
+        p["layers"] = jax.vmap(qat_layer)(params["layers"])
+        gfin = safe(params["final_norm"].astype(jnp.float32))[:, None]
+        lm = params["lm_head"].astype(jnp.float32)
+        # served lm_head is int8 per-channel (ModelConfig lm_head_quant auto)
+        p["lm_head"] = (Q @ fq(Q.T @ (gfin * lm), 8)) / gfin
+        return p
+
+    return qat
+
+
 def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
           seq: int = 256, lr: float = 1e-3, base_lr: float = 1e-4,
           seed: int = 0, quant_seed: int = 0, log_every: int = 200,
           base: str = None, head_weight: float = 0.2,
           init_heads: str = None, boost_head: int = -1,
-          boost: float = 4.0):
+          boost: float = 4.0, fake_quant: bool = False):
     """Joint (Medusa-2-style) training: the heads AND the base are trained
     together, warm-started from the existing induction checkpoint.
 
@@ -148,9 +215,10 @@ def train(heads_k: int = 7, steps: int = 3000, batch: int = 32,
     opt_state = tx.init(state)
 
     grade_from = 72  # past the longest first period (64) + margin
+    qat = make_fake_quant(cfg, Q, quant_seed) if fake_quant else None
 
     def loss_fn(st, tokens):
-        p = {**st["base"], "rope_cache": rope}
+        p = {**(qat(st["base"]) if qat else st["base"]), "rope_cache": rope}
         hd = st["heads"]
         B, T = tokens.shape
         x = train_forward(p, cfg, tokens, return_residual=True)
@@ -257,6 +325,9 @@ def main():
     ap.add_argument("--boost", type=float, default=4.0)
     ap.add_argument("--quant-seed", type=int, default=0,
                     help="must match quantize_float's seed at serving time")
+    ap.add_argument("--fake-quant", action="store_true",
+                    help="QAT: run the joint phase through serving-exact "
+                         "rotated-basis int4 fake-quant (see make_fake_quant)")
     ap.add_argument("--self-distill", type=int, default=0,
                     help="phase-2 steps: train heads on the base's OWN "
                          "greedy continuations (what serving accepts)")
@@ -293,7 +364,7 @@ def main():
             seq=args.seq, lr=args.lr, base_lr=args.base_lr, base=args.base,
             quant_seed=args.quant_seed, head_weight=args.head_weight,
             init_heads=args.init_heads, boost_head=args.boost_head,
-            boost=args.boost)
+            boost=args.boost, fake_quant=args.fake_quant)
         rope = base_out_p.pop("rope_cache")
         base_params = base_out_p
 
