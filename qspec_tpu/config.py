@@ -142,6 +142,22 @@ class ModelConfig:
     lm_head_bias: bool = False
     # clamp qkv projection outputs to [-clip_qkv, +clip_qkv] (OLMo)
     clip_qkv: Optional[float] = None
+    # DeepSeek-V2 Multi-head Latent Attention (reference
+    # models/deepseek_v2.py DeepseekV2Attention): keys/values are encoded
+    # into a shared low-rank latent c_kv [kv_lora_rank] plus one decoupled
+    # rope key [qk_rope_head_dim]; per-head keys/values are up-projections
+    # of the latent. Serving uses the weight-absorbed decode form: the
+    # cache stores ONLY (c_kv, k_pe) per position — MQA over the latent —
+    # and W_UK/W_UV fold into the query/output sides. "mha" = standard.
+    attention_type: str = "mha"       # "mha" | "mla"
+    kv_lora_rank: int = 512
+    q_lora_rank: Optional[int] = None  # None -> direct q projection
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    # DeepSeek-V2 MoE: routed-expert outputs are scaled by this factor
+    # before the residual add (reference config routed_scaling_factor)
+    routed_scaling_factor: float = 1.0
 
     @property
     def resolved_lm_head_quant(self) -> str:
@@ -152,6 +168,20 @@ class ModelConfig:
     @property
     def expert_intermediate_size(self) -> int:
         return self.moe_intermediate_size or self.intermediate_size
+
+    # --- KV-cache geometry (may differ from the attention's logical
+    # heads: MLA caches ONE latent "head" of kv_lora_rank + rope dims,
+    # padded to the Pallas kernel's 128-lane multiple) ---
+    @property
+    def cache_kv_heads(self) -> int:
+        return 1 if self.attention_type == "mla" else self.num_kv_heads
+
+    @property
+    def cache_head_dim(self) -> int:
+        if self.attention_type == "mla":
+            d = self.kv_lora_rank + self.qk_rope_head_dim
+            return -(-d // 128) * 128
+        return self.head_dim
 
     @property
     def q_size(self) -> int:
@@ -246,6 +276,52 @@ class ModelConfig:
         if mt in ("opt", "gpt2", "starcoder2", "falcon", "stablelm",
                   "gpt_neox", "phi", "gptj", "cohere", "olmo"):
             return ModelConfig._from_gpt_family(mt, hf)
+        if mt == "deepseek_v2":
+            # deepseek-v2 (reference models/deepseek_v2.py): MLA attention
+            # (low-rank latent KV + decoupled rope key, served in the
+            # weight-absorbed MQA-over-latent form) over the V1-style MoE
+            # with routed_scaling_factor. yarn rope scaling and
+            # group-limited routing (topk_method "group_limited_greedy")
+            # are not implemented — V2-Lite-style greedy routing is.
+            nh = hf["num_attention_heads"]
+            if hf.get("topk_method", "greedy") not in ("greedy", None):
+                raise ValueError("deepseek-v2 group-limited routing "
+                                 "unsupported (topk_method="
+                                 f"{hf['topk_method']!r})")
+            if (hf.get("rope_scaling") or {}).get("type") == "yarn":
+                raise ValueError("deepseek-v2 yarn rope scaling unsupported")
+            n_exp = hf.get("n_routed_experts", 0) or 0
+            return ModelConfig(
+                arch="deepseek_v2",
+                attention_type="mla",
+                kv_lora_rank=hf["kv_lora_rank"],
+                q_lora_rank=hf.get("q_lora_rank"),
+                qk_nope_head_dim=hf["qk_nope_head_dim"],
+                qk_rope_head_dim=hf["qk_rope_head_dim"],
+                v_head_dim=hf["v_head_dim"],
+                rotary_dim=hf["qk_rope_head_dim"],
+                routed_scaling_factor=hf.get("routed_scaling_factor", 1.0),
+                num_experts=n_exp,
+                num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+                moe_intermediate_size=hf.get("moe_intermediate_size"),
+                shared_expert_intermediate_size=(
+                    hf.get("n_shared_experts", 0) or 0)
+                * (hf.get("moe_intermediate_size") or 0),
+                shared_expert_gated=False,
+                first_k_dense=hf.get("first_k_dense_replace", 0),
+                moe_softmax_before_topk=True,
+                moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=hf["intermediate_size"],
+                num_layers=hf["num_hidden_layers"], num_heads=nh,
+                num_kv_heads=nh,
+                head_dim=(hf["qk_nope_head_dim"] + hf["qk_rope_head_dim"]),
+                quant="none", weightless_norm=False,
+                rope_theta=hf.get("rope_theta", 10000.0),
+                rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+                max_position_embeddings=hf.get("max_position_embeddings",
+                                               4096),
+                tie_word_embeddings=hf.get("tie_word_embeddings", False))
         if mt == "deepseek":
             # deepseek-moe V1 (reference models/deepseek.py): llama
             # attention; MoE on every layer past first_k_dense_replace with

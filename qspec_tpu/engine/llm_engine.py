@@ -97,8 +97,9 @@ class LLMEngine:
             from qspec_tpu.ops.kv_cache import (kv_entry_bytes,
                                                 kv_has_scales)
             mc, cc = config.model, config.cache
-            page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
-                          * mc.head_dim * kv_entry_bytes(cc.kv_cache_dtype))
+            page_bytes = (2 * mc.num_layers * cc.page_size * mc.cache_kv_heads
+                          * mc.cache_head_dim
+                          * kv_entry_bytes(cc.kv_cache_dtype))
             if kv_has_scales(cc.kv_cache_dtype):  # per-(head, token) f32
                 page_bytes += 2 * mc.num_layers * cc.page_size * mc.num_kv_heads * 4
             if self.runner.draft_cache is not None:
@@ -164,8 +165,9 @@ class LLMEngine:
             free = (stats["bytes_limit"] * cc.gpu_memory_utilization
                     - stats["bytes_in_use"])
             from qspec_tpu.ops.kv_cache import kv_entry_bytes
-            page_bytes = (2 * mc.num_layers * cc.page_size * mc.num_kv_heads
-                          * mc.head_dim * kv_entry_bytes(cc.kv_cache_dtype))
+            page_bytes = (2 * mc.num_layers * cc.page_size * mc.cache_kv_heads
+                          * mc.cache_head_dim
+                          * kv_entry_bytes(cc.kv_cache_dtype))
             n_caches = 2 if (self.spec is not None
                              and not (self._ngram or self._medusa)) else 1
             fit = int(free // (page_bytes * n_caches))

@@ -787,8 +787,10 @@ class ModelRunner:
         self.mesh = mesh
         page_size = config.cache.page_size
         kv_cfg = kvc.KVCacheConfig(
-            num_layers=self.cfg.num_layers, num_kv_heads=self.cfg.num_kv_heads,
-            head_dim=self.cfg.head_dim, num_pages=num_pages, page_size=page_size,
+            num_layers=self.cfg.num_layers,
+            num_kv_heads=self.cfg.cache_kv_heads,
+            head_dim=self.cfg.cache_head_dim,
+            num_pages=num_pages, page_size=page_size,
             dtype=config.cache.kv_cache_dtype)
         self.cache = kvc.allocate(kv_cfg)
         # separate-draft-model proposer: its own cfg/params/cache geometry
@@ -828,8 +830,8 @@ class ModelRunner:
         if need_draft_cache:
             d_kv_cfg = kvc.KVCacheConfig(
                 num_layers=self.draft_cfg.num_layers,
-                num_kv_heads=self.draft_cfg.num_kv_heads,
-                head_dim=self.draft_cfg.head_dim, num_pages=num_pages,
+                num_kv_heads=self.draft_cfg.cache_kv_heads,
+                head_dim=self.draft_cfg.cache_head_dim, num_pages=num_pages,
                 page_size=page_size, dtype=config.cache.kv_cache_dtype)
             self.draft_cache = kvc.allocate(d_kv_cfg)
         else:

@@ -354,6 +354,82 @@ def convert_deepseek(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_deepseek_v2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """DeepSeek-V2 (reference models/deepseek_v2.py): MLA attention keys
+    (q_proj or q_a/q_b low-rank split, kv_a_proj_with_mqa + kv_a_layernorm
+    + kv_b_proj) and the V1-style MoE with routed_scaling_factor. kv_b is
+    stored [kv_lora_rank, nh, dn+dv] for the weight-absorbed decode path
+    (models/llama._mla_attention)."""
+    nh = cfg.num_heads
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    dense_layers, moe_layers = [], []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}.self_attn."
+        layer = {
+            "mla_kv_a": {"w": jnp.asarray(
+                _t(sd, p + "kv_a_proj_with_mqa.weight"), dtype)},
+            "mla_kv_norm": jnp.asarray(
+                _arr(sd, p + "kv_a_layernorm.weight"), dtype),
+            "mla_kv_b": jnp.asarray(
+                _t(sd, p + "kv_b_proj.weight")
+                .reshape(cfg.kv_lora_rank, nh, dn + dv), dtype),
+            "o": {"w": jnp.asarray(_t(sd, p + "o_proj.weight"), dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, f"model.layers.{i}.input_layernorm.weight"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, f"model.layers.{i}.post_attention_layernorm.weight"),
+                dtype),
+        }
+        if cfg.q_lora_rank:
+            layer["mla_q_a"] = {"w": jnp.asarray(
+                _t(sd, p + "q_a_proj.weight"), dtype)}
+            layer["mla_q_norm"] = jnp.asarray(
+                _arr(sd, p + "q_a_layernorm.weight"), dtype)
+            layer["mla_q_b"] = {"w": jnp.asarray(
+                _t(sd, p + "q_b_proj.weight"), dtype)}
+        else:
+            layer["mla_q"] = {"w": jnp.asarray(
+                _t(sd, p + "q_proj.weight"), dtype)}
+        mp = f"model.layers.{i}.mlp."
+        if cfg.num_experts == 0 or i < cfg.first_k_dense:
+            layer["gate_up"] = {"w": jnp.asarray(np.concatenate(
+                [_t(sd, mp + "gate_proj.weight"),
+                 _t(sd, mp + "up_proj.weight")], axis=1), dtype)}
+            layer["down"] = {"w": jnp.asarray(
+                _t(sd, mp + "down_proj.weight"), dtype)}
+            dense_layers.append(layer)
+            continue
+        layer["router"] = jnp.asarray(_t(sd, mp + "gate.weight"), dtype)
+        gu = [np.concatenate([_t(sd, f"{mp}experts.{e}.gate_proj.weight"),
+                              _t(sd, f"{mp}experts.{e}.up_proj.weight")],
+                             axis=1) for e in range(cfg.num_experts)]
+        dn_w = [_t(sd, f"{mp}experts.{e}.down_proj.weight")
+                for e in range(cfg.num_experts)]
+        layer["experts_gate_up"] = {"w": jnp.asarray(np.stack(gu), dtype)}
+        layer["experts_down"] = {"w": jnp.asarray(np.stack(dn_w), dtype)}
+        if cfg.shared_expert_intermediate_size:
+            layer["shared_gate_up"] = {"w": jnp.asarray(np.concatenate(
+                [_t(sd, mp + "shared_experts.gate_proj.weight"),
+                 _t(sd, mp + "shared_experts.up_proj.weight")],
+                axis=1), dtype)}
+            layer["shared_down"] = {"w": jnp.asarray(
+                _t(sd, mp + "shared_experts.down_proj.weight"), dtype)}
+        moe_layers.append(layer)
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(moe_layers if moe_layers else dense_layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+    }
+    if moe_layers and dense_layers:
+        params["layers_dense"] = _stack(dense_layers)
+    return _finish(params, cfg, dtype)
+
+
 def convert_stablelm(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     """StableLM (reference models/stablelm.py): llama-keyed checkpoint with
     LayerNorm(+bias) norms, gated silu MLP, optional qkv bias, partial
@@ -609,6 +685,7 @@ def convert_olmo(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
 CONVERTERS = {
     "opt": convert_opt,
     "deepseek": convert_deepseek,
+    "deepseek_v2": convert_deepseek_v2,
     "gpt2": convert_gpt2,
     "starcoder2": convert_starcoder2,
     "falcon": convert_falcon,

@@ -128,6 +128,85 @@ def _linear(x, w, scheme, xq=None, li=None):
     return out
 
 
+def _mla_attention(xn, layers, li, cfg, cache, layer_idx, batch, rope_cache):
+    """DeepSeek-V2 Multi-head Latent Attention, weight-absorbed decode form
+    (reference vllm/model_executor/models/deepseek_v2.py DeepseekV2Attention
+    + the paper's §2.1.2 absorption identity).
+
+    The cache stores ONE latent row per position — [c_kv (kv_lora_rank),
+    k_pe (qk_rope_head_dim)] padded to the kernel's 128-lane multiple — so
+    paged attention runs as MQA over the latent: per head,
+
+        score = (q_nope @ W_UK) . c_kv + q_pe . k_pe
+        out   = (sum softmax * c_kv) @ W_UV
+
+    W_UK folds into the query side and W_UV applies after attention, so
+    the per-head K/V up-projections never materialize at decode and the
+    KV cache is ~(r + dr) / (2 * Hkv * D) of an equivalent MHA's (on
+    DeepSeek-V2: 576 vs 2*128*128 floats per token). bf16 serving only
+    (QuaRot's rotation algebra does not extend to the latent
+    factorization); yarn-mscale rope scaling is not applied (golden test
+    pins the base-rope behaviour). Rope on the decoupled dims uses
+    DeepSeek's interleaved pairing (HF permutes to half-split then
+    rotates; equivalent to rope_style='gptj')."""
+    T = xn.shape[0]
+    B, Q = batch.positions.shape
+    nh = cfg.num_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    r = cfg.kv_lora_rank
+    Dc = cfg.cache_head_dim
+
+    from qspec_tpu.ops import kv_cache as kvc
+    from qspec_tpu.ops.attention import paged_attention
+    from qspec_tpu.ops.rotary import apply_rope
+
+    if cfg.q_lora_rank:
+        qa = _linear(xn, layers["mla_q_a"], "bf16", li=li)
+        qa = rmsnorm(qa, layers["mla_q_norm"][li], eps=cfg.rms_norm_eps)
+        q = _linear(qa, layers["mla_q_b"], "bf16", li=li)
+    else:
+        q = _linear(xn, layers["mla_q"], "bf16", li=li)
+    q = q.reshape(T, nh, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    kv_a = _linear(xn, layers["mla_kv_a"], "bf16", li=li)      # [T, r+dr]
+    c_kv, k_pe = kv_a[:, :r], kv_a[:, r:]
+    c_kv = rmsnorm(c_kv.astype(jnp.bfloat16), layers["mla_kv_norm"][li],
+                   eps=cfg.rms_norm_eps).astype(jnp.float32)
+
+    pos = batch.positions.reshape(-1)
+    q_pe, k_pe = apply_rope(q_pe, k_pe[:, None, :], pos, rope_cache,
+                            style="gptj")
+
+    # absorb W_UK into the query; keep f32 through the small einsums
+    w_kb = layers["mla_kv_b"][li].astype(jnp.float32)  # [r, nh, dn+dv]
+    q_abs = jnp.einsum("thd,rhd->thr", q_nope.astype(jnp.float32),
+                       w_kb[..., :dn])                 # [T, nh, r]
+    qk = jnp.concatenate(
+        [q_abs, q_pe.astype(jnp.float32),
+         jnp.zeros((T, nh, Dc - r - dr), jnp.float32)], axis=-1)
+    k_row = jnp.concatenate(
+        [c_kv, k_pe[:, 0].astype(jnp.float32),
+         jnp.zeros((T, Dc - r - dr), jnp.float32)], axis=-1)
+    v_row = jnp.concatenate(
+        [c_kv, jnp.zeros((T, Dc - r), jnp.float32)], axis=-1)
+
+    cache = kvc.update_layer(cache, layer_idx,
+                             k_row[:, None, :].astype(jnp.bfloat16),
+                             v_row[:, None, :].astype(jnp.bfloat16),
+                             batch.slot_mapping.reshape(-1))
+    scale = (dn + dr) ** -0.5
+    attn = paged_attention(qk.reshape(B, Q, nh, Dc).astype(jnp.bfloat16),
+                           cache, layer_idx, batch.block_tables,
+                           batch.ctx_lens, scale,
+                           q_positions=batch.positions)
+    lat = attn.reshape(T, nh, Dc)[..., :r]
+    out = jnp.einsum("thr,rhd->thd", lat.astype(jnp.float32), w_kb[..., dn:])
+    o = _linear(out.reshape(T, nh * dv).astype(jnp.bfloat16),
+                layers["o"], "bf16", li=li)
+    return o, cache
+
+
 def layernorm(x, gamma, beta, eps):
     """Mean-subtracting LayerNorm with optional bias (OPT/GPT-2/Starcoder2
     pre-RMSNorm families; reference models/opt.py et al. use nn.LayerNorm).
@@ -292,6 +371,10 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
 
     delta, _ = jax.lax.scan(body, jnp.zeros((T, cfg.hidden_size), jnp.float32),
                             jnp.arange(E_local, dtype=jnp.int32))
+    if cfg.routed_scaling_factor != 1.0:
+        # deepseek-v2 scales the ROUTED output only; the shared expert
+        # adds unscaled (reference deepseek_v2.py routed_scaling_factor)
+        delta = delta * cfg.routed_scaling_factor
 
     if cfg.shared_expert_intermediate_size:
         # qwen2-moe always-on shared expert, output gated by
@@ -409,68 +492,73 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     # --- attention block ---
     xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme,
                                beta=beta_in, norm_type=cfg.norm_type)
-    qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
-    if lora is not None:
-        qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
-    if cfg.clip_qkv is not None:
-        # OLMo clamps qkv activations (reference olmo.py clip_qkv)
-        qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
-    q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
-    q = q.reshape(T, heads_l, cfg.head_dim)
-    k = k.reshape(T, kv_heads_l, cfg.head_dim)
-    v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
-    if cfg.qk_norm:
-        # qwen3: per-head RMSNorm on q/k before rope (HF Qwen3Attention);
-        # the [head_dim] gammas live after the projection, so they stay
-        # live weights even under QuaRot gamma folding
-        from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
-        q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
-        k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
-    if cfg.position_embedding == "rope":
-        q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache,
-                          style=cfg.rope_style)
-    q = q.astype(jnp.bfloat16)
-    k = k.astype(jnp.bfloat16)
-
-    cache = kvc.update_layer(cache, layer_idx, k, v, batch.slot_mapping.reshape(-1))
-    scale = (cfg.query_pre_attn_scalar or cfg.head_dim) ** -0.5
-    attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
-                           batch.block_tables, batch.ctx_lens, scale,
-                           q_positions=batch.positions,
-                           window=window, softcap=cfg.attn_logit_softcap)
-    attn = attn.reshape(T, heads_l, cfg.head_dim)
-
-    if quarot:
-        if axis_name is not None and ntp > 1:
-            # H_heads mixes across ALL heads: gather them, rotate, then keep
-            # the local slice this shard's o_proj rows consume.
-            attn = jax.lax.all_gather(attn, axis_name, axis=1, tiled=True)
-            attn = _head_hadamard(attn, hadamards["heads"])
-            attn_flat = attn.reshape(T, cfg.num_heads * cfg.head_dim)
-            if scheme in QUANT_ACT_SCHEMES:
-                aq = _act_quant(attn_flat, scheme)  # scale over the full row
-                idx = jax.lax.axis_index(axis_name)
-                vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * q_size_l, q_size_l, 1)
-                aq = aq._replace(values=vals)
-                o = _linear(None, layers["o"], scheme, aq, li)
-            else:
-                idx = jax.lax.axis_index(axis_name)
-                loc = jax.lax.dynamic_slice_in_dim(attn_flat, idx * q_size_l, q_size_l, 1)
-                o = _linear(loc, layers["o"], scheme, li=li)
-        else:
-            attn = _head_hadamard(attn, hadamards["heads"])
-            attn_flat = attn.reshape(T, q_size_l)
-            if scheme in QUANT_ACT_SCHEMES:
-                o = _linear(None, layers["o"], scheme, _act_quant(attn_flat, scheme), li)
-            else:
-                o = _linear(attn_flat, layers["o"], scheme, li=li)
+    if cfg.attention_type == "mla":
+        # DeepSeek-V2 latent attention (bf16 path; see _mla_attention)
+        o, cache = _mla_attention(xn, layers, li, cfg, cache, layer_idx,
+                                  batch, rope_cache)
     else:
-        attn_flat = attn.reshape(T, q_size_l)
-        o = _linear(attn_flat, layers["o"], scheme, li=li)
-    if lora is not None:
-        # input to o_proj: the (hadamard-rotated, pre-quant) flat attention;
-        # every branch above leaves it in attn_flat
-        o = _maybe_lora("o", attn_flat, o)
+        qkv = _linear(xn, layers["qkv"], scheme, xq, li)  # [T, (q+2kv) local]
+        if lora is not None:
+            qkv = _maybe_lora("qkv", _fp_input(xn, xq), qkv)
+        if cfg.clip_qkv is not None:
+            # OLMo clamps qkv activations (reference olmo.py clip_qkv)
+            qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
+        q, k, v = jnp.split(qkv, [q_size_l, q_size_l + kv_size_l], axis=-1)
+        q = q.reshape(T, heads_l, cfg.head_dim)
+        k = k.reshape(T, kv_heads_l, cfg.head_dim)
+        v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
+        if cfg.qk_norm:
+            # qwen3: per-head RMSNorm on q/k before rope (HF Qwen3Attention);
+            # the [head_dim] gammas live after the projection, so they stay
+            # live weights even under QuaRot gamma folding
+            from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
+            q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
+            k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
+        if cfg.position_embedding == "rope":
+            q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache,
+                              style=cfg.rope_style)
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+
+        cache = kvc.update_layer(cache, layer_idx, k, v, batch.slot_mapping.reshape(-1))
+        scale = (cfg.query_pre_attn_scalar or cfg.head_dim) ** -0.5
+        attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
+                               batch.block_tables, batch.ctx_lens, scale,
+                               q_positions=batch.positions,
+                               window=window, softcap=cfg.attn_logit_softcap)
+        attn = attn.reshape(T, heads_l, cfg.head_dim)
+
+        if quarot:
+            if axis_name is not None and ntp > 1:
+                # H_heads mixes across ALL heads: gather them, rotate, then keep
+                # the local slice this shard's o_proj rows consume.
+                attn = jax.lax.all_gather(attn, axis_name, axis=1, tiled=True)
+                attn = _head_hadamard(attn, hadamards["heads"])
+                attn_flat = attn.reshape(T, cfg.num_heads * cfg.head_dim)
+                if scheme in QUANT_ACT_SCHEMES:
+                    aq = _act_quant(attn_flat, scheme)  # scale over the full row
+                    idx = jax.lax.axis_index(axis_name)
+                    vals = jax.lax.dynamic_slice_in_dim(aq.values, idx * q_size_l, q_size_l, 1)
+                    aq = aq._replace(values=vals)
+                    o = _linear(None, layers["o"], scheme, aq, li)
+                else:
+                    idx = jax.lax.axis_index(axis_name)
+                    loc = jax.lax.dynamic_slice_in_dim(attn_flat, idx * q_size_l, q_size_l, 1)
+                    o = _linear(loc, layers["o"], scheme, li=li)
+            else:
+                attn = _head_hadamard(attn, hadamards["heads"])
+                attn_flat = attn.reshape(T, q_size_l)
+                if scheme in QUANT_ACT_SCHEMES:
+                    o = _linear(None, layers["o"], scheme, _act_quant(attn_flat, scheme), li)
+                else:
+                    o = _linear(attn_flat, layers["o"], scheme, li=li)
+        else:
+            attn_flat = attn.reshape(T, q_size_l)
+            o = _linear(attn_flat, layers["o"], scheme, li=li)
+        if lora is not None:
+            # input to o_proj: the (hadamard-rotated, pre-quant) flat attention;
+            # every branch above leaves it in attn_flat
+            o = _maybe_lora("o", attn_flat, o)
     if axis_name is not None:
         o = jax.lax.psum(o, axis_name)
     if cfg.post_norms:

@@ -198,9 +198,18 @@ def _internlm2(hf: dict) -> ModelConfig:
 def _deepseek(hf: dict) -> ModelConfig:
     # deepseek-moe V1: llama attention + per-layer MoE past a dense prefix
     # (first_k_dense_replace), softmax-then-topk routing, UNGATED shared
-    # experts (reference models/deepseek.py DeepseekMoE). The V2/V3 MLA
-    # attention is not implemented.
+    # experts (reference models/deepseek.py DeepseekMoE)
     hf = {**hf, "model_type": "deepseek"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("DeepseekV2ForCausalLM")
+@register("deepseek_v2")
+def _deepseek_v2(hf: dict) -> ModelConfig:
+    # deepseek-v2: Multi-head Latent Attention (weight-absorbed
+    # MQA-over-latent serving, models/llama._mla_attention) + V1-style MoE
+    # with routed_scaling_factor (reference models/deepseek_v2.py)
+    hf = {**hf, "model_type": "deepseek_v2"}
     return ModelConfig.from_hf_config(hf)
 
 
