@@ -273,22 +273,25 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         # physics here, which is the regime the QSpec method is FOR
         # (reference README.md:50-57 demonstrates on A100 at batch 4 where
         # W4A16 dequant GEMM is the bound; on TPU the bound is HBM).
-        cfg, params, train_seq = load_trained("induction_medium_v*")
+        cfg, params, train_seq = load_trained("induction_medium4k_v*")
+        if cfg is None:
+            cfg, params, train_seq = load_trained("induction_medium_v*")
         if cfg is None:
             print("# medium checkpoint missing — run benchmarks/"
-                  "train_induction.py --preset medium",
+                  "train_induction.py --preset medium4k",
                   file=sys.stderr, flush=True)
             return None
         max_num_seqs = args.max_num_seqs or 32
         n_prompts = args.prompts or max_num_seqs
         # LONG-context serving point (the regime speculation is FOR —
         # MagicDec's thesis and the reference's own batch-serving case): at
-        # ctx ~2k and B=32 a decode step streams ~0.5-1 GB of KV, which a
+        # B=32 and ctx 1-4k a decode step streams 0.5-2 GB of KV, which a
         # verify pass amortizes over k+1 tokens while the windowed draft
-        # reads ~window/ctx of it. Prompt 512 + 1504 output keeps the
-        # decode phase (where the method acts) dominant over the prefill
-        # wall both arms share.
-        prompt_len = args.prompt_len or min(512, train_seq // 4)
+        # reads ~window/ctx of it. The shared-weights qspec ceiling is
+        # (k+1)(1+r)/(k+1+r) with r = KV-traffic / (fixed+weight) cost per
+        # forward (BENCH_NOTES.md): the 4k-trained checkpoint reaches
+        # r ~ 2-3 in the deep-context half, putting the ceiling past 2x.
+        prompt_len = args.prompt_len or min(1024, train_seq // 4)
         max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
         prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
         ngram_default_k = 12
@@ -540,13 +543,21 @@ def main():
         return
     all_runs = [sp for r in reports for sp in r["runs"]]
 
-    # Headline: prefer the real-weights regimes (honest acceptance — the
-    # in-image-trained medium/induction checkpoints) when any ran; else best
-    # vs_baseline among whatever did.
+    # Headline: the QSPEC dual-scheme row — the method this framework
+    # exists to port (reference README.md:50-57's A/B is the deliverable).
+    # Side-proposers (ngram/medusa/eagle) stay in regimes[] but never
+    # headline over it. Among qspec rows prefer the real-weights serving
+    # regime (medium) over the microcosm; fall back to best-of-anything
+    # only when no qspec row ran at all (e.g. --proposer ngram).
     real = [sp for sp in all_runs
             if sp["model"].startswith("induction") or sp["model"] == "medium"]
-    pool = real or all_runs
-    best = max(pool, key=lambda sp: sp["vs_baseline"])
+    qspec_rows = [sp for sp in (real or all_runs) if sp["label"] == "qspec"]
+    if qspec_rows:
+        best = max(qspec_rows,
+                   key=lambda sp: (sp["model"] == "medium",
+                                   sp["vs_baseline"]))
+    else:
+        best = max(real or all_runs, key=lambda sp: sp["vs_baseline"])
     ar_of = {r["model"]: r["ar"] for r in reports}
 
     result = {

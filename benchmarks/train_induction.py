@@ -53,6 +53,18 @@ def model_cfg(preset: str = "small"):
                            num_heads=12, num_kv_heads=4, head_dim=128,
                            rope_theta=10000.0, max_position_embeddings=1024,
                            quant="none", weightless_norm=False)
+    if preset == "medium4k":
+        # the medium arch extended to a 4k position window (round-4 headline
+        # regime): at B=32 and ctx 2-4k a decode step streams 1-2 GB of KV,
+        # so the KV-traffic / (fixed+weights) ratio r reaches ~2-3 and the
+        # shared-weights qspec ceiling (k+1)(1+r)/(k+1+r) clears 2x — the
+        # round-3 2k window capped r at ~0.8 (ceiling 1.5x, BENCH_NOTES.md).
+        # Same params as `medium`, so warm-start extension applies.
+        return ModelConfig(vocab_size=4096, hidden_size=1024,
+                           intermediate_size=3072, num_layers=8,
+                           num_heads=8, num_kv_heads=4, head_dim=128,
+                           rope_theta=10000.0, max_position_embeddings=4608,
+                           quant="none", weightless_norm=False)
     if preset == "medium":
         # ~110M params: at serving batch 32+ and ~1k context the decode step
         # is dominated by KV + weight STREAMING (hundreds of MB/step), not
@@ -265,7 +277,7 @@ def main():
                          "prompt+output must fit inside this window")
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--preset", default="small",
-                    choices=["small", "medium", "big"])
+                    choices=["small", "medium", "medium4k", "big"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--save-every", type=int, default=0,
                     help="snapshot the checkpoint every N steps")

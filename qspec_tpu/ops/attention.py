@@ -96,7 +96,13 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
-    if backend_is_tpu() and head_dim % 128 == 0:
+    # Mosaic handles minor dims below the 128-lane width by padding VMEM
+    # tiles internally (HBM pages stay dense, so bandwidth stays native) —
+    # head_dim 64/80/96 families (GPT-2/GPT-J/Phi/StableLM) take the flash
+    # kernel too, not the gather-everything jnp fallback. The reference's
+    # CUDA kernel has the same per-head-size dispatch
+    # (csrc/attention/attention_kernels.cuh).
+    if backend_is_tpu() and head_dim % 8 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
         return paged_attention_pallas(q, cache.kv_pages,
                                       block_tables, ctx_lens, scale,

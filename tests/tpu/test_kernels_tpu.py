@@ -88,6 +88,23 @@ def test_attention_fp8_kv(rng, kv_dtype):
     _attn_pair(rng, cache, B=4, Q=2, Hq=16, layer=1)
 
 
+@pytest.mark.parametrize("D,Hq,Hkv", [(64, 12, 12), (80, 8, 8), (96, 8, 4)])
+def test_attention_small_head_dim(rng, D, Hq, Hkv):
+    """head_dim 64/80/96 (GPT-2/Phi/GPT-J/StableLM families) on the flash
+    kernel: Mosaic lane-pads the sub-128 minor dim in VMEM while the HBM
+    pages stay dense — these dims must NOT fall back to the jnp gather path
+    (reference head-size dispatch: csrc/attention/attention_kernels.cuh)."""
+    cache = make_cache(rng, Hkv=Hkv, D=D)
+    _attn_pair(rng, cache, B=4, Q=1, Hq=Hq, layer=1)
+    _attn_pair(rng, cache, B=4, Q=4, Hq=Hq, layer=0)
+
+
+def test_attention_small_head_dim_int8(rng):
+    """sub-128 head_dim combined with int8 KV in-kernel dequant."""
+    cache = make_cache(rng, Hkv=4, D=64, dtype="int8")
+    _attn_pair(rng, cache, B=4, Q=2, Hq=8, layer=1)
+
+
 def test_attention_long_block_table(rng):
     """64-page tables (8k ctx): the in-kernel DMA pipeline over many pages."""
     cache = make_cache(rng, P=140, S=128)
