@@ -12,9 +12,14 @@ paths:
 * Q8_0 (block-32 int8) -> dequantized to bf16 at load (our int8 GEMM is
   per-channel; per-32-group int8 would need its own kernel for marginal
   gain over the Q4_0 path).
-* K-quants (Q4_K/Q5_K/Q6_K) raise NotImplementedError — their super-block
-  layouts need dedicated unpack kernels the reference also gates behind
-  csrc/quantization/gguf/ggml-common.h.
+* K-quants (Q4_K/Q5_K/Q6_K) -> dequantized to bf16 at load. Their 256-wide
+  super-blocks carry per-32 (Q4_K/Q5_K: 6-bit scale+min, affine) or per-16
+  (Q6_K: int8 scale, symmetric) factors under an f16 super-scale — an
+  affine float-min layout our int4 kernels (integer zero points) cannot
+  represent exactly, so exact-value bf16 serving is the honest mapping
+  (the reference dequantizes them on the fly in CUDA,
+  csrc/quantization/gguf/ggml-common.h + gguf_kernel.cu; values here are
+  bit-identical to that dequant, memory is bf16-resident).
 
 Container format implemented from the GGUF v3 spec
 (github.com/ggerganov/ggml/blob/master/docs/gguf.md): little-endian header
@@ -147,9 +152,13 @@ def _tensor_nbytes(ttype: int, n: int) -> int:
     if ttype == GGML_Q8_0:
         assert n % 32 == 0
         return (n // 32) * 34
+    if ttype in (GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+        assert n % 256 == 0
+        per = {GGML_Q4_K: 144, GGML_Q5_K: 176, GGML_Q6_K: 210}[ttype]
+        return (n // 256) * per
     raise NotImplementedError(
         f"GGUF quant {_TYPE_NAMES.get(ttype, ttype)} is not supported "
-        "(supported: F32/F16/BF16/Q4_0/Q8_0)")
+        "(supported: F32/F16/BF16/Q4_0/Q8_0/Q4_K/Q5_K/Q6_K)")
 
 
 def _dequant_q4_0(raw: bytes, n: int) -> np.ndarray:
@@ -183,6 +192,78 @@ def _dequant_q8_0(raw: bytes, n: int) -> np.ndarray:
     return (q * d).reshape(n)
 
 
+def _kq_scales_mins(sb: np.ndarray):
+    """Q4_K/Q5_K 12-byte packed 6-bit factors -> (sc [nb, 8], mn [nb, 8]).
+
+    Bit layout from ggml-quants.c get_scale_min_k4: entries 0..3 live in
+    bytes j / j+4 (low 6 bits); entries 4..7 take their low nibble from
+    byte j+8 and their top two bits from bytes j / j+4."""
+    s = sb.astype(np.uint8)
+    sc = np.empty((s.shape[0], 8), np.uint8)
+    mn = np.empty_like(sc)
+    sc[:, :4] = s[:, 0:4] & 63
+    mn[:, :4] = s[:, 4:8] & 63
+    sc[:, 4:] = (s[:, 8:12] & 0xF) | ((s[:, 0:4] >> 6) << 4)
+    mn[:, 4:] = (s[:, 8:12] >> 4) | ((s[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_q4_k(raw: bytes, n: int) -> np.ndarray:
+    """Q4_K super-block (256 elems, 144 B): f16 d, f16 dmin, 12 B packed
+    6-bit scales/mins (8 sub-blocks of 32), 128 B nibbles. Per 64-element
+    chunk the 32 bytes hold elems 0-31 in low nibbles (scale 2c) and elems
+    32-63 in high nibbles (scale 2c+1); value = d*sc*q - dmin*m."""
+    nb = n // 256
+    rec = np.frombuffer(raw, np.uint8).reshape(nb, 144)
+    d = rec[:, 0:2].copy().view(np.float16).astype(np.float32)    # [nb, 1]
+    dmin = rec[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _kq_scales_mins(rec[:, 4:16])
+    qs = rec[:, 16:].reshape(nb, 4, 32)
+    q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 8, 32)
+    scale = d * sc.astype(np.float32)                             # [nb, 8]
+    off = dmin * mn.astype(np.float32)
+    return (scale[..., None] * q - off[..., None]).reshape(n)
+
+
+def _dequant_q5_k(raw: bytes, n: int) -> np.ndarray:
+    """Q5_K (176 B): Q4_K layout plus 32 B of 5th bits; chunk c's low-nibble
+    half takes bit (2c) of qh, the high-nibble half bit (2c+1)."""
+    nb = n // 256
+    rec = np.frombuffer(raw, np.uint8).reshape(nb, 176)
+    d = rec[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = rec[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _kq_scales_mins(rec[:, 4:16])
+    qh = rec[:, 16:48]                                            # [nb, 32]
+    qs = rec[:, 48:].reshape(nb, 4, 32)
+    bits = ((qh[:, None, :] >> (np.arange(8)[None, :, None])) & 1)
+    q = (np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 8, 32)
+         + 16 * bits).astype(np.float32)
+    scale = d * sc.astype(np.float32)
+    off = dmin * mn.astype(np.float32)
+    return (scale[..., None] * q - off[..., None]).reshape(n)
+
+
+def _dequant_q6_k(raw: bytes, n: int) -> np.ndarray:
+    """Q6_K (210 B): 128 B low nibbles, 64 B high 2-bit pairs, 16 int8
+    scales (per 16 elems), f16 d; value = d * sc * (q - 32). Within each
+    128-element half, quarter qd of 32 elems takes low/high nibbles of
+    ql[0:32]/ql[32:64] and bit-pair qd of qh (ggml dequantize_row_q6_K)."""
+    nb = n // 256
+    rec = np.frombuffer(raw, np.uint8).reshape(nb, 210)
+    ql = rec[:, :128].reshape(nb, 2, 2, 32)     # [nb, half, lo/hi32, 32]
+    qh = rec[:, 128:192].reshape(nb, 2, 32)     # [nb, half, 32]
+    sc = rec[:, 192:208].copy().view(np.int8).astype(np.float32)
+    sc = sc.reshape(nb, 2, 8)                   # [nb, half, 8] per-16
+    d = rec[:, 208:210].copy().view(np.float16).astype(np.float32)
+    lo = np.stack([ql[:, :, 0] & 0xF, ql[:, :, 1] & 0xF,
+                   ql[:, :, 0] >> 4, ql[:, :, 1] >> 4], axis=2)
+    hi = np.stack([(qh >> s) & 3 for s in (0, 2, 4, 6)], axis=2)
+    q = (lo | (hi << 4)).astype(np.float32) - 32  # [nb, half, quarter, 32]
+    # quarter qd's 32 elems use scales 2*qd (first 16) and 2*qd+1 (last 16)
+    scq = np.repeat(sc.reshape(nb, 2, 8, 1), 16, axis=3).reshape(nb, 2, 4, 32)
+    return (d[:, :, None, None] * scq * q).reshape(n)
+
+
 def to_float(t: dict) -> np.ndarray:
     """Dequantize any supported tensor record -> float32 [shape]."""
     n = int(np.prod(t["ne"])) if t["ne"] else 1
@@ -198,6 +279,12 @@ def to_float(t: dict) -> np.ndarray:
         a = _dequant_q4_0(t["data"], n)
     elif ty == GGML_Q8_0:
         a = _dequant_q8_0(t["data"], n)
+    elif ty == GGML_Q4_K:
+        a = _dequant_q4_k(t["data"], n)
+    elif ty == GGML_Q5_K:
+        a = _dequant_q5_k(t["data"], n)
+    elif ty == GGML_Q6_K:
+        a = _dequant_q6_k(t["data"], n)
     else:
         raise NotImplementedError(_TYPE_NAMES.get(ty, str(ty)))
     return a.reshape(t["shape"])
@@ -294,7 +381,10 @@ def load_gguf(path: str, tp_size: int = 1, dtype=None):
     proj_types = {t["type"] for n, t in tensors.items()
                   if ".weight" in n and n.startswith("blk.")
                   and "norm" not in n}
-    q4 = GGML_Q4_0 in proj_types
+    # grouped-int4 serving needs EVERY projection in Q4_0 (llama.cpp Q4_0
+    # files keep output.weight in Q6_K, which is fine — it's not a blk
+    # projection); files mixing K-quants into the trunk dequantize to bf16
+    q4 = proj_types == {GGML_Q4_0}
 
     if not q4:
         sd = {}
@@ -379,6 +469,88 @@ def quantize_q8_0(w: np.ndarray) -> bytes:
     out = np.empty((flat.shape[0], 34), np.uint8)
     out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
     out[:, 2:] = q.view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_kq_scales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _kq_scales_mins: (sc [nb, 8], mn [nb, 8]) 6-bit -> 12 B."""
+    out = np.empty((sc.shape[0], 12), np.uint8)
+    out[:, 0:4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    out[:, 4:8] = (mn[:, :4] & 63) | ((mn[:, 4:] >> 4) << 6)
+    out[:, 8:12] = (sc[:, 4:] & 0xF) | ((mn[:, 4:] & 0xF) << 4)
+    return out
+
+
+def _affine_kq(flat: np.ndarray, qmax: int):
+    """Per-32 affine factors for Q4_K/Q5_K: x ~ scale*q - off, q in
+    [0, qmax]; -> (d, dmin, sc, mn, scale, off) with 6-bit sc/mn under f16
+    super-scales (a direct encoder — ggml's is search-optimized, but any
+    in-format values decode identically)."""
+    sub = flat.reshape(-1, 8, 32)
+    mn_f = np.maximum(0.0, -sub.min(2))                       # [nb, 8]
+    sc_f = np.maximum(sub.max(2) + mn_f, 1e-8) / qmax
+    d = np.float16(sc_f.max(1) / 63.0).astype(np.float32)     # [nb]
+    dmin = np.float16(np.maximum(mn_f.max(1) / 63.0, 1e-8)).astype(np.float32)
+    sc = np.clip(np.rint(sc_f / d[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint(mn_f / dmin[:, None]), 0, 63).astype(np.uint8)
+    scale = np.maximum(d[:, None] * sc, 1e-12)
+    off = dmin[:, None] * mn
+    return d, dmin, sc, mn, scale, off
+
+
+def quantize_q4_k(w: np.ndarray) -> bytes:
+    flat = np.ascontiguousarray(w, np.float32).reshape(-1, 256)
+    d, dmin, sc, mn, scale, off = _affine_kq(flat, 15)
+    q = np.clip(np.rint((flat.reshape(-1, 8, 32) + off[..., None])
+                        / scale[..., None]), 0, 15).astype(np.uint8)
+    pairs = q.reshape(-1, 4, 2, 32)                  # [nb, chunk, lo/hi, 32]
+    qs = pairs[:, :, 0] | (pairs[:, :, 1] << 4)
+    out = np.empty((flat.shape[0], 144), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _pack_kq_scales(sc, mn)
+    out[:, 16:] = qs.reshape(-1, 128)
+    return out.tobytes()
+
+
+def quantize_q5_k(w: np.ndarray) -> bytes:
+    flat = np.ascontiguousarray(w, np.float32).reshape(-1, 256)
+    d, dmin, sc, mn, scale, off = _affine_kq(flat, 31)
+    q = np.clip(np.rint((flat.reshape(-1, 8, 32) + off[..., None])
+                        / scale[..., None]), 0, 31).astype(np.uint8)
+    qh = np.zeros((flat.shape[0], 32), np.uint8)
+    for s in range(8):
+        qh |= ((q[:, s] >> 4) & 1) << s
+    pairs = (q & 0xF).reshape(-1, 4, 2, 32)
+    qs = pairs[:, :, 0] | (pairs[:, :, 1] << 4)
+    out = np.empty((flat.shape[0], 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = _pack_kq_scales(sc, mn)
+    out[:, 16:48] = qh
+    out[:, 48:] = qs.reshape(-1, 128)
+    return out.tobytes()
+
+
+def quantize_q6_k(w: np.ndarray) -> bytes:
+    flat = np.ascontiguousarray(w, np.float32).reshape(-1, 256)
+    sub = flat.reshape(-1, 16, 16)                   # per-16 symmetric
+    s_f = np.maximum(np.abs(sub).max(2), 1e-8) / 32.0
+    d = np.float16(s_f.max(1) / 127.0).astype(np.float32)
+    sc = np.clip(np.rint(s_f / d[:, None]), 1, 127).astype(np.int8)
+    scale = d[:, None, None] * sc[..., None].astype(np.float32)
+    q = (np.clip(np.rint(sub / scale), -32, 31) + 32).astype(np.uint8)
+    q = q.reshape(-1, 2, 4, 32)                      # [nb, half, quarter, 32]
+    ql = np.empty((flat.shape[0], 2, 2, 32), np.uint8)
+    ql[:, :, 0] = (q[:, :, 0] & 0xF) | ((q[:, :, 2] & 0xF) << 4)
+    ql[:, :, 1] = (q[:, :, 1] & 0xF) | ((q[:, :, 3] & 0xF) << 4)
+    qh = ((q[:, :, 0] >> 4) | ((q[:, :, 1] >> 4) << 2)
+          | ((q[:, :, 2] >> 4) << 4) | ((q[:, :, 3] >> 4) << 6))
+    out = np.empty((flat.shape[0], 210), np.uint8)
+    out[:, :128] = ql.reshape(-1, 128)
+    out[:, 128:192] = qh.reshape(-1, 64)
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
     return out.tobytes()
 
 

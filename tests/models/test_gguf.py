@@ -7,9 +7,11 @@ import pytest
 
 from qspec_tpu.config import ModelConfig
 from qspec_tpu.model_loader.gguf import (GGML_F16, GGML_F32, GGML_Q4_0,
+                                         GGML_Q4_K, GGML_Q5_K, GGML_Q6_K,
                                          GGML_Q8_0, load_gguf, quantize_q4_0,
-                                         quantize_q8_0, read_gguf,
-                                         to_float, write_gguf)
+                                         quantize_q4_k, quantize_q5_k,
+                                         quantize_q6_k, quantize_q8_0,
+                                         read_gguf, to_float, write_gguf)
 from qspec_tpu.model_loader.loader import load_hf_float
 
 
@@ -67,6 +69,9 @@ def _write_model(path, cfg, quant, seed=0):
         if quant == "q8_0" and "norm" not in name and ww.ndim == 2 \
                 and name not in ("token_embd.weight", "output.weight"):
             return (GGML_Q8_0, quantize_q8_0(ww), ne)
+        if quant == "q6_k" and "norm" not in name and ww.ndim == 2 \
+                and name not in ("token_embd.weight", "output.weight"):
+            return (GGML_Q6_K, quantize_q6_k(ww), ne)
         return (GGML_F16, ww.astype(np.float16), ne)
 
     tensors = {
@@ -195,9 +200,151 @@ def test_quant_gguf_matches_dequant_oracle(tmp_path, tiny_cfg, quant):
     assert (a.argmax(-1) == b.argmax(-1)).all()
 
 
-def test_q4_k_raises(tmp_path):
+# ---------------------------------------------------------------------------
+# K-quants: the vectorized dequant must agree bit-for-bit with a scalar
+# implementation transcribed from the ggml spec (ggml-quants.c
+# dequantize_row_q{4,5,6}_K), and K-quant models must serve through the
+# bf16 path matching their dequantized float twin.
+# ---------------------------------------------------------------------------
+
+
+def _scale_min_k4(scales, j):
+    """ggml get_scale_min_k4, scalar."""
+    if j < 4:
+        return scales[j] & 63, scales[j + 4] & 63
+    sc = (scales[j + 4] & 0xF) | ((scales[j - 4] >> 6) << 4)
+    mn = (scales[j + 4] >> 4) | ((scales[j] >> 6) << 4)
+    return sc, mn
+
+
+def _ref_q4_k(raw, n):
+    out = np.empty(n, np.float32)
+    y = 0
+    for i in range(n // 256):
+        rec = np.frombuffer(raw[i * 144:(i + 1) * 144], np.uint8)
+        d = float(rec[0:2].copy().view(np.float16)[0])
+        dmin = float(rec[2:4].copy().view(np.float16)[0])
+        scales, q = rec[4:16], rec[16:]
+        is_, qoff = 0, 0
+        for _ in range(0, 256, 64):
+            sc1, m1 = _scale_min_k4(scales, is_)
+            sc2, m2 = _scale_min_k4(scales, is_ + 1)
+            for l in range(32):
+                out[y + l] = d * sc1 * (q[qoff + l] & 0xF) - dmin * m1
+            for l in range(32):
+                out[y + 32 + l] = d * sc2 * (q[qoff + l] >> 4) - dmin * m2
+            y += 64
+            qoff += 32
+            is_ += 2
+    return out
+
+
+def _ref_q5_k(raw, n):
+    out = np.empty(n, np.float32)
+    y = 0
+    for i in range(n // 256):
+        rec = np.frombuffer(raw[i * 176:(i + 1) * 176], np.uint8)
+        d = float(rec[0:2].copy().view(np.float16)[0])
+        dmin = float(rec[2:4].copy().view(np.float16)[0])
+        scales, qh, ql = rec[4:16], rec[16:48], rec[48:]
+        is_, qoff, u1, u2 = 0, 0, 1, 2
+        for _ in range(0, 256, 64):
+            sc1, m1 = _scale_min_k4(scales, is_)
+            sc2, m2 = _scale_min_k4(scales, is_ + 1)
+            for l in range(32):
+                out[y + l] = d * sc1 * ((ql[qoff + l] & 0xF)
+                                        + (16 if qh[l] & u1 else 0)) \
+                    - dmin * m1
+            for l in range(32):
+                out[y + 32 + l] = d * sc2 * ((ql[qoff + l] >> 4)
+                                             + (16 if qh[l] & u2 else 0)) \
+                    - dmin * m2
+            y += 64
+            qoff += 32
+            is_ += 2
+            u1 <<= 2
+            u2 <<= 2
+    return out
+
+
+def _ref_q6_k(raw, n):
+    out = np.empty(n, np.float32)
+    y = 0
+    for i in range(n // 256):
+        rec = np.frombuffer(raw[i * 210:(i + 1) * 210], np.uint8)
+        ql, qh = rec[:128], rec[128:192]
+        sc = rec[192:208].copy().view(np.int8)
+        d = float(rec[208:210].copy().view(np.float16)[0])
+        for half in range(2):
+            lo, ho, so = half * 64, half * 32, half * 8
+            for l in range(32):
+                is_ = l // 16
+                q1 = (int(ql[lo + l] & 0xF)
+                      | (int((qh[ho + l] >> 0) & 3) << 4)) - 32
+                q2 = (int(ql[lo + l + 32] & 0xF)
+                      | (int((qh[ho + l] >> 2) & 3) << 4)) - 32
+                q3 = (int(ql[lo + l] >> 4)
+                      | (int((qh[ho + l] >> 4) & 3) << 4)) - 32
+                q4 = (int(ql[lo + l + 32] >> 4)
+                      | (int((qh[ho + l] >> 6) & 3) << 4)) - 32
+                out[y + l] = d * sc[so + is_] * q1
+                out[y + l + 32] = d * sc[so + is_ + 2] * q2
+                out[y + l + 64] = d * sc[so + is_ + 4] * q3
+                out[y + l + 96] = d * sc[so + is_ + 6] * q4
+            y += 128
+    return out
+
+
+@pytest.mark.parametrize("ggml_type,quantize,ref,tol", [
+    (GGML_Q4_K, quantize_q4_k, _ref_q4_k, 1 / 7.5),
+    (GGML_Q5_K, quantize_q5_k, _ref_q5_k, 1 / 15.0),
+    (GGML_Q6_K, quantize_q6_k, _ref_q6_k, 1 / 31.0),
+])
+def test_k_quant_dequant_matches_spec(ggml_type, quantize, ref, tol):
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((4, 512)).astype(np.float32)
+    raw = quantize(w)
+    t = {"type": ggml_type, "ne": [512, 4], "shape": (4, 512), "data": raw}
+    got = to_float(t)
+    # vectorized dequant == scalar from-spec dequant, bit for bit
+    np.testing.assert_array_equal(got.reshape(-1),
+                                  ref(raw, w.size).astype(got.dtype))
+    # and the encoder round-trips within a quant step of the source
+    assert np.abs(got - w).max() < np.abs(w).max() * tol + 0.05
+
+
+def test_q6_k_model_serves_as_bf16(tmp_path, tiny_cfg):
     path = str(tmp_path / "k.gguf")
-    write_gguf(path, {"general.architecture": "llama"},
-               {"blk.0.attn_q.weight": (12, b"\x00" * 144, [256, 2])})
-    with pytest.raises(NotImplementedError, match="Q4_K"):
-        read_gguf(path)
+    _write_model(path, tiny_cfg, quant="q6_k")
+    params, cfg = load_gguf(path)
+    assert cfg.quant == "none"    # K-quants serve dequantized (bf16)
+    meta, tensors = read_gguf(path)
+    from qspec_tpu.model_loader.gguf import _hf_items, _unpermute
+    deq = {}
+    for hf_name, t, heads in _hf_items(meta, tensors, cfg):
+        w = to_float(t)
+        if heads is not None:
+            w = _unpermute(w, heads)
+        deq[hf_name] = w
+    params_f, cfg_f = load_hf_float(deq, tiny_cfg)
+    a = _logits(cfg, params, "bf16")
+    b = _logits(cfg_f, params_f, "bf16")
+    assert np.abs(a - b).max() < 0.05 * max(np.abs(b).max(), 1.0)
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+
+
+def test_q4_0_file_with_q6_k_output_head(tmp_path, tiny_cfg):
+    """llama.cpp Q4_0 files keep output.weight in Q6_K; the trunk must
+    still take the grouped-int4 path."""
+    path = str(tmp_path / "mix.gguf")
+    hf = _write_model(path, tiny_cfg, quant="q4_0")
+    meta, tensors = read_gguf(path)
+    from qspec_tpu.model_loader.gguf import quantize_q6_k
+    out_w = hf["lm_head.weight"]
+    tensors["output.weight"] = {
+        "type": 14, "ne": [out_w.shape[1], out_w.shape[0]],
+        "shape": out_w.shape, "data": quantize_q6_k(out_w)}
+    rewrap = {n: (t["type"], t["data"], t["ne"]) for n, t in tensors.items()}
+    write_gguf(path, meta, rewrap)
+    params, cfg = load_gguf(path)
+    assert cfg.quant == "w4g"
