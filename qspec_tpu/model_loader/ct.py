@@ -31,10 +31,19 @@ de-facto llm-compressor output):
 * ``int-quantized``: ``<proj>.weight`` int8 [N, K] + ``weight_scale``
   [N, 1] or scalar.
 
-Scope notes: per-group int8 and the float-quantized (fp8) format raise
-NotImplementedError with a pointer to the supported recipes; attention
-ignores the ``ignore`` list beyond lm_head (the only module the common
-recipes exclude).
+* ``float-quantized`` fp8 weights (e4m3, per-channel or per-tensor scale;
+  llm-compressor FP8 / FP8_DYNAMIC recipes and fbgemm_fp8 checkpoints,
+  reference quantization/compressed_tensors/schemes/
+  compressed_tensors_w8a8_fp8.py + fbgemm_fp8.py) -> quant="w8" params
+  whose "w8" leaf *is* float8_e4m3fn: the matmul_w8a16 Pallas kernel
+  upcasts the weight tile to bf16 in-VMEM regardless of storage dtype, so
+  fp8 streams half the HBM bytes of bf16 through the same kernel. W8A8-fp8
+  dynamic-activation recipes serve at A16 (same fidelity-raising policy as
+  int8 W8A8 above).
+
+Scope notes: per-group int8 raises NotImplementedError with a pointer to
+the supported recipes; attention ignores the ``ignore`` list beyond
+lm_head (the only module the common recipes exclude).
 """
 
 from __future__ import annotations
@@ -123,11 +132,12 @@ def load_ct_packed(path_or_sd, cfg: Optional[ModelConfig] = None,
 
 def _pack_w8_proj(w_q: np.ndarray, s: np.ndarray, *, shard_in: bool = False,
                   col_blocks=None, tp_size: int = 1,
-                  bias: Optional[np.ndarray] = None) -> Dict:
-    """One int8 projection's param dict. w_q [K, N] int8, s [N] f32.
-    Layout rules mirror grouped.pack_grouped_proj (TP stripes for
-    heterogeneous output blocks); int8 rows need no packing, so shard_in
-    is layout-free."""
+                  bias: Optional[np.ndarray] = None,
+                  store_dtype=jnp.int8) -> Dict:
+    """One channelwise projection's param dict. w_q [K, N] int8 (or fp8
+    when ``store_dtype`` is a float8 type), s [N] f32. Layout rules mirror
+    grouped.pack_grouped_proj (TP stripes for heterogeneous output
+    blocks); byte-wide rows need no packing, so shard_in is layout-free."""
     if col_blocks and tp_size > 1:
         def rearrange(a):
             parts = np.split(a, np.cumsum(col_blocks)[:-1], axis=-1)
@@ -140,7 +150,7 @@ def _pack_w8_proj(w_q: np.ndarray, s: np.ndarray, *, shard_in: bool = False,
         w_q, s = rearrange(w_q), rearrange(s)
         if bias is not None:
             bias = rearrange(bias)
-    d = {"w8": jnp.asarray(w_q, jnp.int8),
+    d = {"w8": jnp.asarray(w_q, store_dtype),
          "s8": jnp.asarray(s, jnp.float32)}
     if bias is not None:
         d["b"] = jnp.asarray(bias, jnp.bfloat16)
@@ -153,11 +163,7 @@ def load_ct_int8(path_or_sd, cfg: Optional[ModelConfig] = None,
     TPU params (per-out-channel symmetric; W8A16 serving through
     ops/linear_kernels.matmul_w8a16). Reference: vllm compressed_tensors
     W8A16/W8A8 (CompressedTensorsW8A16Fp8 sibling int path)."""
-    from qspec_tpu.model_loader.loader import _common
-
     sd, cfg = _resolve(path_or_sd, cfg)
-    cfg = ModelConfig(**{**cfg.__dict__, "quant": "w8",
-                         "weightless_norm": False})
 
     def proj(prefix):
         w = np.asarray(sd[prefix + ".weight"], np.int8)       # [N, K]
@@ -170,6 +176,49 @@ def load_ct_int8(path_or_sd, cfg: Optional[ModelConfig] = None,
                 "per-group int8 weights are not supported; use per-channel "
                 "or per-tensor scales (or the pack-quantized int4 format)")
         return w.T.copy(), s                                  # [K, N], [N]
+
+    return _load_channelwise(sd, cfg, proj, tp_size, dtype, jnp.int8)
+
+
+def load_ct_fp8(path_or_sd, cfg: Optional[ModelConfig] = None,
+                tp_size: int = 1, dtype=jnp.bfloat16):
+    """float-quantized (fp8 e4m3) checkpoint -> quant="w8" params whose
+    weight leaves are float8_e4m3fn. Covers llm-compressor FP8 recipes and
+    fbgemm_fp8 (same tensors, per-channel scale). Reference:
+    vllm quantization/compressed_tensors/schemes/compressed_tensors_w8a8_fp8
+    .py and quantization/fbgemm_fp8.py."""
+    import ml_dtypes
+
+    sd, cfg = _resolve(path_or_sd, cfg)
+
+    def proj(prefix):
+        w = np.asarray(sd[prefix + ".weight"])                # [N, K] fp8
+        if w.dtype not in (ml_dtypes.float8_e4m3fn, ml_dtypes.float8_e4m3):
+            raise ValueError(
+                f"{prefix}.weight has dtype {w.dtype}, expected fp8 e4m3 "
+                "for a float-quantized checkpoint")
+        s = np.asarray(sd[prefix + ".weight_scale"],
+                       np.float32).reshape(-1)                # [N] or [1]
+        if s.shape[0] == 1:
+            s = np.broadcast_to(s, (w.shape[0],)).copy()
+        if s.shape[0] != w.shape[0]:
+            raise NotImplementedError(
+                "per-group fp8 scales are not supported; use per-channel "
+                "or per-tensor weight_scale")
+        return w.astype(ml_dtypes.float8_e4m3fn).T.copy(), s  # [K, N], [N]
+
+    return _load_channelwise(sd, cfg, proj, tp_size, dtype,
+                             jnp.float8_e4m3fn)
+
+
+def _load_channelwise(sd: dict, cfg: ModelConfig, proj, tp_size: int,
+                      dtype, store_dtype):
+    """Shared body for byte-per-weight channelwise recipes (int8 / fp8):
+    ``proj(prefix) -> (w [K, N] storage-typed, s [N] f32)``."""
+    from qspec_tpu.model_loader.loader import _common
+
+    cfg = ModelConfig(**{**cfg.__dict__, "quant": "w8",
+                         "weightless_norm": False})
 
     def cat(parts):
         ws, ss = zip(*parts)
@@ -192,15 +241,15 @@ def load_ct_int8(path_or_sd, cfg: Optional[ModelConfig] = None,
         layer = {
             "qkv": _pack_w8_proj(
                 w, s, col_blocks=(cfg.q_size, cfg.kv_size, cfg.kv_size),
-                tp_size=tp_size, bias=bias),
+                tp_size=tp_size, bias=bias, store_dtype=store_dtype),
             "o": _pack_w8_proj(*proj(p + "o_proj"), shard_in=True,
-                               tp_size=tp_size),
+                               tp_size=tp_size, store_dtype=store_dtype),
             "gate_up": _pack_w8_proj(
                 *cat([proj(mp + "gate_proj"), proj(mp + "up_proj")]),
                 col_blocks=(cfg.intermediate_size, cfg.intermediate_size),
-                tp_size=tp_size),
+                tp_size=tp_size, store_dtype=store_dtype),
             "down": _pack_w8_proj(*proj(mp + "down_proj"), shard_in=True,
-                                  tp_size=tp_size),
+                                  tp_size=tp_size, store_dtype=store_dtype),
             "input_norm": norm_w(f"model.layers.{i}.input_layernorm.weight"),
             "post_norm": norm_w(
                 f"model.layers.{i}.post_attention_layernorm.weight"),
@@ -229,17 +278,25 @@ def load_compressed_tensors(path_or_sd, cfg: Optional[ModelConfig] = None,
     sd, cfg = _resolve(path_or_sd, cfg)
     fmt = (qconfig or {}).get("format")
     if fmt is None:
-        # sniff from tensor names
-        fmt = ("pack-quantized"
-               if any(k.endswith(".weight_packed") for k in sd)
-               else "int-quantized")
+        # sniff from tensor names / dtypes
+        if any(k.endswith(".weight_packed") for k in sd):
+            fmt = "pack-quantized"
+        else:
+            import ml_dtypes
+            fp8 = any(k.endswith("proj.weight")
+                      and np.asarray(v).dtype in (ml_dtypes.float8_e4m3fn,
+                                                  ml_dtypes.float8_e4m3)
+                      for k, v in sd.items())
+            fmt = "float-quantized" if fp8 else "int-quantized"
     if fmt == "pack-quantized":
         return load_ct_packed(sd, cfg, tp_size, dtype)
     if fmt == "int-quantized":
         return load_ct_int8(sd, cfg, tp_size, dtype)
+    if fmt in ("float-quantized", "naive-quantized", "fbgemm_fp8"):
+        return load_ct_fp8(sd, cfg, tp_size, dtype)
     raise NotImplementedError(
         f"compressed-tensors format {fmt!r} is not supported (supported: "
-        "pack-quantized int4, int-quantized int8)")
+        "pack-quantized int4, int-quantized int8, float-quantized fp8)")
 
 
 def _resolve(path_or_sd, cfg):
@@ -300,6 +357,25 @@ def make_ct_packed_tensors(w: np.ndarray, group_size: int = 64,
     # dequantized twin for oracle models
     deq = ((q.reshape(K // g, g, N).astype(np.float32)
             - zp_s[:, None].astype(np.float32)) * s[:, None]).reshape(K, N)
+    return out, deq
+
+
+def make_ct_fp8_tensors(w: np.ndarray, per_tensor: bool = False):
+    """Quantize a float [K, N] weight into float-quantized fp8 format
+    (weight fp8 e4m3 [N, K] + weight_scale [N, 1]); scale maps the channel
+    absmax to e4m3's 448 top-of-range (llm-compressor FP8 recipe)."""
+    import ml_dtypes
+
+    if per_tensor:
+        s = np.maximum(np.abs(w).max() / 448.0, 1e-12) * np.ones(1, np.float32)
+        q = (w / s[0]).astype(ml_dtypes.float8_e4m3fn)
+    else:
+        s = np.maximum(np.abs(w).max(axis=0) / 448.0, 1e-12)  # [N]
+        q = (w / s[None, :]).astype(ml_dtypes.float8_e4m3fn)
+    out = {"weight": q.T.copy(),
+           "weight_scale": (s.reshape(-1, 1).astype(np.float32)
+                            if not per_tensor else s.astype(np.float32))}
+    deq = q.astype(np.float32) * (s if not per_tensor else s[0])
     return out, deq
 
 

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                               SchedulerConfig, SpeculativeConfig)
 from qspec_tpu.model_loader.ct import (load_compressed_tensors,
+                                       make_ct_fp8_tensors,
                                        make_ct_int8_tensors,
                                        make_ct_packed_tensors)
 from qspec_tpu.model_loader.loader import load_hf_float
@@ -50,6 +51,8 @@ def _quantize_sd(sd, fmt, **kw):
             base = k[:-len(".weight")]
             if fmt == "packed":
                 t, deq = make_ct_packed_tensors(w, **kw)
+            elif fmt == "fp8":
+                t, deq = make_ct_fp8_tensors(w, **kw)
             else:
                 t, deq = make_ct_int8_tensors(w, **kw)
             for name, val in t.items():
@@ -121,6 +124,31 @@ def test_int8_matches_dequant_oracle(tiny_cfg, per_tensor):
     assert (a.argmax(-1) == b.argmax(-1)).all()
 
 
+@pytest.mark.parametrize("per_tensor", [False, True])
+def test_fp8_matches_dequant_oracle(tiny_cfg, per_tensor):
+    """float-quantized (fp8 e4m3) -> w8 path with fp8-typed leaves; logits
+    must match the bf16 model built from the exactly-dequantized weights."""
+    sd = _float_sd(tiny_cfg, seed=5)
+    qsd, deq_sd = _quantize_sd(sd, "fp8", per_tensor=per_tensor)
+    params_q, cfg_q = load_compressed_tensors(qsd, tiny_cfg)
+    assert cfg_q.quant == "w8"
+    assert params_q["layers"]["qkv"]["w8"].dtype == jnp.float8_e4m3fn
+    params_f, cfg_f = load_hf_float(deq_sd, tiny_cfg)
+    a = _logits(cfg_q, params_q, "w4a16")
+    b = _logits(cfg_f, params_f, "bf16")
+    assert np.abs(a - b).max() < 0.15 * max(np.abs(b).max(), 1.0)
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+
+
+def test_fp8_explicit_format_dispatch(tiny_cfg):
+    sd = _float_sd(tiny_cfg, seed=6)
+    qsd, _ = _quantize_sd(sd, "fp8")
+    params, cfg = load_compressed_tensors(qsd, tiny_cfg,
+                                          qconfig={"format":
+                                                   "float-quantized"})
+    assert cfg.quant == "w8"
+
+
 def _run_engine(cfg, params, prompts, max_tokens=8, spec=None):
     from qspec_tpu.engine.llm_engine import LLMEngine
     from qspec_tpu.sampling_params import SamplingParams
@@ -143,7 +171,7 @@ def _run_engine(cfg, params, prompts, max_tokens=8, spec=None):
     return outs
 
 
-@pytest.mark.parametrize("fmt", ["packed", "int8"])
+@pytest.mark.parametrize("fmt", ["packed", "int8", "fp8"])
 def test_ct_engine_e2e_greedy(tiny_cfg, fmt):
     """The ingested engine generates; ngram speculation preserves greedy."""
     sd = _float_sd(tiny_cfg, seed=3)
@@ -184,6 +212,10 @@ def test_w8_windowed_w4a16_draft_allowed(tiny_cfg):
 def test_unsupported_format_raises(tiny_cfg):
     sd = _float_sd(tiny_cfg, seed=5)
     qsd, _ = _quantize_sd(sd, "int8")
-    with pytest.raises(NotImplementedError, match="float-quantized"):
+    with pytest.raises(NotImplementedError, match="marlin-24"):
+        load_compressed_tensors(qsd, tiny_cfg,
+                                qconfig={"format": "marlin-24"})
+    # float-quantized on an int8 checkpoint: dtype check rejects it
+    with pytest.raises(ValueError, match="fp8"):
         load_compressed_tensors(qsd, tiny_cfg,
                                 qconfig={"format": "float-quantized"})
