@@ -315,6 +315,11 @@ def _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs, start_po
     if acceptance == "typical_acceptance_sampler":
         from qspec_tpu.ops.sampling import typical_acceptance_sample
         result = typical_acceptance_sample(draft_tokens, target_probs, key)
+    elif draft_probs is None:
+        # deterministic proposals: the one-hot-specialized lossless rule
+        # (no [B, k, V] draft distribution ever materialized)
+        from qspec_tpu.ops.sampling import rejection_sample_onehot
+        result = rejection_sample_onehot(draft_tokens, target_probs, key)
     else:
         result = rejection_sample(draft_tokens, draft_probs, target_probs, key)
     if return_hidden:
@@ -343,9 +348,9 @@ def verify_step(params, cache, last_tokens, draft_tokens, draft_probs, start_pos
 def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
                        block_tables, st, key, *, cfg, scheme, axis_name=None):
     """Verify deterministic proposals (n-gram prompt lookup): the draft
-    distribution is one-hot at the proposed tokens, built on device."""
-    draft_probs = jax.nn.one_hot(draft_tokens, cfg.vocab_size, dtype=jnp.float32)
-    return _verify_impl(params, cache, last_tokens, draft_tokens, draft_probs,
+    distribution is the one-hot at each proposed token, handled implicitly
+    by the specialized sampler (rejection_sample_onehot)."""
+    return _verify_impl(params, cache, last_tokens, draft_tokens, None,
                         start_pos, block_tables, st, key, cfg=cfg, scheme=scheme,
                         axis_name=axis_name)
 
@@ -484,9 +489,8 @@ def ngram_rounds_step(params, cache, history, hist_rows, hist_len, last_tokens,
         hist_b = history[hist_rows]
         props = ngram_match_device(hist_b, hlen, k=k, nmin=nmin, nmax=nmax)
         props = jnp.where(enable, props, -1)
-        d_probs = jax.nn.one_hot(props, cfg.vocab_size, dtype=jnp.float32)
         result, cache = _verify_impl(
-            params, cache, last, props, d_probs, pos, block_tables, st,
+            params, cache, last, props, None, pos, block_tables, st,
             round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g)
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
         active = budget > 0
@@ -552,9 +556,8 @@ def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
         cache, props, last, pos, budget, g = carry
         p_b = props[prop_rows][:, :k]                     # [B, k]
         p_b = jnp.where(enable, p_b, -1)
-        d_probs = jax.nn.one_hot(p_b, cfg.vocab_size, dtype=jnp.float32)
         (result, hidden), cache = _verify_impl(
-            params, cache, last, p_b, d_probs, pos, block_tables, st,
+            params, cache, last, p_b, None, pos, block_tables, st,
             round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g,
             return_hidden=True)
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
@@ -711,9 +714,8 @@ def eagle_rounds_step(params, draft_cache, cache, h_span, t_span, span_pos,
             0, k, draft_one, (h_hat, draft_cache, props))
 
         # (3) verify + rejection (one-hot draft => lossless)
-        d_probs = jax.nn.one_hot(props, cfg.vocab_size, dtype=jnp.float32)
         (result, hidden), cache = _verify_impl(
-            params, cache, last, props, d_probs, pos, block_tables, st,
+            params, cache, last, props, None, pos, block_tables, st,
             round_key, cfg=cfg, scheme=scheme, axis_name=axis_name, gstate=g,
             return_hidden=True)
         acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))

@@ -309,3 +309,73 @@ def rejection_sample(draft_tokens: jnp.ndarray, draft_probs: jnp.ndarray,
     logp = jnp.where(out >= 0, jnp.log(jnp.maximum(p_at_out, 1e-30)), 0.0)
     return RejectionResult(out, accepted_len.astype(jnp.int32),
                            n_acc.astype(jnp.int32), logp.astype(jnp.float32))
+
+
+def rejection_sample_onehot(draft_tokens: jnp.ndarray,
+                            target_probs: jnp.ndarray,
+                            key: jax.Array) -> RejectionResult:
+    """rejection_sample specialized to DETERMINISTIC proposals (q_i is the
+    one-hot at d_i: ngram lookup, Medusa/EAGLE/MLPSpeculator top-1 chains).
+
+    Substituting q = delta(d_i) into the lossless rule collapses it without
+    ever materializing the [B, k, V] draft distribution (at Llama-3's
+    V=128256, B=32, k=8 that tensor is ~131 MB of fp32 per round):
+
+    * accept prob  min(1, p(d_i)/q(d_i)) = p(d_i)
+    * residual     norm(max(p - q, 0))   = p with entry d_i zeroed
+      (max(p(d)-1, 0) = 0 at d; p elsewhere)
+
+    Output distribution still provably equals the target's — tested
+    equivalent to rejection_sample with an explicit one-hot q
+    (tests/test_sampling.py). Reference semantics:
+    layers/rejection_sampler.py:60.
+    """
+    B, k = draft_tokens.shape
+    u_key, rec_key, bonus_key = jax.random.split(key, 3)
+
+    d_safe = jnp.maximum(draft_tokens, 0)[..., None]
+    p_at_d = jnp.take_along_axis(target_probs[:, :k], d_safe,
+                                 axis=-1).squeeze(-1)
+    u = jax.random.uniform(u_key, (B, k))
+    accept = (u < p_at_d) & (draft_tokens >= 0)
+
+    rejected = ~accept
+    first_rej = jnp.where(jnp.any(rejected, axis=1),
+                          jnp.argmax(rejected, axis=1), k)   # [B] in [0, k]
+    n_acc = first_rej
+
+    # recovery: p at the first rejected position, with the rejected draft
+    # token's mass removed (q's one-hot support); -1 slots carried no
+    # proposal, so nothing is masked there
+    pos = jnp.minimum(n_acc, k - 1)
+    p_rej = jnp.take_along_axis(target_probs, pos[:, None, None],
+                                axis=1)[:, 0]                # [B, V]
+    d_rej = jnp.take_along_axis(draft_tokens, pos[:, None], axis=1)  # [B, 1]
+    V = target_probs.shape[-1]
+    mask_d = (jnp.arange(V)[None, :] == d_rej) & (d_rej >= 0)
+    resid = jnp.where(mask_d, 0.0, p_rej)
+    resid_sum = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(resid_sum > 1e-9, resid, p_rej)
+    recovery = jax.random.categorical(
+        rec_key, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1).astype(jnp.int32)
+
+    bonus = jax.random.categorical(
+        bonus_key, jnp.log(jnp.maximum(target_probs[:, k], 1e-30)), axis=-1
+    ).astype(jnp.int32)
+
+    all_accepted = n_acc == k
+    final_tok = jnp.where(all_accepted, bonus, recovery)
+    accepted_len = n_acc + 1
+
+    slots = jnp.arange(k + 1)[None, :]
+    out = jnp.where(slots < n_acc[:, None],
+                    jnp.pad(draft_tokens, ((0, 0), (0, 1))), -1)
+    out = jnp.where(slots == n_acc[:, None], final_tok[:, None], out)
+    out = out.astype(jnp.int32)
+
+    p_at_out = jnp.take_along_axis(target_probs,
+                                   jnp.maximum(out, 0)[..., None],
+                                   axis=-1)[..., 0]
+    logp = jnp.where(out >= 0, jnp.log(jnp.maximum(p_at_out, 1e-30)), 0.0)
+    return RejectionResult(out, accepted_len.astype(jnp.int32),
+                           n_acc.astype(jnp.int32), logp.astype(jnp.float32))

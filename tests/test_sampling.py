@@ -131,3 +131,33 @@ def test_typical_acceptance_prefers_confident_tokens():
     assert acc[1] >= 1
     toks = np.asarray(res.tokens)
     assert (toks[0, :k] == 0).all()
+
+
+def test_rejection_onehot_equals_generic_with_explicit_onehot():
+    """rejection_sample_onehot(d, p, key) must be bit-identical to
+    rejection_sample(d, one_hot(d), p, key): the specialization only
+    removes the [B, k, V] materialization, not any semantics (including -1
+    "no proposal" slots, which are always rejected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.ops.sampling import rejection_sample_onehot
+
+    rng = np.random.default_rng(0)
+    B, k, V = 7, 5, 97
+    for trial in range(8):
+        draft = rng.integers(0, V, size=(B, k)).astype(np.int32)
+        draft[rng.random((B, k)) < 0.15] = -1            # ngram misses
+        p = rng.random((B, k + 1, V)).astype(np.float32) ** 3
+        p /= p.sum(-1, keepdims=True)
+        key = jax.random.PRNGKey(trial)
+        d_onehot = jax.nn.one_hot(jnp.asarray(draft), V, dtype=jnp.float32)
+        a = rejection_sample(jnp.asarray(draft), d_onehot, jnp.asarray(p),
+                             key)
+        b = rejection_sample_onehot(jnp.asarray(draft), jnp.asarray(p), key)
+        np.testing.assert_array_equal(np.asarray(a.tokens),
+                                      np.asarray(b.tokens))
+        np.testing.assert_array_equal(np.asarray(a.accepted_len),
+                                      np.asarray(b.accepted_len))
+        np.testing.assert_allclose(np.asarray(a.token_logprobs),
+                                   np.asarray(b.token_logprobs), rtol=1e-6)
