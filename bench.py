@@ -242,7 +242,9 @@ def bench_model(model: str, args, *, ngram_default_k=4):
     import jax
 
     qspec_k = args.spec_k or 3
-    window = None
+    # --draft-window applies to any model's qspec run (0 = full context)
+    window = (args.draft_window or None) if args.draft_window is not None \
+        else None
     max_num_seqs = args.max_num_seqs or 4
     if model == "induction":
         cfg, params, train_seq = load_induction()
