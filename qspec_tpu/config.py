@@ -15,6 +15,36 @@ from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """CLIP-style vision tower hyperparameters (the LLaVA tower;
+    reference: transformers CLIPVisionConfig via
+    vllm/model_executor/models/clip.py)."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    # which encoder hidden_states index feeds the projector (HF
+    # vision_feature_layer; hidden_states[0] is the embedding output,
+    # [i] the i-th layer's output; LLaVA default -2)
+    feature_layer: int = -2
+    # vision_feature_select_strategy == "default": drop the CLS row
+    drop_cls: bool = True
+    hidden_act: str = "quick_gelu"    # "quick_gelu" | "gelu"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture hyperparameters for one model."""
 
@@ -158,6 +188,13 @@ class ModelConfig:
     # DeepSeek-V2 MoE: routed-expert outputs are scaled by this factor
     # before the residual add (reference config routed_scaling_factor)
     routed_scaling_factor: float = 1.0
+    # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
+    # a CLIP-style vision tower (params["vision"]) feeds patch features
+    # through the mm projector into the LM's embedding space; prompts
+    # expand each `image_token_id` placeholder into that image's rows
+    # (multimodal.splice_image_embeds)
+    vision: Optional["VisionConfig"] = None
+    image_token_id: Optional[int] = None
 
     @property
     def resolved_lm_head_quant(self) -> str:

@@ -215,6 +215,10 @@ class LLM:
         return [results[i] for i in ids]
 
     def _image_token_id(self) -> int:
+        mc = self.llm_engine.config.model
+        if mc.image_token_id is not None:
+            # VLM configs carry it (HF image_token_index via the registry)
+            return mc.image_token_id
         tok = self.tokenizer
         if tok is not None:
             for name in ("<image>", "<|image|>"):

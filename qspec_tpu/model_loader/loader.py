@@ -89,6 +89,26 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             cfg = config_from_hf_dir(path_or_sd)
         sd = _read_safetensors(path_or_sd)
     cfg = ModelConfig(**{**cfg.__dict__, "quant": "none", "weightless_norm": False})
+    if cfg.arch == "llava" and cfg.vision is not None:
+        # LLaVA checkpoint: language_model.* prefixed LM keys (classic) or
+        # model.language_model.* (transformers >= 4.52) + vision tower +
+        # projector (models/vit.convert_llava_tower). Reference:
+        # vllm/model_executor/models/llava.py load_weights.
+        from qspec_tpu.models.vit import convert_llava_tower
+        lm_sd = {}
+        for k, v in sd.items():
+            if k.startswith("language_model."):
+                lm_sd[k[len("language_model."):]] = v
+            elif k.startswith("model.language_model."):
+                lm_sd["model." + k[len("model.language_model."):]] = v
+            elif k == "lm_head.weight":
+                lm_sd[k] = v
+        tower = convert_llava_tower(sd, cfg.vision)
+        import dataclasses
+        inner = dataclasses.replace(cfg, vision=None)  # break the recursion
+        params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
+        params.update(tower)
+        return params, dataclasses.replace(inner, vision=cfg.vision)
 
     def t(name):
         return np.asarray(sd[name], np.float32).T

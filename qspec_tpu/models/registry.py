@@ -274,6 +274,40 @@ def _olmo(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("LlavaForConditionalGeneration")
+@register("llava")
+def _llava_vlm(hf: dict) -> ModelConfig:
+    # LLaVA (reference vllm/model_executor/models/llava.py): CLIP-style
+    # vision tower + 2-linear projector over any registered text trunk.
+    # The text_config routes through the normal registry; the tower rides
+    # cfg.vision (models/vit.py).
+    import dataclasses
+
+    from qspec_tpu.config import VisionConfig
+    text = dict(hf.get("text_config") or {})
+    if text.get("architectures"):
+        base = resolve(text)
+    else:
+        base = ModelConfig.from_hf_config(text)
+    v = dict(hf.get("vision_config") or {})
+    vc = VisionConfig(
+        hidden_size=v.get("hidden_size", 1024),
+        intermediate_size=v.get("intermediate_size", 4096),
+        num_layers=v.get("num_hidden_layers", 24),
+        num_heads=v.get("num_attention_heads", 16),
+        image_size=v.get("image_size", 336),
+        patch_size=v.get("patch_size", 14),
+        layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+        feature_layer=hf.get("vision_feature_layer", -2),
+        drop_cls=(hf.get("vision_feature_select_strategy", "default")
+                  == "default"),
+        hidden_act=v.get("hidden_act", "quick_gelu"),
+    )
+    return dataclasses.replace(
+        base, arch="llava", vision=vc,
+        image_token_id=hf.get("image_token_index", 32000))
+
+
 def resolve(hf_config: dict) -> ModelConfig:
     archs = hf_config.get("architectures") or [hf_config.get("model_type", "")]
     for a in archs:

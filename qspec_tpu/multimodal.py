@@ -40,7 +40,58 @@ def get_image_mapper(arch: str) -> Callable:
     return patch_projector_mapper  # generic LLaVA-style fallback
 
 
+# CLIP pixel normalization (transformers CLIPImageProcessor defaults)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """[H, W, C] -> [size, size, C] host-side bilinear (the processor's
+    resize+center-crop collapsed to a square resize; serving-quality)."""
+    H, W, C = img.shape
+    if H == size and W == size:
+        return img
+    ys = (np.arange(size) + 0.5) * H / size - 0.5
+    xs = (np.arange(size) + 0.5) * W / size - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+    y1, x1 = np.minimum(y0 + 1, H - 1), np.minimum(x0 + 1, W - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[y0][:, x0] * (1 - wy) * (1 - wx) + img[y1][:, x0] * wy * (1 - wx)
+    return a + img[y0][:, x1] * (1 - wy) * wx + img[y1][:, x1] * wy * wx
+
+
 @register_image_mapper("llava")
+def llava_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
+    """Real LLaVA path: CLIP-style tower + projector (models/vit.py).
+
+    ``image`` [H, W, 3] float in [0, 1] (or uint8 0..255): resized to the
+    tower's square input, CLIP-normalized, run through the tower on
+    device. Models without tower weights (synthetic patch-projector
+    setups) fall back to the raw-patch projector below.
+
+    Reference: vllm/model_executor/models/llava.py (vision tower +
+    multi_modal_projector + feature select).
+    """
+    if "vision" not in params or cfg.vision is None:
+        return patch_projector_mapper(params, cfg, image)
+    import jax
+
+    from qspec_tpu.models.vit import llava_image_features
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() > 1.5:                      # uint8-style range
+        img = img / 255.0
+    img = _resize_bilinear(img, cfg.vision.image_size)
+    img = (img - _CLIP_MEAN) / _CLIP_STD
+    out = jax.jit(llava_image_features, static_argnums=1)(
+        {"vision": params["vision"], "mm_projector": params["mm_projector"]},
+        cfg.vision, img[None])
+    return np.asarray(jax.device_get(out[0]), np.float32)
+
+
 def patch_projector_mapper(params, cfg, image: np.ndarray,
                            patch: int = 16) -> np.ndarray:
     """Generic ViT-free image mapper: non-overlapping patches -> linear
