@@ -96,14 +96,19 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int, vocab: int):
     return out
 
 
-def train_forward(params, cfg, tokens, return_residual: bool = False):
+def train_forward(params, cfg, tokens, return_residual: bool = False,
+                  input_embeds=None):
     """Dense-causal training forward sharing the engine's float weight
     layout and rope (models/llama.py) — weights trained here ARE engine
     weights; tests assert logits parity with the inference path.
 
     ``return_residual``: return the final PRE-norm residual stream [B, T, H]
     instead of logits (feature source for Medusa-head training,
-    benchmarks/train_medusa.py)."""
+    benchmarks/train_medusa.py).
+
+    ``input_embeds`` [B, T, H]: use these rows instead of the embed-table
+    lookup (multimodal training, benchmarks/train_vlm.py — image rows come
+    from the differentiable vision tower)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +124,8 @@ def train_forward(params, cfg, tokens, return_residual: bool = False):
         n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
         return (n * gamma).astype(x.dtype)
 
-    x = params["embed"][tokens]          # [B, T, H]
+    x = (params["embed"][tokens] if input_embeds is None
+         else input_embeds)              # [B, T, H]
     pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1)).reshape(-1)
     causal = jnp.tril(jnp.ones((T, T), bool))
 

@@ -61,8 +61,8 @@ class AsyncLLMEngine:
                        sampling_params: SamplingParams,
                        request_id: Optional[int] = None,
                        task: str = "generate", prompt_embeds=None,
-                       mm_images=None,
-                       image_token_id=None) -> AsyncIterator[RequestOutput]:
+                       mm_images=None, image_token_id=None,
+                       lora_name=None) -> AsyncIterator[RequestOutput]:
         if self._dead is not None:
             raise AsyncEngineDeadError("engine loop died") from self._dead
         self._ensure_loop()
@@ -70,7 +70,8 @@ class AsyncLLMEngine:
                                       request_id=request_id, task=task,
                                       prompt_embeds=prompt_embeds,
                                       mm_images=mm_images,
-                                      image_token_id=image_token_id)
+                                      image_token_id=image_token_id,
+                                      lora_name=lora_name)
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
         self._wake.set()

@@ -87,6 +87,7 @@ class LLMEngine:
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
             enable_prefix_caching=config.cache.enable_prefix_caching)
+        self._lora_manager = None   # built lazily (see .lora)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)
         # swap-mode preemption: host parking lot sized by swap_space_gb
@@ -178,13 +179,28 @@ class LLMEngine:
             return need
 
     # ------------------------------------------------------------------
+    @property
+    def lora(self):
+        """Dynamic adapter lifecycle (lora/manager.LoRAManager): load /
+        unload / list named adapters over the slot bank at runtime.
+        Raises if the engine was built without params['lora']."""
+        if self._lora_manager is None:
+            from qspec_tpu.lora.manager import LoRAManager
+            self._lora_manager = LoRAManager(self)
+        return self._lora_manager
+
     def add_request(self, prompt_token_ids: List[int],
                     sampling_params: Optional[SamplingParams] = None,
                     request_id: Optional[int] = None, lora_id: int = 0,
                     task: str = "generate", prompt_embeds=None,
-                    mm_images=None, image_token_id: Optional[int] = None) -> int:
+                    mm_images=None, image_token_id: Optional[int] = None,
+                    lora_name: Optional[str] = None) -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
+        if lora_name:
+            # dynamic adapters (lora/manager.py): resolve the name to its
+            # current slot at admission time
+            lora_id = self.lora.slot_of(lora_name)
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
         if mm_images:

@@ -43,10 +43,65 @@ class OpenAIServer:
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/score", self.score)
         app.router.add_post("/score", self.score)
+        app.router.add_post("/v1/load_lora_adapter", self.load_lora)
+        app.router.add_post("/v1/unload_lora_adapter", self.unload_lora)
+        app.router.add_get("/v1/lora_adapters", self.list_lora)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
         return app
+
+    # ---- dynamic LoRA lifecycle (reference api_server endpoints
+    # /v1/load_lora_adapter + /v1/unload_lora_adapter backed by
+    # vllm/lora/models.py LRUCacheLoRAModelManager) ------------------
+    def _lora_manager(self):
+        from qspec_tpu.lora.manager import LoRASlotError
+        try:
+            return self.engine.engine.lora
+        except LoRASlotError as e:
+            raise web.HTTPBadRequest(reason=str(e))
+
+    async def load_lora(self, request):
+        from qspec_tpu.lora.manager import LoRASlotError
+        body = await request.json()
+        name = body.get("lora_name")
+        path = body.get("lora_path")
+        if not name or not path:
+            raise web.HTTPBadRequest(reason="lora_name and lora_path required")
+        mgr = self._lora_manager()
+        try:
+            slot = mgr.load_path(name, path, alpha=body.get("alpha"))
+        except (LoRASlotError, FileNotFoundError, KeyError) as e:
+            raise web.HTTPBadRequest(reason=f"load failed: {e}")
+        return web.json_response({"name": name, "slot": slot})
+
+    async def unload_lora(self, request):
+        from qspec_tpu.lora.manager import LoRASlotError
+        body = await request.json()
+        name = body.get("lora_name")
+        if not name:
+            raise web.HTTPBadRequest(reason="lora_name required")
+        try:
+            self._lora_manager().unload(name)
+        except LoRASlotError as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        return web.json_response({"unloaded": name})
+
+    async def list_lora(self, request):
+        return web.json_response(
+            {"adapters": self._lora_manager().list_adapters()})
+
+    def _lora_name_of(self, body: dict):
+        """The OpenAI 'model' field names a loaded adapter (reference:
+        request.model routed to an adapter when it matches one)."""
+        m = body.get("model")
+        if not m or m == self.model_name:
+            return None
+        lm = self.engine.engine._lora_manager
+        if lm is not None and any(a["name"] == m
+                                  for a in lm.list_adapters()):
+            return m
+        return None
 
     async def health(self, request):
         if not self.engine.is_running():
@@ -54,11 +109,17 @@ class OpenAIServer:
         return web.Response(text="ok")
 
     async def models(self, request):
-        return web.json_response({
-            "object": "list",
-            "data": [{"id": self.model_name, "object": "model",
-                      "created": _now(), "owned_by": "qspec_tpu"}],
-        })
+        data = [{"id": self.model_name, "object": "model",
+                 "created": _now(), "owned_by": "qspec_tpu"}]
+        lm = self.engine.engine._lora_manager
+        if lm is not None:
+            # loaded adapters are addressable via the 'model' field
+            # (reference: served LoRA modules appear in /v1/models)
+            data += [{"id": a["name"], "object": "model",
+                      "created": int(a["loaded_at"]),
+                      "owned_by": "qspec_tpu", "parent": self.model_name}
+                     for a in lm.list_adapters()]
+        return web.json_response({"object": "list", "data": data})
 
     async def metrics(self, request):
         try:
@@ -237,12 +298,14 @@ class OpenAIServer:
         return dataclasses.replace(sp, seed=sp.seed + j)
 
     async def _generate_one(self, token_ids, sp, mm_images=None,
-                            image_token_id=None):
+                            image_token_id=None, lora_name=None):
         rid = next(self._request_counter)
         final = None
         kw = {}
         if mm_images:
             kw = {"mm_images": mm_images, "image_token_id": image_token_id}
+        if lora_name:
+            kw["lora_name"] = lora_name
         async for out in self.engine.generate(token_ids, sp, request_id=rid,
                                               **kw):
             final = out
@@ -270,8 +333,9 @@ class OpenAIServer:
         # independent samples, not beams). All choices run concurrently.
         jobs = [(i * n + j, token_ids, self._nth_sp(sp, j))
                 for i, token_ids in enumerate(prompts) for j in range(n)]
+        lname = self._lora_name_of(body)
         finals = await asyncio.gather(
-            *(self._generate_one(t, s) for _, t, s in jobs))
+            *(self._generate_one(t, s, lora_name=lname) for _, t, s in jobs))
         choices, p_toks, c_toks = [], 0, 0
         for (idx, token_ids, _), final in zip(jobs, finals):
             text = final.text or (self.tokenizer.decode(final.output_token_ids)

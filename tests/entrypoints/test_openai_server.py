@@ -364,3 +364,72 @@ def test_score_endpoint_cross_encoder():
         assert data[0]["score"] == pytest.approx(want, abs=1e-5)
 
     _run(server, body)
+
+
+def test_dynamic_lora_endpoints(tmp_path):
+    """/v1/load_lora_adapter + unload + adapter-as-model routing
+    (reference: vllm entrypoints' dynamic-LoRA endpoints)."""
+    import numpy as np
+
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from qspec_tpu.lora import LoRAConfig, init_lora_params
+    from qspec_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(quant="w4")
+    params = dict(init_params(cfg, seed=0))
+    params["lora"] = init_lora_params(cfg, LoRAConfig(max_loras=3,
+                                                      max_rank=16))
+    args = EngineArgs(model="tiny", max_model_len=256, max_num_seqs=4)
+    server = build_server(args, model_name="tiny-test", params=params,
+                          tokenizer=FakeTokenizer())
+
+    # PEFT-style adapter on disk (npz form)
+    rng = np.random.default_rng(0)
+    sd = {}
+    for li in range(cfg.num_layers):
+        pre = f"base_model.model.model.layers.{li}.self_attn.q_proj"
+        sd[pre + ".lora_A.weight"] = \
+            rng.standard_normal((4, cfg.hidden_size)).astype(np.float32)
+        sd[pre + ".lora_B.weight"] = \
+            rng.standard_normal((cfg.q_size, 4)).astype(np.float32)
+    path = str(tmp_path / "adapter_model.npz")
+    np.savez(path, **sd)
+
+    async def body(client):
+        prompt = "hello world example"
+        r = await client.post("/v1/completions",
+                              json={"prompt": prompt, "max_tokens": 8,
+                                    "temperature": 0.0})
+        base_text = (await r.json())["choices"][0]["text"]
+
+        r = await client.post("/v1/load_lora_adapter",
+                              json={"lora_name": "ad1", "lora_path": path})
+        assert r.status == 200, await r.text()
+        assert (await r.json())["slot"] == 1
+
+        r = await client.get("/v1/models")
+        ids = [m["id"] for m in (await r.json())["data"]]
+        assert "ad1" in ids
+
+        # 'model': adapter name routes the request through the adapter
+        r = await client.post("/v1/completions",
+                              json={"model": "ad1", "prompt": prompt,
+                                    "max_tokens": 8, "temperature": 0.0})
+        ad_text = (await r.json())["choices"][0]["text"]
+        assert ad_text != base_text
+
+        r = await client.post("/v1/unload_lora_adapter",
+                              json={"lora_name": "ad1"})
+        assert r.status == 200
+        r = await client.get("/v1/lora_adapters")
+        assert (await r.json())["adapters"] == []
+
+        # unknown adapter name falls back to the base model
+        r = await client.post("/v1/completions",
+                              json={"model": "nope", "prompt": prompt,
+                                    "max_tokens": 8, "temperature": 0.0})
+        assert (await r.json())["choices"][0]["text"] == base_text
+
+    _run(server, body)

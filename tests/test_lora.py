@@ -108,3 +108,73 @@ def test_adapter_changes_output_and_routes_per_seq(rng):
     outs2 = run(eng2, [prompt, prompt, prompt], [0, 1, 1])
     assert outs2[0] == outs[0]
     assert outs2[1] == outs2[2] == outs[1]
+
+
+# ---- dynamic lifecycle (lora/manager.py; reference vllm/lora/models.py
+# LRUCacheLoRAModelManager + /v1/load_lora_adapter endpoints) -----------
+
+def test_dynamic_load_unload_roundtrip(rng):
+    from qspec_tpu.lora.manager import LoRASlotError
+
+    mc = ModelConfig.tiny(quant="w4")
+    params = dict(init_params(mc, seed=0))
+    params["lora"] = init_lora_params(mc, LoRAConfig(max_loras=3,
+                                                     max_rank=16))
+    eng, _ = make_engine(params)
+    prompt = list(map(int, rng.integers(1, 500, size=12)))
+
+    base_out = run(eng, [prompt], [0])[0]
+
+    slot = eng.lora.load("ad1", random_adapter(rng, mc, None))
+    assert slot == 1
+    assert [a["name"] for a in eng.lora.list_adapters()] == ["ad1"]
+
+    # route by NAME through add_request(lora_name=...)
+    eng.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=8,
+                                           ignore_eos=True),
+                    lora_name="ad1")
+    outs = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+    ad_out = list(outs.values())[0]
+    assert ad_out != base_out, "adapter had no effect"
+
+    # unload zeroes the slot: base behaviour is restored even for
+    # requests that (wrongly) still target the old slot id
+    eng.lora.unload("ad1")
+    assert eng.lora.list_adapters() == []
+    with pytest.raises(LoRASlotError):
+        eng.lora.slot_of("ad1")
+    assert run(eng, [prompt], [slot])[0] == base_out
+
+
+def test_dynamic_lru_eviction_and_reload(rng):
+    mc = ModelConfig.tiny(quant="w4")
+    params = dict(init_params(mc, seed=0))
+    params["lora"] = init_lora_params(mc, LoRAConfig(max_loras=3,
+                                                     max_rank=16))
+    eng, _ = make_engine(params)
+
+    s1 = eng.lora.load("a", random_adapter(rng, mc, None))
+    s2 = eng.lora.load("b", random_adapter(rng, mc, None))
+    assert {s1, s2} == {1, 2}
+    # bump "a" so "b" is the LRU victim
+    eng.lora.slot_of("a")
+    s3 = eng.lora.load("c", random_adapter(rng, mc, None))
+    assert s3 == s2, "should have evicted the LRU adapter's slot"
+    names = {a["name"] for a in eng.lora.list_adapters()}
+    assert names == {"a", "c"}
+
+    # re-loading an existing name overwrites in place (same slot)
+    assert eng.lora.load("a", random_adapter(rng, mc, None)) == s1
+
+
+def test_dynamic_requires_bank(rng):
+    from qspec_tpu.lora.manager import LoRASlotError
+
+    mc = ModelConfig.tiny(quant="w4")
+    eng, _ = make_engine(init_params(mc, seed=0))
+    with pytest.raises(LoRASlotError):
+        eng.lora.list_adapters()
