@@ -648,24 +648,39 @@ def prefill_eagle_step(params, cache, draft_cache, token_ids, shifted_tokens,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "ecfg", "scheme", "k",
                                     "num_rounds", "axis_name"),
-                   donate_argnames=("draft_cache", "cache"))
-def eagle_rounds_step(params, draft_cache, cache, h_span, t_span, span_pos,
-                      span_len, block_tables, max_new, st, key, *, cfg, ecfg,
-                      scheme, k, num_rounds=1, axis_name=None):
-    """`num_rounds` EAGLE rounds in ONE executable.
+                   donate_argnames=("draft_cache", "cache", "espan_h",
+                                    "espan_t", "espan_pos", "espan_len"))
+def eagle_rounds_step(params, draft_cache, cache, espan_h, espan_t,
+                      espan_pos, espan_len, rows, block_tables, max_new, st,
+                      key, *, cfg, ecfg, scheme, k, num_rounds=1,
+                      axis_name=None):
+    """`num_rounds` EAGLE rounds in ONE executable over the DEVICE-RESIDENT
+    span bank.
 
-    Carried span state (h_span [B, k+1, H], t_span [B, k+1], span_pos [B],
-    span_len [B]): the previous round's accepted positions with their TRUE
-    hiddens. Each round (1) re-feeds that span through the draft layer —
-    overwriting any KV the previous drafting pass wrote there (the EAGLE
-    rollback) and yielding the prediction seed; (2) drafts k tokens
-    autoregressively on predicted hiddens; (3) verifies + rejection-samples
-    through the one-hot path (lossless); (4) builds the next span from the
-    verify pass's hiddens.
+    The carried span state — the previous round's accepted positions with
+    their TRUE hiddens — lives in per-sequence bank rows (espan_h
+    [rows, k+1, H], espan_t [rows, k+1], espan_pos/espan_len [rows]),
+    donated and updated in place; ``rows`` [B] maps each batch lane to its
+    row. Shipping this state host-side between engine steps used to cost a
+    ~30 ms tunnel sync + a [B, k+1, H] download/upload per call and made
+    EAGLE 0.73x AR at 0.99 acceptance while the fused round itself ran
+    1.85x AR on-device (scratch/exp44_eagle_cost.py); resident rows follow
+    the ngram history-bank pattern.
+
+    Each round (1) re-feeds the span through the draft layer — overwriting
+    any KV the previous drafting pass wrote there (the EAGLE rollback) and
+    yielding the prediction seed; (2) drafts k tokens autoregressively on
+    predicted hiddens; (3) verifies + rejection-samples through the one-hot
+    path (lossless); (4) builds the next span from the verify pass's
+    hiddens.
 
     Returns (tokens [R, B, k+1] (-1 padded), accepted [R, B], logprobs,
-    (h_span, t_span, span_pos, span_len, budget), draft_cache, cache).
+    budget, (espan_h, espan_t, espan_pos, espan_len), draft_cache, cache).
     """
+    h_span = espan_h[rows].astype(jnp.bfloat16)
+    t_span = espan_t[rows]
+    span_pos = espan_pos[rows]
+    span_len = espan_len[rows]
     from qspec_tpu.spec_decode.eagle import eagle_layer_step, fuse_features
 
     page_size = cache.page_size
@@ -742,8 +757,12 @@ def eagle_rounds_step(params, draft_cache, cache, h_span, t_span, span_pos,
             round_body,
             (draft_cache, cache, h_span, t_span, span_pos, span_len, max_new,
              st.grammar_state), keys)
-    return (toks, accs, lps,
-            (h_span, t_span, span_pos, span_len, f_budget),
+    espan_h = espan_h.at[rows].set(h_span.astype(espan_h.dtype))
+    espan_t = espan_t.at[rows].set(t_span)
+    espan_pos = espan_pos.at[rows].set(span_pos)
+    espan_len = espan_len.at[rows].set(span_len)
+    return (toks, accs, lps, f_budget,
+            (espan_h, espan_t, espan_pos, espan_len),
             draft_cache, cache)
 
 
@@ -948,6 +967,19 @@ class ModelRunner:
             hmax = (config.scheduler.max_model_len
                     + (k + 1) * max(rounds, 1) + 8)
             self._hist = jnp.zeros((rows, hmax), jnp.int32)
+        # device-resident EAGLE span bank (see eagle_rounds_step): one row
+        # per sequence slot + a final scratch row for padding lanes, so a
+        # padded batch never scatters garbage into a live row
+        self._espan_h = None
+        self._espan_slot: dict = {}
+        self._espan_synced: dict = {}
+        if self._eagle:
+            rows = max(config.scheduler.decode_batch_buckets) + 1
+            H = self.cfg.hidden_size
+            self._espan_h = jnp.zeros((rows, k + 1, H), jnp.bfloat16)
+            self._espan_t = jnp.zeros((rows, k + 1), jnp.int32)
+            self._espan_pos = jnp.zeros((rows,), jnp.int32)
+            self._espan_len = jnp.zeros((rows,), jnp.int32)
         # device-side proposal store for the fused Medusa / MLPSpeculator
         # rounds (row per sequence slot; -1 = no proposal yet)
         self._mprops = None
@@ -1418,53 +1450,99 @@ class ModelRunner:
                 jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx))
         return logits, np.asarray(jax.device_get(h_last))
 
+    def _espan_row_for(self, seq, live_ids) -> int:
+        """Assign (or reuse) a span-bank row; evict rows of sequences not
+        in the current batch when full. The final row is the padding
+        scratch and is never assigned."""
+        sid = seq.seq_id
+        if sid in self._espan_slot:
+            return self._espan_slot[sid]
+        used = set(self._espan_slot.values())
+        n_rows = self._espan_h.shape[0] - 1
+        row = next((r for r in range(n_rows) if r not in used), None)
+        if row is None:
+            victim = next(s for s in self._espan_slot if s not in live_ids)
+            row = self._espan_slot.pop(victim)
+            self._espan_synced.pop(victim, None)
+        self._espan_slot[sid] = row
+        # a fresh row holds someone else's (or zero) state: force the
+        # seed upload even if the marker thinks this seq is in sync
+        self._espan_synced.pop(sid, None)
+        return row
+
     def run_eagle_rounds(self, seqs, sampling: SamplingTensors, k: int,
                          chain: int = 1):
-        """Fused EAGLE rounds; span state (true hiddens + paired tokens of
-        the last accepted stretch) rides host-side on each Sequence
-        (seq.eagle_span) between engine steps and device-side across
-        chained calls."""
+        """Fused EAGLE rounds over the device-resident span bank.
+
+        Only the emitted tokens come back to the host; the span state
+        (true hiddens + paired tokens of the last accepted stretch) stays
+        in per-sequence bank rows between engine steps — seq.eagle_span is
+        just the SEED, uploaded when the sync marker says the row is stale
+        (fresh prefill, preemption-recompute). Shipping the spans through
+        the tunnel every step is what made EAGLE slower than AR in r03
+        (exp44: 30 ms sync + [B, k+1, H] roundtrip vs a 712 us round)."""
         B = self._bucket_batch(len(seqs))
-        H = self.cfg.hidden_size
-        h_span = np.zeros((B, k + 1, H), np.float32)
-        t_span = np.zeros((B, k + 1), np.int32)
-        span_pos = np.zeros(B, np.int32)
-        span_len = np.ones(B, np.int32)
+        live_ids = {s.seq_id for s in seqs}
+        scratch = self._espan_h.shape[0] - 1
+        rows = np.full(B, scratch, np.int32)
         max_new = np.zeros(B, np.int32)
         tables = [[] for _ in range(B)]
+        H = self.cfg.hidden_size
         for i, s in enumerate(seqs):
-            h, t, p, n = s.eagle_span
-            n = min(n, k + 1)
-            h_span[i, :h.shape[0]] = h[:k + 1]
-            t_span[i, :len(t)] = t[:k + 1]
-            span_pos[i] = p
-            span_len[i] = n
+            row = self._espan_row_for(s, live_ids)
+            if self._espan_synced.get(s.seq_id) != s.num_tokens:
+                h, t, p, n = s.eagle_span
+                if int(p) + int(n) != s.num_tokens - 1:
+                    # stale seed (the seq lost its bank row AFTER its host
+                    # seed went stale — swap-in past an eviction): fall
+                    # back to a position-CORRECT degenerate span (the
+                    # pending last token sits at num_tokens - 1 =
+                    # span_pos + span_len, the same convention as
+                    # run_spec_rounds' pos). The zero hidden only hurts
+                    # draft quality for a round; a wrong span_pos/last
+                    # would corrupt verify outputs.
+                    h = np.zeros((1, H), np.float32)
+                    t = np.asarray([s.last_token()], np.int32)
+                    p, n = s.num_tokens - 2, 1
+                n = min(int(n), k + 1)
+                hpad = np.zeros((k + 1, H), np.float32)
+                hpad[:min(h.shape[0], k + 1)] = h[:k + 1]
+                tpad = np.zeros(k + 1, np.int32)
+                tpad[:min(len(t), k + 1)] = t[:k + 1]
+                self._espan_h = self._espan_h.at[row].set(
+                    jnp.asarray(hpad, jnp.bfloat16))
+                self._espan_t = self._espan_t.at[row].set(jnp.asarray(tpad))
+                self._espan_pos = self._espan_pos.at[row].set(int(p))
+                self._espan_len = self._espan_len.at[row].set(n)
+                self._espan_synced[s.seq_id] = s.num_tokens
+            rows[i] = row
             max_new[i] = max(s.sampling_params.max_tokens
                              - len(s.output_token_ids), 0)
             tables[i] = s.page_ids
         st = _pad_sampling(sampling, len(seqs), B)
         tables_d = jnp.asarray(self._pad_block_tables(tables))
-        hs_d = jnp.asarray(h_span, jnp.bfloat16)
-        ts_d = jnp.asarray(t_span)
-        sp_d, sl_d = jnp.asarray(span_pos), jnp.asarray(span_len)
+        rows_d = jnp.asarray(rows)
         budget_d = jnp.asarray(max_new)
         parts = []
         for _ in range(max(1, chain)):
-            toks, accs, lps, adv, self.draft_cache, self.cache = \
+            (toks, accs, lps, budget_d,
+             (self._espan_h, self._espan_t, self._espan_pos,
+              self._espan_len),
+             self.draft_cache, self.cache) = \
                 self.fns["eagle_rounds"](
-                    self.params, self.draft_cache, self.cache, hs_d, ts_d,
-                    sp_d, sl_d, tables_d, budget_d, st, self._next_key())
-            hs_d, ts_d, sp_d, sl_d, budget_d = adv
+                    self.params, self.draft_cache, self.cache,
+                    self._espan_h, self._espan_t, self._espan_pos,
+                    self._espan_len, rows_d, tables_d, budget_d, st,
+                    self._next_key())
             parts.append((toks, accs, lps))
-        parts, hs, ts, sps, sls = jax.device_get(
-            (parts, hs_d, ts_d, sp_d, sl_d))
+        parts = jax.device_get(parts)
         toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
         accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
         lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
         n = len(seqs)
         for i, s in enumerate(seqs):
-            s.eagle_span = (np.asarray(hs[i], np.float32),
-                            np.asarray(ts[i]), int(sps[i]), int(sls[i]))
+            self._espan_synced[s.seq_id] = int(
+                self._espan_synced[s.seq_id] + accs[:, i].sum())
         return toks[:, :n], accs[:, :n], lps[:, :n]
 
     def run_ngram_round(self, seqs, sampling: SamplingTensors,

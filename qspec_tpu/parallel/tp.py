@@ -349,13 +349,16 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
         er = functools.partial(mr.eagle_rounds_step.__wrapped__, cfg=cfg,
                                ecfg=ecfg, scheme=scheme, k=k,
                                num_rounds=num_rounds, axis_name="model")
+        # span BANK form (espan_h/t/pos/len + rows): replicated like the
+        # draft net — every chip holds the full bank and scatters the same
+        # rows (see eagle_rounds_step)
         fns["eagle_rounds"] = jax.jit(shard_map(
             er, mesh=mesh,
-            in_specs=(pspecs, ecspec, cspec, R, R, R, R, R, R,
+            in_specs=(pspecs, ecspec, cspec, R, R, R, R, R, R, R,
                       mr_st_spec(), R),
-            out_specs=(P(), P(), P(), (P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), (P(), P(), P(), P()),
                        ecspec, cspec),
-            check_rep=False), donate_argnums=(1, 2))
+            check_rep=False), donate_argnums=(1, 2, 3, 4, 5, 6))
     return fns
 
 

@@ -35,7 +35,7 @@ ROUNDS = 8
 
 
 def build_engine(cfg, params, *, spec_method=None, k=8):
-    sched = SchedulerConfig(max_num_seqs=B, max_model_len=1400,
+    sched = SchedulerConfig(max_num_seqs=B, max_model_len=1000,
                             prefill_chunk_size=512,
                             max_num_batched_tokens=4096,
                             decode_batch_buckets=(B,),

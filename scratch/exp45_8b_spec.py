@@ -1,0 +1,157 @@
+"""Spec path at REAL vocab scale: 8B dims, V=128256, B=16, k=8, R=8.
+
+VERDICT r3 weak #7: the [B, k, V] fp32 draft probs + [B, k+1, V] verify
+probs were never exercised at Llama-3 vocab. This runs the production
+spec_rounds_step / multi_decode_step executables on-chip at those shapes
+(synthetic device-init weights — acceptance is meaningless noise, but the
+ROUND COST is acceptance-independent fixed work) and reports:
+  - HBM occupancy (weights + KV pool + live intermediates survived)
+  - AR cost/step and spec cost/round
+  - implied qspec speedup vs acceptance in {0.8, 0.9, 0.99}:
+        speedup(a) = (1 + k*a) * C_ar / C_round
+Run: python scratch/exp45_8b_spec.py [--batch 16] [--k 8] [--rounds 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build
+    from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
+                                  SpeculativeConfig)
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.engine.model_runner import (make_sampling_tensors,
+                                               _pad_sampling)
+    from qspec_tpu.models.llama import init_params_device
+    from qspec_tpu.sampling_params import SamplingParams
+
+    B, k, R = args.batch, args.k, args.rounds
+    cfg = build("8b")
+    print(f"platform={jax.default_backend()} V={cfg.vocab_size} "
+          f"H={cfg.hidden_size} L={cfg.num_layers} B={B} k={k} R={R}")
+
+    t0 = time.perf_counter()
+    params = init_params_device(cfg, seed=0)
+    jax.block_until_ready(params)
+    print(f"params on device in {time.perf_counter() - t0:.1f}s")
+
+    def hbm():
+        try:
+            st = jax.devices()[0].memory_stats()
+            return (st.get("bytes_in_use", 0) / 1e9,
+                    st.get("peak_bytes_in_use", 0) / 1e9)
+        except Exception:
+            return (float("nan"), float("nan"))
+
+    print(f"HBM after weights: in_use={hbm()[0]:.2f} GB")
+
+    sched = SchedulerConfig(
+        max_num_seqs=B, max_model_len=args.prompt + (k + 1) * R * 8 + 64,
+        prefill_chunk_size=1024, max_num_batched_tokens=1024 * B,
+        decode_batch_buckets=(B,), prefill_token_buckets=(1024,),
+        steps_per_decode_call=1)
+    spec = SpeculativeConfig(num_speculative_tokens=k, rounds_per_step=R,
+                             draft_scheme="w4a8", method="qspec",
+                             draft_kv_window=args.window)
+    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=128),
+                                 scheduler=sched, speculative=spec), params)
+    print(f"pages={eng.block_manager.num_pages} "
+          f"HBM after engine: in_use={hbm()[0]:.2f} GB")
+
+    rng = np.random.default_rng(0)
+    for _ in range(B):
+        eng.add_request(list(map(int, rng.integers(1, 30000,
+                                                   size=args.prompt))),
+                        SamplingParams(temperature=0.0, max_tokens=512,
+                                       ignore_eos=True))
+    t0 = time.perf_counter()
+    while True:
+        b = eng.scheduler.schedule()
+        if b.kind != "prefill":
+            break
+        eng._run_prefill(b)
+    jax.device_get(jnp.zeros(1))
+    print(f"prefill done in {time.perf_counter() - t0:.1f}s "
+          f"HBM: in_use={hbm()[0]:.2f} GB peak={hbm()[1]:.2f} GB")
+    r = eng.runner
+    seqs = b.seqs
+
+    # one real engine spec step to compile + verify the path executes
+    t0 = time.perf_counter()
+    eng._run_spec_decode(seqs)
+    jax.device_get(jnp.zeros(1))
+    print(f"first spec step (compile) {time.perf_counter() - t0:.1f}s "
+          f"HBM peak={hbm()[1]:.2f} GB")
+
+    # fixed-input timing of the production executables (exp41 pattern)
+    st = _pad_sampling(make_sampling_tensors(seqs, cfg.vocab_size, None),
+                       len(seqs), B)
+    last = jnp.asarray([s.last_token() for s in seqs], jnp.int32)
+    prev = jnp.asarray([s.token_ids[-2] for s in seqs], jnp.int32)
+    pos = jnp.asarray([s.num_tokens - 1 for s in seqs], jnp.int32)
+    budget = jnp.full((B,), 400, jnp.int32)
+    tables = jnp.asarray(r._pad_block_tables([s.page_ids for s in seqs]))
+    key = jax.random.PRNGKey(0)
+    enable = jnp.asarray(True)
+
+    def timeit(f, iters=6, warmup=2):
+        for _ in range(warmup):
+            out = f()
+        jax.device_get(jax.tree.leaves(out)[0][:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f()
+        jax.device_get(jax.tree.leaves(out)[0][:1])
+        return (time.perf_counter() - t0) / iters
+
+    def spec_call():
+        toks, accs, lps, adv, r.draft_cache, r.cache = r.fns["spec_rounds"](
+            r.params, r.draft_cache, r.cache, last, prev, pos, tables,
+            budget, enable, st, key)
+        return toks
+    t_spec = timeit(spec_call)
+    print(f"spec_rounds({R}x k={k}): {t_spec * 1e3:.1f} ms/call -> "
+          f"{t_spec / R * 1e3:.2f} ms/round "
+          f"HBM peak={hbm()[1]:.2f} GB")
+
+    def ar_call():
+        toks, lps, adv, r.cache = r.fns["multi_decode"](
+            r.params, r.cache, last, pos, tables, budget, st, key, None)
+        return toks
+    t_ar_call = timeit(ar_call)
+    n_steps = eng.config.scheduler.steps_per_decode_call
+    # spec engines set steps_per_decode_call=1; time the single fused step
+    t_ar = t_ar_call / max(n_steps, 1)
+    print(f"AR multi_decode({n_steps}): {t_ar_call * 1e3:.1f} ms/call -> "
+          f"{t_ar * 1e3:.2f} ms/step")
+
+    c_round = t_spec / R
+    print("\nimplied qspec speedup at 8B shapes "
+          f"(C_ar={t_ar * 1e3:.2f} ms, C_round={c_round * 1e3:.2f} ms):")
+    for a in (0.8, 0.9, 0.99):
+        sp = (1 + k * a) * t_ar / c_round
+        print(f"  acceptance {a:.2f}: {sp:.2f}x "
+              f"({B * (1 + k * a) / c_round:.0f} tok/s vs AR "
+              f"{B / t_ar:.0f} tok/s)")
+    print(f"\nfinal HBM: in_use={hbm()[0]:.2f} GB peak={hbm()[1]:.2f} GB")
+
+
+if __name__ == "__main__":
+    main()

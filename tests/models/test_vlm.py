@@ -173,3 +173,52 @@ def test_vit_feature_layer_matches_hf_hidden_states():
                          np.float32)
         want = hs[fl].numpy()
         np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_trained_captioner_end_to_end():
+    """The in-image-trained shape captioner (benchmarks/train_vlm.py)
+    serves through the SAME ingestion path as a downloaded checkpoint and
+    genuinely describes fresh images ("a COLOR SHAPE")."""
+    import glob
+    import json
+    import os
+
+    ck = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                       "..", "checkpoints",
+                                       "vlm_shapes_v*.npz")))
+    if not ck:
+        pytest.skip("no trained VLM checkpoint (run benchmarks/train_vlm.py)")
+    base = ck[-1][:-len(".npz")]
+    with open(base + ".json") as f:
+        meta = json.load(f)
+    cfg = resolve(meta["hf_config"])
+    params, cfg = load_hf_float(dict(np.load(base + ".npz")), cfg)
+
+    from benchmarks.train_vlm import (BOS, COLORS, SHAPES, draw_shape)
+    from qspec_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+
+    sched = SchedulerConfig(max_num_seqs=8, max_model_len=64,
+                            prefill_chunk_size=32,
+                            decode_batch_buckets=(8,),
+                            prefill_token_buckets=(32,))
+    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=16),
+                                 scheduler=sched), params)
+    rng = np.random.default_rng(777)   # fresh, never-trained images
+    want = {}
+    for _ in range(8):
+        img, color, shape = draw_shape(rng)
+        rid = eng.add_request([BOS, cfg.image_token_id],
+                              SamplingParams(temperature=0.0, max_tokens=3,
+                                             ignore_eos=True),
+                              mm_images=[img],
+                              image_token_id=cfg.image_token_id)
+        want[rid] = [3, COLORS[color], SHAPES[shape]]   # "a COLOR SHAPE"
+    got = {}
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                got[o.request_id] = o.output_token_ids
+    correct = sum(got[r] == want[r] for r in want)
+    assert correct >= 7, (correct, got, want)

@@ -120,15 +120,22 @@ def test_tp_eagle_matches_single(rng):
         h_span[0, 0] = np.asarray(h_last, np.float32)[0]
         t_span = np.zeros((1, k + 1), np.int32)
         t_span[0, 0] = t0
-        rd_args = (jnp.asarray(h_span, jnp.bfloat16), jnp.asarray(t_span),
-                   jnp.asarray([T - 1], np.int32), jnp.asarray([1], np.int32),
+        # span-BANK form: 1 seq row + 1 padding scratch row
+        eh = np.zeros((2, k + 1, cfg.hidden_size), np.float32)
+        eh[0] = h_span[0]
+        et = np.zeros((2, k + 1), np.int32)
+        et[0] = t_span[0]
+        rd_args = (jnp.asarray(eh, jnp.bfloat16), jnp.asarray(et),
+                   jnp.asarray([T - 1, 0], np.int32),
+                   jnp.asarray([1, 0], np.int32),
+                   jnp.asarray([0], np.int32),       # rows
                    jnp.asarray(tables), jnp.asarray([8], np.int32),
                    SamplingTensors.greedy(1), jax.random.PRNGKey(7))
         if mesh is not None:
-            out, accs, _, _, dcache, cache = fns["eagle_rounds"](
+            out, accs, _, _, _, dcache, cache = fns["eagle_rounds"](
                 params, dcache, cache, *rd_args)
         else:
-            out, accs, _, _, dcache, cache = eagle_rounds_step(
+            out, accs, _, _, _, dcache, cache = eagle_rounds_step(
                 params, dcache, cache, *rd_args, cfg=cfg, ecfg=ecfg,
                 scheme="w4a16", k=k, num_rounds=2)
         return logits, np.asarray(out), np.asarray(accs)
