@@ -188,6 +188,17 @@ class ModelConfig:
     # DeepSeek-V2 MoE: routed-expert outputs are scaled by this factor
     # before the residual add (reference config routed_scaling_factor)
     routed_scaling_factor: float = 1.0
+    # Mamba selective-state-space family (reference csrc/mamba/ +
+    # vllm/model_executor/models/mamba.py). No attention, no paged KV:
+    # each sequence carries a constant-size recurrent state
+    # (conv tail [d_conv-1, d_inner] + SSM state [d_inner, d_state]) that
+    # the engine stores inside the sequence's FIRST cache page
+    # (models/mamba.py state-in-page layout) so scheduling, preemption,
+    # swap and KV-transfer machinery apply unchanged.
+    mamba_d_state: int = 16
+    mamba_d_conv: int = 4
+    mamba_expand: int = 2
+    mamba_dt_rank: Optional[int] = None   # None -> ceil(hidden/16)
     # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
     # a CLIP-style vision tower (params["vision"]) feeds patch features
     # through the mm projector into the LM's embedding space; prompts
@@ -218,7 +229,13 @@ class ModelConfig:
         if self.attention_type == "mla":
             d = self.kv_lora_rank + self.qk_rope_head_dim
             return -(-d // 128) * 128
-        return self.head_dim
+        # pad small head dims (GPT-2/GPT-J/Phi/StableLM: 64/80/96) to the
+        # TPU's 128-lane tile: the paged-attention kernel DMAs page slices
+        # straight out of HBM, and Mosaic requires those slices to be
+        # tile-aligned in the lane dim (a 64-wide slice of a 128-padded
+        # tile is unmaterializable). update_layer zero-pads writes and
+        # ops.attention.paged_attention pads q / slices the output.
+        return -(-self.head_dim // 128) * 128
 
     @property
     def q_size(self) -> int:

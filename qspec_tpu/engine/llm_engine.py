@@ -84,9 +84,19 @@ class LLMEngine:
                                   need_draft_cache=self.spec is not None
                                   and not (self._ngram or self._medusa),
                                   mesh=mesh, draft_params=draft_params)
+        prefix_caching = config.cache.enable_prefix_caching
+        if config.model.arch == "mamba":
+            # recurrent-state pages are per-sequence mutable state, not
+            # content-addressable KV: prefix sharing is meaningless and
+            # spec decode needs an attention verify pass (the reference
+            # likewise serves Mamba AR-only, models/mamba.py)
+            if self.spec is not None:
+                raise ValueError("speculative decoding is unsupported for "
+                                 "the mamba family")
+            prefix_caching = False
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
-            enable_prefix_caching=config.cache.enable_prefix_caching)
+            enable_prefix_caching=prefix_caching)
         self._lora_manager = None   # built lazily (see .lora)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)

@@ -807,12 +807,24 @@ class ModelRunner:
         self.params = params
         self.mesh = mesh
         page_size = config.cache.page_size
-        kv_cfg = kvc.KVCacheConfig(
-            num_layers=self.cfg.num_layers,
-            num_kv_heads=self.cfg.cache_kv_heads,
-            head_dim=self.cfg.cache_head_dim,
-            num_pages=num_pages, page_size=page_size,
-            dtype=config.cache.kv_cache_dtype)
+        if self.cfg.arch == "mamba":
+            # state-in-page: the cache's physical page holds one layer's
+            # recurrent state per sequence (models/mamba.py); the BLOCK
+            # MANAGER keeps counting in tokens-per-page, the two page
+            # notions are independent
+            from qspec_tpu.models.mamba import state_page_geometry
+            H, S, D = state_page_geometry(self.cfg)
+            kv_cfg = kvc.KVCacheConfig(
+                num_layers=self.cfg.num_layers, num_kv_heads=H,
+                head_dim=D, num_pages=num_pages, page_size=S,
+                dtype="bfloat16")
+        else:
+            kv_cfg = kvc.KVCacheConfig(
+                num_layers=self.cfg.num_layers,
+                num_kv_heads=self.cfg.cache_kv_heads,
+                head_dim=self.cfg.cache_head_dim,
+                num_pages=num_pages, page_size=page_size,
+                dtype=config.cache.kv_cache_dtype)
         self.cache = kvc.allocate(kv_cfg)
         # separate-draft-model proposer: its own cfg/params/cache geometry
         # (same page ids/tables as the target — only the page CONTENTS and

@@ -667,6 +667,23 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     checkpoints keep the residual stream in the rotated basis — dot/cosine
     similarities are invariant under the orthonormal rotation).
     """
+    if cfg.arch == "mamba":
+        # selective-SSM family: no attention, recurrent state lives in
+        # each sequence's first cache page (models/mamba.py). The step
+        # functions and engine flow are unchanged — only the forward
+        # swaps; spec decode / LoRA / prompt-embeds are attention-family
+        # features and are rejected at engine build.
+        from qspec_tpu.models import mamba as _mamba
+        assert input_embeds is None and lora_ids is None
+        out = _mamba.mamba_forward(
+            params, cfg, token_ids, cache.kv_pages,
+            batch.block_tables[:, 0], batch.ctx_lens, batch.positions,
+            logits_indices=logits_indices, return_hidden=return_hidden)
+        if return_hidden:
+            logits, hidden, pages = out
+            return logits, hidden, cache._replace(kv_pages=pages)
+        logits, pages = out
+        return logits, cache._replace(kv_pages=pages)
     assert scheme in SCHEMES
     if scheme != "bf16" and cfg.quant not in ("w4", "w4g", "w8"):
         raise ValueError("quantized scheme on an unquantized checkpoint")

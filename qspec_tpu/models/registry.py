@@ -274,6 +274,31 @@ def _olmo(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("MambaForCausalLM")
+@register("mamba")
+def _mamba(hf: dict) -> ModelConfig:
+    # Mamba selective-SSM family (reference models/mamba.py + csrc/mamba/;
+    # ours: models/mamba.py state-in-page). No attention: head fields are
+    # placeholders that keep cache-geometry math inert.
+    tsr = hf.get("time_step_rank", "auto")
+    return ModelConfig(
+        arch="mamba",
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf.get("intermediate_size",
+                                 2 * hf["hidden_size"]),
+        num_layers=hf["num_hidden_layers"],
+        num_heads=1, num_kv_heads=1, head_dim=128,
+        mamba_d_state=hf.get("state_size", 16),
+        mamba_d_conv=hf.get("conv_kernel", 4),
+        mamba_expand=hf.get("expand", 2),
+        mamba_dt_rank=None if tsr == "auto" else int(tsr),
+        rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 1 << 20),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("LlavaForConditionalGeneration")
 @register("llava")
 def _llava_vlm(hf: dict) -> ModelConfig:

@@ -96,20 +96,26 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
-    # Mosaic handles minor dims below the 128-lane width by padding VMEM
-    # tiles internally (HBM pages stay dense, so bandwidth stays native) —
-    # head_dim 64/80/96 families (GPT-2/GPT-J/Phi/StableLM) take the flash
-    # kernel too, not the gather-everything jnp fallback. The reference's
-    # CUDA kernel has the same per-head-size dispatch
-    # (csrc/attention/attention_kernels.cuh).
-    if backend_is_tpu() and head_dim % 8 == 0:
+    cache_dim = cache.kv_pages.shape[-1]
+    if cache_dim != head_dim:
+        # small head dims (64/80/96: GPT-2/GPT-J/Phi/StableLM) are stored
+        # 128-lane padded (ModelConfig.cache_head_dim): the Pallas kernel
+        # DMAs page slices out of HBM and Mosaic requires lane-tile-aligned
+        # slices, so the CACHE carries the padding, q pads here, and the
+        # output slices back. Zero lanes are inert in QK dots and V sums.
+        # The reference's CUDA kernel instead dispatches per head size
+        # (csrc/attention/attention_kernels.cuh).
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, cache_dim - head_dim)))
+    if backend_is_tpu() and cache_dim % 128 == 0:
         from qspec_tpu.ops.attention_pallas import paged_attention_pallas
-        return paged_attention_pallas(q, cache.kv_pages,
-                                      block_tables, ctx_lens, scale,
-                                      q_positions=q_positions,
-                                      layer=jnp.asarray(layer, jnp.int32),
-                                      kv_scales=cache.kv_scales,
-                                      window=window, softcap=softcap)
-    return paged_attention_ref(q, cache, layer, block_tables, ctx_lens, scale,
-                               q_positions=q_positions, window=window,
-                               softcap=softcap)
+        out = paged_attention_pallas(q, cache.kv_pages,
+                                     block_tables, ctx_lens, scale,
+                                     q_positions=q_positions,
+                                     layer=jnp.asarray(layer, jnp.int32),
+                                     kv_scales=cache.kv_scales,
+                                     window=window, softcap=softcap)
+    else:
+        out = paged_attention_ref(q, cache, layer, block_tables, ctx_lens,
+                                  scale, q_positions=q_positions,
+                                  window=window, softcap=softcap)
+    return out[..., :head_dim] if cache_dim != head_dim else out

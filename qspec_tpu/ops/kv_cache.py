@@ -129,6 +129,12 @@ def update_layer(cache: PagedKVCache, layer, k_new: jnp.ndarray, v_new: jnp.ndar
     per decode step).
     """
     L, P, _, H, S, D = cache.kv_pages.shape
+    if k_new.shape[-1] != D:
+        # cache lane dim is 128-padded (ModelConfig.cache_head_dim); zero
+        # lanes never perturb QK dots or V outputs
+        pad = ((0, 0), (0, 0), (0, D - k_new.shape[-1]))
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
     flat = cache.kv_pages.reshape(L * P * 2 * H * S, D)
     page = slot_mapping // S
     off = slot_mapping % S
