@@ -188,6 +188,13 @@ class ModelConfig:
     # DeepSeek-V2 MoE: routed-expert outputs are scaled by this factor
     # before the residual add (reference config routed_scaling_factor)
     routed_scaling_factor: float = 1.0
+    # Encoder-decoder family (reference vllm/model_executor/models/bart.py
+    # + worker/enc_dec_model_runner.py). The encoder runs once per request
+    # (bidirectional, post-LN); its per-decoder-layer cross K/V is written
+    # into a SECOND paged cache over encoder positions; decode is the
+    # decoder with paged self-KV (models/bart.py).
+    encoder_layers: int = 0
+    decoder_start_token_id: Optional[int] = None
     # Mamba selective-state-space family (reference csrc/mamba/ +
     # vllm/model_executor/models/mamba.py). No attention, no paged KV:
     # each sequence carries a constant-size recurrent state

@@ -84,7 +84,15 @@ class LLMEngine:
                                   need_draft_cache=self.spec is not None
                                   and not (self._ngram or self._medusa),
                                   mesh=mesh, draft_params=draft_params)
+        self._encdec = config.model.arch == "bart"
+        if self._encdec and self.spec is not None:
+            raise ValueError("speculative decoding is unsupported for "
+                             "encoder-decoder models")
         prefix_caching = config.cache.enable_prefix_caching
+        if self._encdec:
+            # cross-KV pages are request-private; decoder streams don't
+            # share encoder prefixes content-addressably
+            prefix_caching = False
         if config.model.arch == "mamba":
             # recurrent-state pages are per-sequence mutable state, not
             # content-addressable KV: prefix sharing is meaningless and
@@ -211,6 +219,16 @@ class LLMEngine:
             # dynamic adapters (lora/manager.py): resolve the name to its
             # current slot at admission time
             lora_id = self.lora.slot_of(lora_name)
+        if self._encdec and \
+                len(prompt_token_ids) > self.config.scheduler.prefill_chunk_size:
+            # the encoder is bidirectional: the whole prompt must fit one
+            # prefill rectangle (raise prefill_chunk_size to serve longer
+            # encoder inputs)
+            raise ValueError(
+                f"encoder prompt ({len(prompt_token_ids)} tokens) exceeds "
+                f"prefill_chunk_size "
+                f"({self.config.scheduler.prefill_chunk_size}) — "
+                "encoder-decoder prompts are single-chunk")
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
         if mm_images:
@@ -523,6 +541,8 @@ class LLMEngine:
                 s.embedding = hidden[i].astype(np.float32)
                 s.status = SequenceStatus.FINISHED_STOPPED
                 s.finish_reason = "stop"
+        elif self._encdec:
+            logits = self.runner.run_prefill_encdec(chunks)
         elif self._eagle:
             # fused target-prefill + draft-KV build; the returned hidden
             # (each row's final computed position) seeds the decode span
@@ -589,9 +609,13 @@ class LLMEngine:
         # so prompt chunks and the running batch alternate at chunk cadence
         steps = 1 if mixed else self.config.scheduler.steps_per_decode_call
         chain = self._chain_for(seqs, steps) if steps > 1 else 1
-        tokens, lps, top = self.runner.run_decode(
-            seqs, st, num_steps=steps, want_top=self._wants_top(seqs),
-            chain=chain)
+        if self._encdec:
+            tokens, lps, top = self.runner.run_decode_encdec(
+                seqs, st, num_steps=steps, chain=chain)
+        else:
+            tokens, lps, top = self.runner.run_decode(
+                seqs, st, num_steps=steps, want_top=self._wants_top(seqs),
+                chain=chain)
         for i, s in enumerate(seqs):
             if top is None and s.grammar_fsm is None:
                 # bulk-append fast path (the multi-step fused calls emit up

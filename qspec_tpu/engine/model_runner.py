@@ -826,6 +826,11 @@ class ModelRunner:
                 num_pages=num_pages, page_size=page_size,
                 dtype=config.cache.kv_cache_dtype)
         self.cache = kvc.allocate(kv_cfg)
+        # encoder-decoder family: a SECOND paged cache holds the per-
+        # decoder-layer cross K/V over encoder positions (models/bart.py);
+        # same geometry and page tables as the self-KV cache
+        self._encdec = self.cfg.arch == "bart"
+        self.cross_cache = kvc.allocate(kv_cfg) if self._encdec else None
         # separate-draft-model proposer: its own cfg/params/cache geometry
         # (same page ids/tables as the target — only the page CONTENTS and
         # per-page byte sizes differ)
@@ -961,6 +966,13 @@ class ModelRunner:
                 "medusa_rounds": functools.partial(
                     medusa_rounds_step, cfg=self.cfg,
                     scheme=self._verify_scheme, k=k, num_rounds=rounds),
+                "prefill_bart": None if not self._encdec else
+                functools.partial(
+                    _bart_mod().prefill_bart_step, cfg=self.cfg),
+                "multi_decode_bart": None if not self._encdec else
+                functools.partial(
+                    _bart_mod().multi_decode_bart_step, cfg=self.cfg,
+                    num_steps=config.scheduler.steps_per_decode_call),
                 "prefill_eagle": functools.partial(
                     prefill_eagle_step, cfg=self.cfg, ecfg=self.draft_cfg,
                     scheme=self._verify_scheme),
@@ -1428,6 +1440,82 @@ class ModelRunner:
         n = len(seqs)
         return toks[:, :n], accs[:, :n], lps[:, :n]
 
+    def run_prefill_encdec(self, chunks):
+        """Encoder + cross-KV build + decoder replay (prefill_bart_step).
+        The encoder needs the WHOLE prompt bidirectionally, so enc-dec
+        prompts are single-chunk (enforced at add_request). Resumed
+        (recompute-preempted) sequences replay their decoder stream in
+        the same rectangle. Returns logits [B, V]."""
+        B = self._bucket_batch(len(chunks))
+        Q = self._bucket_tokens(max(end - start for _, start, end in chunks))
+        dec_lens = [1 + len(s.output_token_ids) for s, _, _ in chunks]
+        Qd = self._bucket_tokens(max(dec_lens))
+        enc_toks = np.zeros((B, Q), np.int32)
+        enc_pos = np.zeros((B, Q), np.int32)
+        enc_len = np.zeros(B, np.int32)
+        dec_toks = np.zeros((B, Qd), np.int32)
+        dec_pos = np.zeros((B, Qd), np.int32)
+        dec_ctx = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        start_id = self.cfg.decoder_start_token_id or 0
+        for i, (seq, start, end) in enumerate(chunks):
+            prompt = seq.prompt_token_ids
+            enc_toks[i, :len(prompt)] = prompt
+            enc_pos[i] = np.arange(Q, dtype=np.int32)
+            enc_len[i] = len(prompt)
+            stream = [start_id] + list(seq.output_token_ids)
+            dec_toks[i, :len(stream)] = stream
+            dec_pos[i] = np.arange(Qd, dtype=np.int32)
+            dec_ctx[i] = len(stream)
+            tables[i] = seq.page_ids
+        valid = jnp.asarray(enc_pos) < jnp.asarray(enc_len)[:, None]
+        logits, self.cache, cross_pages = self.fns["prefill_bart"](
+            self.params, self.cache, self.cross_cache.kv_pages,
+            jnp.asarray(enc_toks), valid, jnp.asarray(enc_pos),
+            jnp.asarray(dec_toks), jnp.asarray(dec_pos),
+            jnp.asarray(dec_ctx),
+            jnp.asarray(self._pad_block_tables(tables)),
+            jnp.asarray(enc_len))
+        self.cross_cache = self.cross_cache._replace(kv_pages=cross_pages)
+        return logits
+
+    def run_decode_encdec(self, seqs, sampling: SamplingTensors,
+                          num_steps: int = 1, chain: int = 1):
+        """Fused decoder steps (multi_decode_bart_step); mirrors
+        run_decode's (tokens, logprobs, top) contract (top unsupported)."""
+        B = self._bucket_batch(len(seqs))
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        enc_len = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        start_id = self.cfg.decoder_start_token_id or 0
+        for i, s in enumerate(seqs):
+            outs = s.output_token_ids
+            last[i] = outs[-1] if outs else start_id
+            pos[i] = len(outs)
+            enc_len[i] = len(s.prompt_token_ids)
+            max_new[i] = max(s.sampling_params.max_tokens - len(outs), 0)
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        budget_d = jnp.asarray(max_new)
+        enc_d = jnp.asarray(enc_len)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, lps, adv, self.cache = self.fns["multi_decode_bart"](
+                self.params, self.cache, self.cross_cache.kv_pages,
+                last_d, pos_d, tables_d, enc_d, budget_d, st,
+                self._next_key())
+            last_d, pos_d, budget_d = adv
+            parts.append((toks, lps))
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        n = len(seqs)
+        return toks[:, :n], lps[:, :n], None
+
     def run_prefill_chunks_eagle(self, chunks):
         """Eagle prefill: target chunk + draft-KV construction fused
         (prefill_eagle_step). Returns (logits [B, V], h_last [B, H] numpy —
@@ -1584,6 +1672,11 @@ class ModelRunner:
         return (np.asarray(res.tokens)[None, :n],
                 np.asarray(res.accepted_len)[None, :n],
                 np.asarray(res.token_logprobs)[None, :n])
+
+
+def _bart_mod():
+    from qspec_tpu.models import bart
+    return bart
 
 
 _sample_jit = jax.jit(sample_with_logprob)

@@ -274,6 +274,31 @@ def _olmo(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("BartForConditionalGeneration")
+@register("MBartForConditionalGeneration")
+@register("bart")
+def _bart(hf: dict) -> ModelConfig:
+    # BART/mBART encoder-decoder (reference models/bart.py +
+    # enc_dec_model_runner.py; ours: models/bart.py, cross-KV in a second
+    # paged cache over the same page tables).
+    import math
+    H = hf["d_model"]
+    nh = hf.get("decoder_attention_heads", 16)
+    return ModelConfig(
+        arch="bart",
+        vocab_size=hf["vocab_size"],
+        hidden_size=H,
+        intermediate_size=hf.get("decoder_ffn_dim", 4 * H),
+        num_layers=hf.get("decoder_layers", 12),
+        encoder_layers=hf.get("encoder_layers", 12),
+        num_heads=nh, num_kv_heads=nh, head_dim=H // nh,
+        max_position_embeddings=hf.get("max_position_embeddings", 1024),
+        embed_scale=math.sqrt(H) if hf.get("scale_embedding") else None,
+        decoder_start_token_id=hf.get("decoder_start_token_id", 2),
+        norm_type="layernorm", tie_word_embeddings=True,
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("MambaForCausalLM")
 @register("mamba")
 def _mamba(hf: dict) -> ModelConfig:
