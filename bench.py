@@ -533,7 +533,15 @@ def main():
                    if (r := bench_model(m, args)) is not None]
     if ("induction" in models or args.proposer in ("medusa", "eagle")) \
             and not args.quick:
-        if args.proposer in ("medusa", "all"):
+        if args.proposer == "medusa":
+            # NOT part of the default sweep: on this tunnel-attached chip
+            # a medusa round's verify dispatch cannot beat the 32-step
+            # fused AR baseline (measured 0.47x at k=5, 0.52x at k=2 —
+            # BENCH_NOTES.md "Medusa/EAGLE under tunnel dispatch");
+            # explicitly requested runs still measure it
+            print("# WARNING: medusa underperforms the fused AR baseline "
+                  "on tunnel-attached chips; see BENCH_NOTES.md",
+                  file=sys.stderr, flush=True)
             r = bench_medusa(args)
             if r is not None:
                 reports.append(r)

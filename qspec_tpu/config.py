@@ -67,6 +67,13 @@ class ModelConfig:
     # gammas sit AFTER the qkv matmul, so they stay live weights even in
     # QuaRot checkpoints (only pre-projection norms fold into the weights).
     qk_norm: bool = False
+    # "full": OLMo2's q/k RMSNorm spans the WHOLE projection width
+    # ([num_heads*head_dim] / [num_kv_heads*head_dim] gammas), not per head
+    qk_norm_style: str = "head"       # "head" | "full"
+    # False: OLMo2's norm-after-block layout — NO input norms; post_norms
+    # (post_attention/post_feedforward, applied to the block output before
+    # the residual add) carry all normalization (reference models/olmo2.py)
+    pre_norms: bool = True
     # MLP activation: "silu" (llama/qwen/mistral) | "gelu_tanh" (gemma's
     # approximate GeGLU, HF gelu_pytorch_tanh)
     hidden_act: str = "silu"

@@ -137,6 +137,42 @@ def convert_gpt2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_gpt_bigcode(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """GPT-BigCode / StarCoder-1 (reference models/gpt_bigcode.py): GPT-2
+    layout but nn.Linear weights ([out, in] -> transpose) and MULTI-QUERY
+    attention — c_attn emits [q (all heads) | k, v (one head)], which is
+    exactly our GQA layout at num_kv_heads=1."""
+    pre = "transformer."
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(_t(sd, p + "attn.c_attn.weight"), dtype),
+                    "b": jnp.asarray(_arr(sd, p + "attn.c_attn.bias"), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "attn.c_proj.weight"), dtype),
+                  "b": jnp.asarray(_arr(sd, p + "attn.c_proj.bias"), dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.c_fc.weight"), dtype),
+                        "b": jnp.asarray(_arr(sd, p + "mlp.c_fc.bias"), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.c_proj.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.c_proj.bias"), dtype)},
+            "input_norm": jnp.asarray(_arr(sd, p + "ln_1.weight"), dtype),
+            "input_norm_b": jnp.asarray(_arr(sd, p + "ln_1.bias"), dtype),
+            "post_norm": jnp.asarray(_arr(sd, p + "ln_2.weight"), dtype),
+            "post_norm_b": jnp.asarray(_arr(sd, p + "ln_2.bias"), dtype),
+        })
+    embed = _arr(sd, pre + "wte.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "pos_embed": jnp.asarray(_arr(sd, pre + "wpe.weight"), dtype),
+        "lm_head": pack_lm_head(embed.T, cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
 def convert_starcoder2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     """Starcoder2 (reference models/starcoder2.py): llama-style keys with
     biases, LayerNorm, non-gated c_fc/c_proj gelu MLP, rope, GQA."""
@@ -682,7 +718,93 @@ def convert_olmo(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_nemotron(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Nemotron (reference models/nemotron.py): llama-keyed checkpoint with
+    LayerNorm1P norms (x * (1 + w) + b — the +1 folds into the stored
+    gamma), NON-gated squared-ReLU MLP, partial rotary."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "gate_up": {"w": jnp.asarray(_t(sd, p + "mlp.up_proj.weight"),
+                                         dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.down_proj.weight"),
+                                      dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight") + 1.0, dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight") + 1.0,
+                dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight") + 1.0,
+                                  dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, "model.norm.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_olmo2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """OLMo2 (reference models/olmo2.py): llama projections with the
+    norm-AFTER-block layout (no input norms; post_attention /
+    post_feedforward RMSNorms on the block outputs) and FULL-width q/k
+    RMSNorms before rope."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "q_norm": jnp.asarray(_arr(sd, p + "self_attn.q_norm.weight"),
+                                  jnp.float32),
+            "k_norm": jnp.asarray(_arr(sd, p + "self_attn.k_norm.weight"),
+                                  jnp.float32),
+            "gate_up": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + "mlp.gate_proj.weight"),
+                 _t(sd, p + "mlp.up_proj.weight")], axis=1), dtype)},
+            "down": {"w": jnp.asarray(_t(sd, p + "mlp.down_proj.weight"),
+                                      dtype)},
+            "post_attn_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_ffw_norm": jnp.asarray(
+                _arr(sd, p + "post_feedforward_layernorm.weight"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
 CONVERTERS = {
+    "nemotron": convert_nemotron,
+    "olmo2": convert_olmo2,
+    "gpt_bigcode": convert_gpt_bigcode,
     "opt": convert_opt,
     "deepseek": convert_deepseek,
     "deepseek_v2": convert_deepseek_v2,

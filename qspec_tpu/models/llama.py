@@ -243,6 +243,24 @@ def _act_quant(x, scheme):
     return sym_quant_int4(x) if scheme == "w4a4" else sym_quant_int8(x)
 
 
+def _qk_full_norm(v, gamma, eps, axis_name, width_global):
+    """Full-projection-width RMSNorm on q or k (OLMo2). v [T, h_l, d];
+    gamma [width_global] replicated; under TP the sum of squares psums
+    across shards and each shard applies its gamma slice."""
+    T = v.shape[0]
+    flat = v.reshape(T, -1).astype(jnp.float32)
+    ss = jnp.sum(flat * flat, axis=-1, keepdims=True)
+    if axis_name is not None:
+        ss = jax.lax.psum(ss, axis_name)
+    n = flat * jax.lax.rsqrt(ss / width_global + eps)
+    g = gamma.astype(jnp.float32)
+    if axis_name is not None and g.shape[0] != flat.shape[1]:
+        idx = jax.lax.axis_index(axis_name)
+        g = jax.lax.dynamic_slice_in_dim(g, idx * flat.shape[1],
+                                         flat.shape[1], 0)
+    return (n * g).reshape(v.shape).astype(v.dtype)
+
+
 def _plain_act(x, hidden_act: str):
     """Non-gated MLP activation (OPT relu, GPT-2 gelu_new, Starcoder2 /
     Falcon gelu)."""
@@ -253,6 +271,9 @@ def _plain_act(x, hidden_act: str):
         a = jax.nn.gelu(x32, approximate=False)
     elif hidden_act in ("gelu_tanh", "gelu_new"):
         a = jax.nn.gelu(x32, approximate=True)
+    elif hidden_act == "relu2":
+        # squared ReLU (Nemotron, reference models/nemotron.py ReLUSquared)
+        a = jnp.square(jax.nn.relu(x32))
     else:
         a = jax.nn.silu(x32)
     return a.astype(jnp.bfloat16)
@@ -414,11 +435,12 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     # the GLOBAL layer for the KV cache and sliding-window alternation
     li = layer_idx if weight_idx is None else weight_idx
     quarot = cfg.quant == "w4"
-    gamma_in = None if quarot else layers["input_norm"][li]
+    gamma_in = (None if quarot or not cfg.pre_norms
+                else layers["input_norm"][li])
     # falcon/phi/gptj/cohere parallel blocks have no post-attention norm at
     # all; GPT-NeoX parallel blocks (parallel_norms=2) keep one as the
     # MLP's own input norm over the SAME residual input
-    gamma_post = (None if quarot
+    gamma_post = (None if quarot or not cfg.pre_norms
                   or (cfg.parallel_block and cfg.parallel_norms == 1)
                   else layers["post_norm"][li])
     beta_in = (layers["input_norm_b"][li]
@@ -490,8 +512,13 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                            window, NO_WINDOW)
 
     # --- attention block ---
-    xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme,
-                               beta=beta_in, norm_type=cfg.norm_type)
+    if cfg.pre_norms:
+        xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme,
+                                   beta=beta_in, norm_type=cfg.norm_type)
+    else:
+        # OLMo2 norm-after-block: the block reads the raw residual stream
+        assert scheme not in QUANT_ACT_SCHEMES
+        xn, xq = x.astype(jnp.bfloat16), None
     if cfg.attention_type == "mla":
         # DeepSeek-V2 latent attention (bf16 path; see _mla_attention)
         o, cache = _mla_attention(xn, layers, li, cfg, cache, layer_idx,
@@ -508,12 +535,24 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         k = k.reshape(T, kv_heads_l, cfg.head_dim)
         v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
         if cfg.qk_norm:
-            # qwen3: per-head RMSNorm on q/k before rope (HF Qwen3Attention);
-            # the [head_dim] gammas live after the projection, so they stay
-            # live weights even under QuaRot gamma folding
-            from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
-            q = rmsnorm_ref(q, layers["q_norm"][li], eps=cfg.rms_norm_eps)
-            k = rmsnorm_ref(k, layers["k_norm"][li], eps=cfg.rms_norm_eps)
+            if cfg.qk_norm_style == "full":
+                # OLMo2: RMSNorm over the WHOLE projection width; under TP
+                # the mean spans shards (psum) and each shard applies its
+                # slice of the replicated full-width gamma
+                q = _qk_full_norm(q, layers["q_norm"][li], cfg.rms_norm_eps,
+                                  axis_name, cfg.q_size)
+                k = _qk_full_norm(k, layers["k_norm"][li], cfg.rms_norm_eps,
+                                  axis_name, cfg.kv_size)
+            else:
+                # qwen3: per-head RMSNorm on q/k before rope (HF
+                # Qwen3Attention); the [head_dim] gammas live after the
+                # projection, so they stay live weights even under QuaRot
+                # gamma folding
+                from qspec_tpu.ops.rmsnorm_quant import rmsnorm_ref
+                q = rmsnorm_ref(q, layers["q_norm"][li],
+                                eps=cfg.rms_norm_eps)
+                k = rmsnorm_ref(k, layers["k_norm"][li],
+                                eps=cfg.rms_norm_eps)
         if cfg.position_embedding == "rope":
             q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache,
                               style=cfg.rope_style)
@@ -584,8 +623,12 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                                        norm_type=cfg.norm_type)
     else:
         x = x + o.astype(x.dtype)
-        xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps, scheme,
-                                   beta=beta_post, norm_type=cfg.norm_type)
+        if cfg.pre_norms:
+            xn, xq = _norm_maybe_quant(x, gamma_post, cfg.rms_norm_eps,
+                                       scheme, beta=beta_post,
+                                       norm_type=cfg.norm_type)
+        else:
+            xn, xq = x.astype(jnp.bfloat16), None
     if cfg.num_experts:
         delta = _moe_block(xn, xq, layers, li, cfg, scheme, hadamards,
                            axis_name)

@@ -274,6 +274,75 @@ def _olmo(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("Olmo2ForCausalLM")
+@register("Olmo3ForCausalLM")
+@register("olmo2")
+def _olmo2(hf: dict) -> ModelConfig:
+    # OLMo2 (reference models/olmo2.py): norm-after-block layout
+    # (pre_norms=False + post_norms=True) with full-width q/k RMSNorms.
+    H = hf["hidden_size"]
+    nh = hf["num_attention_heads"]
+    return ModelConfig(
+        arch="olmo2",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=hf.get("head_dim") or H // nh,
+        rope_theta=hf.get("rope_theta", 500000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        pre_norms=False, post_norms=True, qk_norm=True,
+        qk_norm_style="full",
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
+@register("GPTBigCodeForCausalLM")
+@register("gpt_bigcode")
+def _gpt_bigcode(hf: dict) -> ModelConfig:
+    # GPT-BigCode / StarCoder-1 (reference models/gpt_bigcode.py): GPT-2
+    # graph with multi-query attention (num_kv_heads=1).
+    H = hf["n_embd"]
+    nh = hf["n_head"]
+    return ModelConfig(
+        arch="gpt_bigcode",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf.get("n_inner") or 4 * H,
+        num_layers=hf["n_layer"], num_heads=nh,
+        num_kv_heads=1 if hf.get("multi_query", True) else nh,
+        head_dim=H // nh,
+        max_position_embeddings=hf.get("n_positions", 2048),
+        position_embedding="learned", norm_type="layernorm",
+        mlp_gated=False, linear_bias=True,
+        hidden_act="gelu_tanh", tie_word_embeddings=True,
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
+@register("NemotronForCausalLM")
+@register("nemotron")
+def _nemotron(hf: dict) -> ModelConfig:
+    # Nemotron (reference models/nemotron.py): llama attention with
+    # LayerNorm1P norms (the +1 folds into stored gammas at conversion),
+    # NON-gated squared-ReLU MLP, partial rotary.
+    H = hf["hidden_size"]
+    nh = hf["num_attention_heads"]
+    hd = hf.get("head_dim") or H // nh
+    return ModelConfig(
+        arch="nemotron",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh), head_dim=hd,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rotary_dim=int(hf.get("partial_rotary_factor", 0.5) * hd),
+        hidden_act="relu2", mlp_gated=False, norm_type="layernorm",
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("BartForConditionalGeneration")
 @register("MBartForConditionalGeneration")
 @register("bart")

@@ -143,3 +143,53 @@ def test_registry_count():
     assert "GPTJForCausalLM" in archs
     assert "CohereForCausalLM" in archs
     assert "OlmoForCausalLM" in archs
+
+
+def test_nemotron_vs_hf():
+    # LayerNorm1P (+1 folded at conversion), non-gated squared-ReLU MLP,
+    # partial rotary (reference models/nemotron.py)
+    hf_cfg = transformers.NemotronConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, hidden_act="relu2",
+        norm_eps=1e-5, max_position_embeddings=64,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.NemotronForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(), "architectures": ["NemotronForCausalLM"]},
+        TOKENS)
+    assert cfg.hidden_act == "relu2" and not cfg.mlp_gated
+    assert cfg.rotary_dim == 8 and cfg.norm_type == "layernorm"
+
+
+def test_gpt_bigcode_vs_hf():
+    # GPT-2 layout with nn.Linear weights and multi-query attention
+    # (reference models/gpt_bigcode.py)
+    hf_cfg = transformers.GPTBigCodeConfig(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_positions=64,
+        n_inner=128, activation_function="gelu_pytorch_tanh",
+        multi_query=True)
+    torch.manual_seed(0)
+    hf = transformers.GPTBigCodeForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(),
+             "architectures": ["GPTBigCodeForCausalLM"]}, TOKENS)
+    assert cfg.num_kv_heads == 1 and cfg.position_embedding == "learned"
+
+
+def test_olmo2_vs_hf():
+    # norm-after-block layout + full-width q/k RMSNorms
+    # (reference models/olmo2.py)
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(), "architectures": ["Olmo2ForCausalLM"]},
+        TOKENS)
+    assert not cfg.pre_norms and cfg.post_norms
+    assert cfg.qk_norm and cfg.qk_norm_style == "full"
