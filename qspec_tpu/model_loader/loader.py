@@ -183,6 +183,10 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         else:
             if p + "mlp.gate_up_proj.weight" in sd:
                 gate_up = t(p + "mlp.gate_up_proj.weight")   # phi-3 fused
+            elif not cfg.mlp_gated:
+                # non-gated fc MLP with llama naming (arcee/nemotron
+                # up_proj -> act -> down_proj)
+                gate_up = t(p + "mlp.up_proj.weight")
             else:
                 gate_up = np.concatenate([t(p + "mlp.gate_proj.weight"),
                                           t(p + "mlp.up_proj.weight")],

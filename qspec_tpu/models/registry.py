@@ -274,6 +274,53 @@ def _olmo(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("GlmForCausalLM")
+@register("Glm4ForCausalLM")
+@register("glm")
+def _glm(hf: dict) -> ModelConfig:
+    # GLM-4 (reference models/glm.py): llama graph with qkv bias,
+    # half-width INTERLEAVED rotary (gptj-style pairing), fused
+    # gate_up_proj checkpoint naming (the phi-3 loader path).
+    H = hf["hidden_size"]
+    nh = hf["num_attention_heads"]
+    hd = hf.get("head_dim") or H // nh
+    return ModelConfig(
+        arch="glm",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh), head_dim=hd,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        rotary_dim=int(hf.get("partial_rotary_factor", 0.5) * hd),
+        rope_style="gptj",
+        qkv_bias=hf.get("attention_bias", True),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
+@register("HeliumForCausalLM")
+@register("helium")
+def _helium(hf: dict) -> ModelConfig:
+    # Helium (kyutai; reference models/helium.py): llama graph with
+    # INTERLEAVED (gptj-style) rotary pairing.
+    cfg = ModelConfig.from_hf_config({**hf, "model_type": "llama"})
+    import dataclasses
+    return dataclasses.replace(cfg, arch="helium", rope_style="gptj")
+
+
+@register("ArceeForCausalLM")
+@register("arcee")
+def _arcee(hf: dict) -> ModelConfig:
+    # Arcee AFM (reference models/arcee.py): llama attention + NON-gated
+    # squared-ReLU MLP (up_proj -> relu^2 -> down_proj).
+    cfg = ModelConfig.from_hf_config({**hf, "model_type": "llama"})
+    import dataclasses
+    return dataclasses.replace(cfg, arch="arcee", mlp_gated=False,
+                               hidden_act="relu2")
+
+
 @register("Olmo2ForCausalLM")
 @register("Olmo3ForCausalLM")
 @register("olmo2")

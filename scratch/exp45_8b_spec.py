@@ -72,7 +72,7 @@ def main():
                              draft_kv_window=args.window)
     eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=128),
                                  scheduler=sched, speculative=spec), params)
-    print(f"pages={eng.block_manager.num_pages} "
+    print(f"pages={eng._num_total_pages} "
           f"HBM after engine: in_use={hbm()[0]:.2f} GB")
 
     rng = np.random.default_rng(0)

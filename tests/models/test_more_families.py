@@ -14,7 +14,8 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
-from tests.models.test_gpt_family import TOKENS, check_against_hf  # noqa: E402
+from tests.models.test_gpt_family import (TOKENS, check_against_hf,  # noqa: E402
+                                          run_ours)
 
 
 def test_stablelm_vs_hf():
@@ -193,3 +194,65 @@ def test_olmo2_vs_hf():
         TOKENS)
     assert not cfg.pre_norms and cfg.post_norms
     assert cfg.qk_norm and cfg.qk_norm_style == "full"
+
+
+def _golden_llama_family(hf, hf_cfg_dict, tokens, atol=0.3):
+    """Like check_against_hf but through load_hf_float (llama-keyed
+    checkpoints that need no family converter)."""
+    from qspec_tpu.model_loader.loader import load_hf_float
+    from qspec_tpu.models.registry import resolve
+
+    cfg = resolve(hf_cfg_dict)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params, cfg = load_hf_float(sd, cfg)
+    got = run_ours(params, cfg, tokens)
+    with torch.no_grad():
+        want = hf(torch.tensor([tokens])).logits[0].numpy()
+    top2 = np.sort(want, axis=-1)
+    tied = (top2[:, -1] - top2[:, -2]) < 0.01
+    agree = (got.argmax(-1) == want.argmax(-1)) | tied
+    assert agree.mean() > 0.95, (got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=0.05)
+    return cfg
+
+
+def test_glm_vs_hf():
+    hf_cfg = transformers.GlmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=1, eos_token_id=2)
+    torch.manual_seed(0)
+    hf = transformers.GlmForCausalLM(hf_cfg).eval()
+    cfg = _golden_llama_family(
+        hf, {**hf_cfg.to_dict(), "architectures": ["GlmForCausalLM"]},
+        TOKENS)
+    assert cfg.rope_style == "gptj" and cfg.rotary_dim == 8
+    assert cfg.qkv_bias
+
+
+def test_helium_vs_hf():
+    hf_cfg = transformers.HeliumConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.HeliumForCausalLM(hf_cfg).eval()
+    cfg = _golden_llama_family(
+        hf, {**hf_cfg.to_dict(), "architectures": ["HeliumForCausalLM"]},
+        TOKENS)
+    assert cfg.rope_style == "gptj"
+
+
+def test_arcee_vs_hf():
+    hf_cfg = transformers.ArceeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.ArceeForCausalLM(hf_cfg).eval()
+    cfg = _golden_llama_family(
+        hf, {**hf_cfg.to_dict(), "architectures": ["ArceeForCausalLM"]},
+        TOKENS)
+    assert not cfg.mlp_gated and cfg.hidden_act == "relu2"
