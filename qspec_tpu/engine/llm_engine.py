@@ -106,6 +106,7 @@ class LLMEngine:
             num_pages, config.cache.page_size,
             enable_prefix_caching=prefix_caching)
         self._lora_manager = None   # built lazily (see .lora)
+        self._prompt_adapter_manager = None   # lazily (.prompt_adapters)
         self.scheduler = Scheduler(config.scheduler, self.block_manager,
                                    lookahead=lookahead)
         # swap-mode preemption: host parking lot sized by swap_space_gb
@@ -198,6 +199,15 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
     @property
+    def prompt_adapters(self):
+        """Soft-prompt adapter registry (prompt_adapter.py): named
+        prompt-tuning matrices prepended via the prompt-embeds path."""
+        if self._prompt_adapter_manager is None:
+            from qspec_tpu.prompt_adapter import PromptAdapterManager
+            self._prompt_adapter_manager = PromptAdapterManager(self)
+        return self._prompt_adapter_manager
+
+    @property
     def lora(self):
         """Dynamic adapter lifecycle (lora/manager.LoRAManager): load /
         unload / list named adapters over the slot bank at runtime.
@@ -212,7 +222,8 @@ class LLMEngine:
                     request_id: Optional[int] = None, lora_id: int = 0,
                     task: str = "generate", prompt_embeds=None,
                     mm_images=None, image_token_id: Optional[int] = None,
-                    lora_name: Optional[str] = None) -> int:
+                    lora_name: Optional[str] = None,
+                    prompt_adapter: Optional[str] = None) -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
         if lora_name:
@@ -231,6 +242,13 @@ class LLMEngine:
                 "encoder-decoder prompts are single-chunk")
         rid = request_id if request_id is not None else self._next_id
         self._next_id = max(self._next_id, rid + 1)
+        if prompt_adapter:
+            # soft prompt: adapter rows prepended through the prompt-embeds
+            # path (prompt_adapter.py; reference vllm/prompt_adapter/)
+            if mm_images:
+                raise ValueError("prompt_adapter with images is unsupported")
+            prompt_token_ids, prompt_embeds = self.prompt_adapters.splice(
+                prompt_adapter, list(prompt_token_ids), self.runner.params)
         if mm_images:
             # multimodal: expand image placeholders into projected embedding
             # rows (multimodal.py); the result rides the prompt-embeds path
