@@ -213,6 +213,9 @@ class ModelConfig:
     mamba_d_conv: int = 4
     mamba_expand: int = 2
     mamba_dt_rank: Optional[int] = None   # None -> ceil(hidden/16)
+    # FalconMamba: weightless RMSNorm on the (dt, B, C) ssm parameters
+    # before dt_proj / the scan (HF mixer_rms_eps); None = plain Mamba
+    mamba_mixer_rms_eps: Optional[float] = None
     # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
     # a CLIP-style vision tower (params["vision"]) feeds patch features
     # through the mm projector into the LM's embedding space; prompts

@@ -140,6 +140,13 @@ def mamba_mixer(lp: dict, cfg: ModelConfig, x: jnp.ndarray,
     dt = xdb[..., :dtr]
     Bm = xdb[..., dtr:dtr + ds]                        # [B, Q, ds]
     Cm = xdb[..., dtr + ds:]
+    if cfg.mamba_mixer_rms_eps is not None:
+        # FalconMamba: weightless RMSNorm on (dt, B, C) (HF rms_forward)
+        def _wrms(v):
+            return v * jax.lax.rsqrt(
+                jnp.mean(v * v, -1, keepdims=True)
+                + cfg.mamba_mixer_rms_eps)
+        dt, Bm, Cm = _wrms(dt), _wrms(Bm), _wrms(Cm)
     dt = jnp.dot(dt.astype(jnp.bfloat16), lp["dt_w"],
                  preferred_element_type=f32) + lp["dt_b"]
     dt = jax.nn.softplus(dt)                           # [B, Q, di]

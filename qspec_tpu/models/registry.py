@@ -415,6 +415,17 @@ def _bart(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("FalconMambaForCausalLM")
+@register("falcon_mamba")
+def _falcon_mamba(hf: dict) -> ModelConfig:
+    # FalconMamba (reference models/falcon_mamba.py): Mamba-1 with
+    # weightless RMSNorm on the (dt, B, C) ssm parameters.
+    import dataclasses
+    base = _mamba(hf)
+    return dataclasses.replace(
+        base, mamba_mixer_rms_eps=hf.get("mixer_rms_eps", 1e-6))
+
+
 @register("MambaForCausalLM")
 @register("mamba")
 def _mamba(hf: dict) -> ModelConfig:

@@ -167,3 +167,34 @@ def test_mamba_spec_rejected():
                                speculative=SpeculativeConfig(
                                    num_speculative_tokens=2,
                                    method="ngram")), params)
+
+
+def test_falcon_mamba_vs_hf():
+    """FalconMamba = Mamba-1 + weightless RMS on (dt, B, C)."""
+    hf_cfg = transformers.FalconMambaConfig(
+        vocab_size=256, hidden_size=64, state_size=8, num_hidden_layers=2,
+        conv_kernel=4, expand=2, time_step_rank="auto",
+        use_conv_bias=True, use_bias=False, mixer_rms_eps=1e-6)
+    torch.manual_seed(1)
+    hf = transformers.FalconMambaForCausalLM(hf_cfg).eval()
+    cfg = resolve({**hf_cfg.to_dict(),
+                   "architectures": ["FalconMambaForCausalLM"]})
+    assert cfg.mamba_mixer_rms_eps == 1e-6
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_mamba(sd, cfg)
+
+    T = 14
+    rng = np.random.default_rng(5)
+    toks = rng.integers(2, 250, size=(1, T)).astype(np.int32)
+    kv = _pages(cfg, 1)
+    logits, _ = mamba_forward(
+        params, cfg, jnp.asarray(toks), kv, jnp.asarray([1]),
+        jnp.asarray([T]), jnp.asarray(np.arange(T)[None]))
+    got = np.asarray(logits[0], np.float32)
+    with torch.no_grad():
+        want = hf(torch.tensor(toks.astype(np.int64))).logits[0].numpy()
+    top2 = np.sort(want, axis=-1)
+    tied = (top2[:, -1] - top2[:, -2]) < 0.01
+    agree = (got.argmax(-1) == want.argmax(-1)) | tied
+    assert agree.mean() > 0.9, (got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=0.35, rtol=0.05)
