@@ -216,6 +216,13 @@ class ModelConfig:
     # FalconMamba: weightless RMSNorm on the (dt, B, C) ssm parameters
     # before dt_proj / the scan (HF mixer_rms_eps); None = plain Mamba
     mamba_mixer_rms_eps: Optional[float] = None
+    # Jamba hybrid layout (reference models/jamba.py): attention layers at
+    # li % attn_period == attn_offset (rope-free GQA), mamba elsewhere;
+    # sparse MoE feed-forward at li % expert_period == expert_offset
+    jamba_attn_period: int = 8
+    jamba_attn_offset: int = 4
+    jamba_expert_period: int = 2
+    jamba_expert_offset: int = 1
     # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
     # a CLIP-style vision tower (params["vision"]) feeds patch features
     # through the mm projector into the LM's embedding space; prompts

@@ -93,7 +93,7 @@ class LLMEngine:
             # cross-KV pages are request-private; decoder streams don't
             # share encoder prefixes content-addressably
             prefix_caching = False
-        if config.model.arch == "mamba":
+        if config.model.arch in ("mamba", "jamba"):
             # recurrent-state pages are per-sequence mutable state, not
             # content-addressable KV: prefix sharing is meaningless and
             # spec decode needs an attention verify pass (the reference
@@ -102,6 +102,9 @@ class LLMEngine:
                 raise ValueError("speculative decoding is unsupported for "
                                  "the mamba family")
             prefix_caching = False
+        if config.model.arch == "jamba":
+            from qspec_tpu.models.jamba import check_state_fits
+            check_state_fits(config.model, config.cache.page_size)
         self.block_manager = BlockManager(
             num_pages, config.cache.page_size,
             enable_prefix_caching=prefix_caching)

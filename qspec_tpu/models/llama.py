@@ -710,6 +710,15 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     checkpoints keep the residual stream in the rotated basis — dot/cosine
     similarities are invariant under the orthonormal rotation).
     """
+    if cfg.arch == "jamba":
+        # hybrid attention+mamba+MoE stack (models/jamba.py): attention
+        # planes of the shared cache hold token pages, mamba planes hold
+        # state-in-page rows
+        from qspec_tpu.models import jamba as _jamba
+        assert input_embeds is None and lora_ids is None
+        return _jamba.jamba_forward(params, cfg, token_ids, cache, batch,
+                                    logits_indices=logits_indices,
+                                    return_hidden=return_hidden)
     if cfg.arch == "mamba":
         # selective-SSM family: no attention, recurrent state lives in
         # each sequence's first cache page (models/mamba.py). The step

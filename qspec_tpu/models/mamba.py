@@ -147,6 +147,15 @@ def mamba_mixer(lp: dict, cfg: ModelConfig, x: jnp.ndarray,
                 jnp.mean(v * v, -1, keepdims=True)
                 + cfg.mamba_mixer_rms_eps)
         dt, Bm, Cm = _wrms(dt), _wrms(Bm), _wrms(Cm)
+    if "dt_norm" in lp:
+        # Jamba: LEARNED RMSNorms on (dt, B, C) (HF Jamba dt/b/c_layernorm)
+        def _lrms(v, g):
+            return v * jax.lax.rsqrt(
+                jnp.mean(v * v, -1, keepdims=True)
+                + cfg.rms_norm_eps) * g.astype(f32)
+        dt = _lrms(dt, lp["dt_norm"])
+        Bm = _lrms(Bm, lp["b_norm"])
+        Cm = _lrms(Cm, lp["c_norm"])
     dt = jnp.dot(dt.astype(jnp.bfloat16), lp["dt_w"],
                  preferred_element_type=f32) + lp["dt_b"]
     dt = jax.nn.softplus(dt)                           # [B, Q, di]

@@ -415,6 +415,37 @@ def _bart(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("JambaForCausalLM")
+@register("jamba")
+def _jamba(hf: dict) -> ModelConfig:
+    # Jamba hybrid (reference models/jamba.py): interleaved rope-free
+    # attention + mamba layers with periodic sparse MoE.
+    H = hf["hidden_size"]
+    nh = hf.get("num_attention_heads", 32)
+    tsr = hf.get("mamba_dt_rank", "auto")
+    return ModelConfig(
+        arch="jamba",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", 8),
+        head_dim=H // nh,
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        max_position_embeddings=hf.get("max_position_embeddings", 1 << 18),
+        num_experts=hf.get("num_experts", 16),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        jamba_attn_period=hf.get("attn_layer_period", 8),
+        jamba_attn_offset=hf.get("attn_layer_offset", 4),
+        jamba_expert_period=hf.get("expert_layer_period", 2),
+        jamba_expert_offset=hf.get("expert_layer_offset", 1),
+        mamba_d_state=hf.get("mamba_d_state", 16),
+        mamba_d_conv=hf.get("mamba_d_conv", 4),
+        mamba_expand=hf.get("mamba_expand", 2),
+        mamba_dt_rank=None if tsr == "auto" else int(tsr),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("FalconMambaForCausalLM")
 @register("falcon_mamba")
 def _falcon_mamba(hf: dict) -> ModelConfig:
