@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--prompt", type=int, default=1024)
     ap.add_argument("--window", type=int, default=256)
+    ap.add_argument("--kv-dtype", default="bfloat16",
+                    choices=["bfloat16", "int8", "fp8_e4m3"])
     args = ap.parse_args()
 
     import jax
@@ -70,8 +72,10 @@ def main():
     spec = SpeculativeConfig(num_speculative_tokens=k, rounds_per_step=R,
                              draft_scheme="w4a8", method="qspec",
                              draft_kv_window=args.window)
-    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=128),
-                                 scheduler=sched, speculative=spec), params)
+    eng = LLMEngine(EngineConfig(
+        model=cfg, cache=CacheConfig(page_size=128,
+                                     kv_cache_dtype=args.kv_dtype),
+        scheduler=sched, speculative=spec), params)
     print(f"pages={eng._num_total_pages} "
           f"HBM after engine: in_use={hbm()[0]:.2f} GB")
 

@@ -433,3 +433,93 @@ def test_dynamic_lora_endpoints(tmp_path):
         assert (await r.json())["choices"][0]["text"] == base_text
 
     _run(server, body)
+
+
+def test_chat_image_url_caption(tmp_path):
+    """A /v1/chat/completions request with an image_url data URL against
+    the in-image-TRAINED shape captioner returns the image's caption
+    ("a COLOR SHAPE") — the end-to-end VLM serving path (reference:
+    chat_utils multimodal parsing + llava serving)."""
+    import base64
+    import glob
+    import io
+    import json as _json
+    import os
+
+    import numpy as np
+
+    ck = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                       "..", "checkpoints",
+                                       "vlm_shapes_v*.npz")))
+    if not ck:
+        pytest.skip("no trained VLM checkpoint (run benchmarks/train_vlm.py)")
+    base = ck[-1][:-len(".npz")]
+    with open(base + ".json") as f:
+        meta = _json.load(f)
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from qspec_tpu.model_loader.loader import load_hf_float
+    from qspec_tpu.models.registry import resolve
+
+    cfg = resolve(meta["hf_config"])
+    params, cfg = load_hf_float(dict(np.load(base + ".npz")), cfg)
+
+    voc = meta["vocab"]
+    id2w = {voc["bos"]: "<s>", voc["eos"]: "</s>", voc["a"]: "a",
+            voc["image_token"]: "<image>"}
+    for w, i in {**voc["colors"], **voc["shapes"]}.items():
+        id2w[i] = w
+    w2id = {w: i for i, w in id2w.items()}
+
+    class VlmTokenizer:
+        def encode(self, s):
+            out = []
+            for tok in s.replace("<image>", " <image> ").split():
+                out.append(w2id.get(tok, 0))
+            return out
+
+        def decode(self, ids):
+            return " ".join(id2w.get(int(t), "?") for t in ids)
+
+        def convert_tokens_to_ids(self, t):
+            return w2id.get(t, -1)
+
+        def apply_chat_template(self, messages, tokenize=True,
+                                add_generation_prompt=True):
+            toks = [voc["bos"]]
+            for m in messages:
+                toks += self.encode(m["content"])
+            return toks
+
+    # serve from a checkpoint-style dir so the registry resolves the
+    # llava config (the production serving path)
+    mdir = tmp_path / "vlm"
+    mdir.mkdir()
+    (mdir / "config.json").write_text(_json.dumps(meta["hf_config"]))
+    args = EngineArgs(model=str(mdir), max_model_len=64, max_num_seqs=2,
+                      quantization=None)     # bf16 checkpoint
+    server = build_server(args, model_name="vlm-shapes", params=params,
+                          tokenizer=VlmTokenizer())
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from benchmarks.train_vlm import draw_shape
+    from PIL import Image
+
+    rng = np.random.default_rng(123)
+    img, color, shape = draw_shape(rng)
+    buf = io.BytesIO()
+    Image.fromarray((img * 255).astype(np.uint8)).save(buf, format="PNG")
+    url = "data:image/png;base64," + \
+        base64.b64encode(buf.getvalue()).decode()
+
+    async def body(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": url}}]}],
+            "max_tokens": 3, "temperature": 0.0})
+        assert r.status == 200, await r.text()
+        text = (await r.json())["choices"][0]["message"]["content"]
+        assert text.strip() == f"a {color} {shape}", text
+
+    _run(server, body)
