@@ -88,21 +88,48 @@ def test_attention_fp8_kv(rng, kv_dtype):
     _attn_pair(rng, cache, B=4, Q=2, Hq=16, layer=1)
 
 
+def _attn_small_head(rng, D, Hq, Hkv, Q, layer=0, dtype="bfloat16"):
+    """Production path for sub-128 head dims: the cache stores 128-lane
+    PADDED pages (ModelConfig.cache_head_dim) because Mosaic requires
+    lane-tile-aligned HBM DMA slices — a raw D<128 page array cannot feed
+    the kernel (the round-3 head-size lift only worked in interpret
+    mode). The ops.attention.paged_attention dispatch pads q and slices
+    the output; compare against the ref path on the same padded cache."""
+    import jax.numpy as jnp
+
+    from qspec_tpu.ops.attention import PagedKVCache, paged_attention, \
+        paged_attention_ref
+    cache = make_cache(rng, Hkv=Hkv, D=128, dtype=dtype)
+    B, n_pages = 4, 8
+    q = _bf16(rng, (B, Q, Hq, D))
+    total = cache.kv_pages.shape[1]
+    S = cache.kv_pages.shape[4]
+    ids = rng.permutation(np.arange(1, total))[:B * n_pages]
+    tables = jnp.asarray(ids.reshape(B, n_pages).astype(np.int32))
+    ctx = jnp.asarray(rng.integers(Q + 1, n_pages * S, size=B), jnp.int32)
+    scale = D ** -0.5
+    out = paged_attention(q, cache, layer, tables, ctx, scale)
+    assert out.shape[-1] == D
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, 128 - D)))
+    ref = paged_attention_ref(qp, cache, layer, tables, ctx,
+                              scale)[..., :D]
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=4e-2, rtol=4e-2)
+
+
 @pytest.mark.parametrize("D,Hq,Hkv", [(64, 12, 12), (80, 8, 8), (96, 8, 4)])
 def test_attention_small_head_dim(rng, D, Hq, Hkv):
-    """head_dim 64/80/96 (GPT-2/Phi/GPT-J/StableLM families) on the flash
-    kernel: Mosaic lane-pads the sub-128 minor dim in VMEM while the HBM
-    pages stay dense — these dims must NOT fall back to the jnp gather path
-    (reference head-size dispatch: csrc/attention/attention_kernels.cuh)."""
-    cache = make_cache(rng, Hkv=Hkv, D=D)
-    _attn_pair(rng, cache, B=4, Q=1, Hq=Hq, layer=1)
-    _attn_pair(rng, cache, B=4, Q=4, Hq=Hq, layer=0)
+    """head_dim 64/80/96 (GPT-2/Phi/GPT-J/StableLM families) through the
+    padded-lane production path (reference head-size dispatch:
+    csrc/attention/attention_kernels.cuh)."""
+    _attn_small_head(rng, D, Hq, Hkv, Q=1, layer=1)
+    _attn_small_head(rng, D, Hq, Hkv, Q=4, layer=0)
 
 
 def test_attention_small_head_dim_int8(rng):
     """sub-128 head_dim combined with int8 KV in-kernel dequant."""
-    cache = make_cache(rng, Hkv=4, D=64, dtype="int8")
-    _attn_pair(rng, cache, B=4, Q=2, Hq=8, layer=1)
+    _attn_small_head(rng, 64, 8, 4, Q=2, layer=1, dtype="int8")
 
 
 def test_attention_long_block_table(rng):
