@@ -801,9 +801,54 @@ def convert_olmo2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_granitemoe(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """GraniteMoe (reference models/granitemoe.py): granite's scalar
+    multipliers + a fused-expert MoE. input_linear [E, 2I, H] packs
+    [gate|up] per expert; its topk-then-softmax gating equals mixtral's
+    softmax-then-topk-renormalize, so the layers ride our mixtral MoE
+    block unchanged."""
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        m = p + "block_sparse_moe."
+        inp = _arr(sd, m + "input_linear.weight")    # [E, 2I, H]
+        outp = _arr(sd, m + "output_linear.weight")  # [E, H, I]
+        I = inp.shape[1] // 2
+        gu = np.concatenate([inp[:, :I].transpose(0, 2, 1),
+                             inp[:, I:].transpose(0, 2, 1)],
+                            axis=2)                  # [E, H, 2I]
+        layers.append({
+            "qkv": {"w": jnp.asarray(np.concatenate(
+                [_t(sd, p + f"self_attn.{n}_proj.weight")
+                 for n in ("q", "k", "v")], axis=1), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.o_proj.weight"),
+                                   dtype)},
+            "router": jnp.asarray(_t(sd, m + "router.layer.weight"), dtype),
+            "experts_gate_up": {"w": jnp.asarray(gu, dtype)},
+            "experts_down": {"w": jnp.asarray(outp.transpose(0, 2, 1),
+                                              dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.norm.weight"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
 CONVERTERS = {
     "nemotron": convert_nemotron,
     "olmo2": convert_olmo2,
+    "granitemoe": convert_granitemoe,
     "gpt_bigcode": convert_gpt_bigcode,
     "opt": convert_opt,
     "deepseek": convert_deepseek,

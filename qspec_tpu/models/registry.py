@@ -117,6 +117,19 @@ def _granite(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("GraniteMoeForCausalLM")
+@register("granitemoe")
+def _granitemoe(hf: dict) -> ModelConfig:
+    # GraniteMoe (reference models/granitemoe.py): granite multipliers +
+    # fused-expert MoE riding the mixtral routing semantics.
+    import dataclasses
+    base = ModelConfig.from_hf_config({**hf, "model_type": "granite"})
+    return dataclasses.replace(
+        base, arch="granitemoe",
+        num_experts=hf.get("num_local_experts", 8),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2))
+
+
 @register("Qwen2MoeForCausalLM")
 @register("qwen2_moe")
 def _qwen2_moe(hf: dict) -> ModelConfig:

@@ -256,3 +256,21 @@ def test_arcee_vs_hf():
         hf, {**hf_cfg.to_dict(), "architectures": ["ArceeForCausalLM"]},
         TOKENS)
     assert not cfg.mlp_gated and cfg.hidden_act == "relu2"
+
+
+def test_granitemoe_vs_hf():
+    # granite multipliers + fused-expert MoE (input_linear [E, 2I, H];
+    # topk-then-softmax gating == mixtral's renormalized routing)
+    hf_cfg = transformers.GraniteMoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, attention_multiplier=0.1,
+        residual_multiplier=0.5, logits_scaling=3.0,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.GraniteMoeForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(),
+             "architectures": ["GraniteMoeForCausalLM"]}, TOKENS, atol=0.4)
+    assert cfg.num_experts == 4 and cfg.residual_multiplier == 0.5
