@@ -213,6 +213,14 @@ class ModelConfig:
     mamba_d_conv: int = 4
     mamba_expand: int = 2
     mamba_dt_rank: Optional[int] = None   # None -> ceil(hidden/16)
+    # Mamba2 (SSD; reference models/mamba2.py): multi-head state space
+    # with a SCALAR per-head decay, grouped B/C, conv over [x|B|C], and a
+    # gated RMSNorm before out_proj. mamba_heads None = Mamba-1.
+    mamba_heads: Optional[int] = None
+    mamba_n_groups: int = 1
+    # softplus(dt) clamp range (HF time_step_limit)
+    mamba_dt_min: float = 0.0
+    mamba_dt_max: float = 1e30
     # FalconMamba: weightless RMSNorm on the (dt, B, C) ssm parameters
     # before dt_proj / the scan (HF mixer_rms_eps); None = plain Mamba
     mamba_mixer_rms_eps: Optional[float] = None

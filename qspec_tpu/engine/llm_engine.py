@@ -93,7 +93,7 @@ class LLMEngine:
             # cross-KV pages are request-private; decoder streams don't
             # share encoder prefixes content-addressably
             prefix_caching = False
-        if config.model.arch in ("mamba", "jamba"):
+        if config.model.arch in ("mamba", "mamba2", "jamba"):
             # recurrent-state pages are per-sequence mutable state, not
             # content-addressable KV: prefix sharing is meaningless and
             # spec decode needs an attention verify pass (the reference

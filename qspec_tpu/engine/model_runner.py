@@ -807,12 +807,16 @@ class ModelRunner:
         self.params = params
         self.mesh = mesh
         page_size = config.cache.page_size
-        if self.cfg.arch == "mamba":
+        if self.cfg.arch in ("mamba", "mamba2"):
             # state-in-page: the cache's physical page holds one layer's
             # recurrent state per sequence (models/mamba.py); the BLOCK
             # MANAGER keeps counting in tokens-per-page, the two page
             # notions are independent
-            from qspec_tpu.models.mamba import state_page_geometry
+            if self.cfg.arch == "mamba2":
+                from qspec_tpu.models.mamba2 import state_page_geometry2 \
+                    as state_page_geometry
+            else:
+                from qspec_tpu.models.mamba import state_page_geometry
             H, S, D = state_page_geometry(self.cfg)
             kv_cfg = kvc.KVCacheConfig(
                 num_layers=self.cfg.num_layers, num_kv_heads=H,

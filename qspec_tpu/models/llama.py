@@ -719,6 +719,18 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         return _jamba.jamba_forward(params, cfg, token_ids, cache, batch,
                                     logits_indices=logits_indices,
                                     return_hidden=return_hidden)
+    if cfg.arch == "mamba2":
+        from qspec_tpu.models import mamba2 as _mamba2
+        assert input_embeds is None and lora_ids is None
+        out = _mamba2.mamba2_forward(
+            params, cfg, token_ids, cache.kv_pages,
+            batch.block_tables[:, 0], batch.ctx_lens, batch.positions,
+            logits_indices=logits_indices, return_hidden=return_hidden)
+        if return_hidden:
+            logits, hidden, pages = out
+            return logits, hidden, cache._replace(kv_pages=pages)
+        logits, pages = out
+        return logits, cache._replace(kv_pages=pages)
     if cfg.arch == "mamba":
         # selective-SSM family: no attention, recurrent state lives in
         # each sequence's first cache page (models/mamba.py). The step

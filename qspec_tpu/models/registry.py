@@ -428,6 +428,33 @@ def _bart(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("Mamba2ForCausalLM")
+@register("mamba2")
+def _mamba2(hf: dict) -> ModelConfig:
+    # Mamba2 / SSD (reference models/mamba2.py): per-head scalar decay,
+    # grouped B/C, conv over [x|B|C], gated RMSNorm before out_proj.
+    H = hf["hidden_size"]
+    expand = hf.get("expand", 2)
+    nh = hf.get("num_heads", (expand * H) // hf.get("head_dim", 64))
+    return ModelConfig(
+        arch="mamba2",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=expand * H,
+        num_layers=hf["num_hidden_layers"],
+        num_heads=1, num_kv_heads=1, head_dim=128,
+        mamba_d_state=hf.get("state_size", 128),
+        mamba_d_conv=hf.get("conv_kernel", 4),
+        mamba_expand=expand,
+        mamba_heads=nh,
+        mamba_n_groups=hf.get("n_groups", 1),
+        mamba_dt_min=(hf.get("time_step_limit") or [0.0, 1e30])[0],
+        mamba_dt_max=(hf.get("time_step_limit") or [0.0, 1e30])[1],
+        rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 1 << 20),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("JambaForCausalLM")
 @register("jamba")
 def _jamba(hf: dict) -> ModelConfig:
