@@ -545,7 +545,13 @@ def main():
             r = bench_medusa(args)
             if r is not None:
                 reports.append(r)
-        if args.proposer in ("eagle", "all"):
+        if args.proposer == "eagle":
+            # also outside the default sweep: the eagle engine path makes
+            # ~8x more host dispatches per token than the 32-step fused AR
+            # arm, so its ratio swings wildly with tunnel weather (same
+            # code measured 0.84x and 0.18x two hours apart while the
+            # device-side round holds 1.85x AR — BENCH_NOTES.md
+            # "Medusa/EAGLE under tunnel dispatch")
             r = bench_eagle(args)
             if r is not None:
                 reports.append(r)
