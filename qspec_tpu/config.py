@@ -202,6 +202,9 @@ class ModelConfig:
     # decoder with paged self-KV (models/bart.py).
     encoder_layers: int = 0
     decoder_start_token_id: Optional[int] = None
+    # whisper audio frontend (models/whisper.py)
+    whisper_num_mel: int = 80
+    whisper_max_source_positions: int = 1500
     # Mamba selective-state-space family (reference csrc/mamba/ +
     # vllm/model_executor/models/mamba.py). No attention, no paged KV:
     # each sequence carries a constant-size recurrent state

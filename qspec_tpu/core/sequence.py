@@ -78,6 +78,9 @@ class Sequence:
     # rows, and the sequence is excluded from prefix caching (its pages
     # cannot be identified by token content)
     prompt_embeds: Optional[object] = None
+    # whisper: mel features [T_mel, num_mel] for the audio encoder
+    # (models/whisper.py); the prompt_token_ids are the DECODER stream
+    audio_features: Optional[object] = None
     # EAGLE span carry between engine steps: (true hiddens [<=k+1, H],
     # paired tokens, span start position, span length) — see
     # spec_decode/eagle.py and model_runner.run_eagle_rounds

@@ -85,13 +85,15 @@ class LLMEngine:
                                   and not (self._ngram or self._medusa),
                                   mesh=mesh, draft_params=draft_params)
         self._encdec = config.model.arch == "bart"
-        if self._encdec and self.spec is not None:
+        self._whisper = config.model.arch == "whisper"
+        if (self._encdec or self._whisper) and self.spec is not None:
             raise ValueError("speculative decoding is unsupported for "
                              "encoder-decoder models")
         prefix_caching = config.cache.enable_prefix_caching
-        if self._encdec:
-            # cross-KV pages are request-private; decoder streams don't
-            # share encoder prefixes content-addressably
+        if self._encdec or self._whisper:
+            # cross-KV pages are request-private, and decoder self-KV
+            # depends on the per-request audio/encoder content through
+            # cross attention — prefix sharing is invalid
             prefix_caching = False
         if config.model.arch in ("mamba", "mamba2", "jamba"):
             # recurrent-state pages are per-sequence mutable state, not
@@ -226,7 +228,8 @@ class LLMEngine:
                     task: str = "generate", prompt_embeds=None,
                     mm_images=None, image_token_id: Optional[int] = None,
                     lora_name: Optional[str] = None,
-                    prompt_adapter: Optional[str] = None) -> int:
+                    prompt_adapter: Optional[str] = None,
+                    mm_audio=None) -> int:
         if sampling_params is None:
             sampling_params = SamplingParams()
         if lora_name:
@@ -275,7 +278,11 @@ class LLMEngine:
                 "prompt_embeds rows must match prompt length"
         seq = Sequence(seq_id=rid, prompt_token_ids=list(prompt_token_ids),
                        sampling_params=sampling_params, lora_id=lora_id,
-                       task=task, prompt_embeds=prompt_embeds)
+                       task=task, prompt_embeds=prompt_embeds,
+                       audio_features=mm_audio)
+        if self._whisper and mm_audio is None:
+            raise ValueError("whisper requests need mm_audio "
+                             "(mel features [T, num_mel])")
         sp = sampling_params
         if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
             gc = self._get_grammar_compiler()
@@ -562,6 +569,8 @@ class LLMEngine:
                 s.embedding = hidden[i].astype(np.float32)
                 s.status = SequenceStatus.FINISHED_STOPPED
                 s.finish_reason = "stop"
+        elif self._whisper:
+            logits = self.runner.run_prefill_whisper(chunks)
         elif self._encdec:
             logits = self.runner.run_prefill_encdec(chunks)
         elif self._eagle:
@@ -630,7 +639,10 @@ class LLMEngine:
         # so prompt chunks and the running batch alternate at chunk cadence
         steps = 1 if mixed else self.config.scheduler.steps_per_decode_call
         chain = self._chain_for(seqs, steps) if steps > 1 else 1
-        if self._encdec:
+        if self._whisper:
+            tokens, lps, top = self.runner.run_decode_whisper(
+                seqs, st, num_steps=steps, chain=chain)
+        elif self._encdec:
             tokens, lps, top = self.runner.run_decode_encdec(
                 seqs, st, num_steps=steps, chain=chain)
         else:

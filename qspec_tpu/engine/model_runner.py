@@ -835,6 +835,18 @@ class ModelRunner:
         # same geometry and page tables as the self-KV cache
         self._encdec = self.cfg.arch == "bart"
         self.cross_cache = kvc.allocate(kv_cfg) if self._encdec else None
+        # whisper: the cross bank is a row-per-sequence paged cache with
+        # one max_source_positions page per row (models/whisper.py)
+        self._whisper = self.cfg.arch == "whisper"
+        self._cross_slot: dict = {}
+        if self._whisper:
+            rows = max(config.scheduler.decode_batch_buckets) + 1
+            ccfg = kvc.KVCacheConfig(
+                num_layers=self.cfg.num_layers,
+                num_kv_heads=self.cfg.cache_kv_heads,
+                head_dim=self.cfg.cache_head_dim, num_pages=rows,
+                page_size=self.cfg.whisper_max_source_positions)
+            self.cross_cache = kvc.allocate(ccfg)
         # separate-draft-model proposer: its own cfg/params/cache geometry
         # (same page ids/tables as the target — only the page CONTENTS and
         # per-page byte sizes differ)
@@ -970,6 +982,13 @@ class ModelRunner:
                 "medusa_rounds": functools.partial(
                     medusa_rounds_step, cfg=self.cfg,
                     scheme=self._verify_scheme, k=k, num_rounds=rounds),
+                "prefill_whisper": None if not self._whisper else
+                functools.partial(
+                    _whisper_mod().prefill_whisper_step, cfg=self.cfg),
+                "multi_decode_whisper": None if not self._whisper else
+                functools.partial(
+                    _whisper_mod().multi_decode_whisper_step, cfg=self.cfg,
+                    num_steps=config.scheduler.steps_per_decode_call),
                 "prefill_bart": None if not self._encdec else
                 functools.partial(
                     _bart_mod().prefill_bart_step, cfg=self.cfg),
@@ -1444,6 +1463,108 @@ class ModelRunner:
         n = len(seqs)
         return toks[:, :n], accs[:, :n], lps[:, :n]
 
+    def _cross_row_for(self, seq, live_ids) -> int:
+        sid = seq.seq_id
+        if sid in self._cross_slot:
+            return self._cross_slot[sid]
+        used = set(self._cross_slot.values())
+        n_rows = self.cross_cache.kv_pages.shape[1] - 1
+        row = next((r for r in range(1, n_rows + 1) if r not in used), None)
+        if row is None:
+            victim = next(s for s in self._cross_slot if s not in live_ids)
+            row = self._cross_slot.pop(victim)
+        self._cross_slot[sid] = row
+        return row
+
+    def run_prefill_whisper(self, chunks):
+        """Audio encode + cross-bank build + decoder prompt replay
+        (models/whisper.prefill_whisper_step). The decoder stream IS the
+        engine's token stream, so chunked/resumed prompts replay
+        normally; the encoder re-runs per chunk (idempotent row writes).
+        Mel rectangles are FIXED-shape (2 * max_source_positions frames,
+        whisper's 30 s window) for one compile. Returns logits [B, V]."""
+        B = self._bucket_batch(len(chunks))
+        Qd = self._bucket_tokens(max(end - start for _, start, end in chunks))
+        T_mel = 2 * self.cfg.whisper_max_source_positions
+        n_mel = self.cfg.whisper_num_mel
+        live_ids = {seq.seq_id for seq, _, _ in chunks}
+        mel = np.zeros((B, T_mel, n_mel), np.float32)
+        mel_valid = np.zeros((B, T_mel), bool)
+        rows = np.zeros(B, np.int32)
+        dec_toks = np.zeros((B, Qd), np.int32)
+        dec_pos = np.zeros((B, Qd), np.int32)
+        dec_ctx = np.zeros(B, np.int32)
+        enc_len = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        from qspec_tpu.models.whisper import enc_out_len
+        for i, (seq, start, end) in enumerate(chunks):
+            af = getattr(seq, "audio_features", None)
+            if af is None:
+                raise ValueError("whisper request needs mm_audio features")
+            af = np.asarray(af, np.float32)[:T_mel]
+            mel[i, :af.shape[0]] = af
+            mel_valid[i, :af.shape[0]] = True
+            enc_len[i] = enc_out_len(af.shape[0])
+            rows[i] = self._cross_row_for(seq, live_ids)
+            piece = seq.token_ids[start:end]
+            dec_toks[i, :len(piece)] = piece
+            dec_pos[i] = np.arange(start, start + Qd, dtype=np.int32)
+            dec_ctx[i] = end
+            tables[i] = seq.page_ids
+        logits, self.cache, cross_pages = self.fns["prefill_whisper"](
+            self.params, self.cache, self.cross_cache.kv_pages,
+            jnp.asarray(mel), jnp.asarray(mel_valid), jnp.asarray(rows),
+            jnp.asarray(dec_toks), jnp.asarray(dec_pos),
+            jnp.asarray(dec_ctx),
+            jnp.asarray(self._pad_block_tables(tables)),
+            jnp.asarray(rows[:, None]), jnp.asarray(enc_len))
+        self.cross_cache = self.cross_cache._replace(kv_pages=cross_pages)
+        return logits
+
+    def run_decode_whisper(self, seqs, sampling: SamplingTensors,
+                           num_steps: int = 1, chain: int = 1):
+        """Fused whisper decoder steps over the row-bank cross cache;
+        mirrors run_decode's (tokens, logprobs, top) contract."""
+        B = self._bucket_batch(len(seqs))
+        live_ids = {s.seq_id for s in seqs}
+        last = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        enc_len = np.zeros(B, np.int32)
+        max_new = np.zeros(B, np.int32)
+        rows = np.zeros(B, np.int32)
+        tables = [[] for _ in range(B)]
+        from qspec_tpu.models.whisper import enc_out_len
+        for i, s in enumerate(seqs):
+            last[i] = s.last_token()
+            pos[i] = s.num_tokens - 1
+            af = getattr(s, "audio_features", None)
+            enc_len[i] = enc_out_len(
+                min(np.asarray(af).shape[0],
+                    2 * self.cfg.whisper_max_source_positions))
+            rows[i] = self._cross_row_for(s, live_ids)
+            max_new[i] = max(s.sampling_params.max_tokens
+                             - len(s.output_token_ids), 0)
+            tables[i] = s.page_ids
+        st = _pad_sampling(sampling, len(seqs), B)
+        tables_d = jnp.asarray(self._pad_block_tables(tables))
+        ctab_d = jnp.asarray(rows[:, None])
+        last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
+        budget_d = jnp.asarray(max_new)
+        enc_d = jnp.asarray(enc_len)
+        parts = []
+        for _ in range(max(1, chain)):
+            toks, lps, adv, self.cache = self.fns["multi_decode_whisper"](
+                self.params, self.cache, self.cross_cache.kv_pages,
+                last_d, pos_d, tables_d, ctab_d, enc_d, budget_d, st,
+                self._next_key())
+            last_d, pos_d, budget_d = adv
+            parts.append((toks, lps))
+        parts = jax.device_get(parts)
+        toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+        lps = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+        n = len(seqs)
+        return toks[:, :n], lps[:, :n], None
+
     def run_prefill_encdec(self, chunks):
         """Encoder + cross-KV build + decoder replay (prefill_bart_step).
         The encoder needs the WHOLE prompt bidirectionally, so enc-dec
@@ -1681,6 +1802,11 @@ class ModelRunner:
 def _bart_mod():
     from qspec_tpu.models import bart
     return bart
+
+
+def _whisper_mod():
+    from qspec_tpu.models import whisper
+    return whisper
 
 
 _sample_jit = jax.jit(sample_with_logprob)

@@ -403,6 +403,30 @@ def _nemotron(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("WhisperForConditionalGeneration")
+@register("whisper")
+def _whisper(hf: dict) -> ModelConfig:
+    # Whisper audio enc-dec (reference models/whisper.py): pre-LN blocks,
+    # mel conv frontend, row-bank cross cache (models/whisper.py).
+    import math
+    H = hf["d_model"]
+    nh = hf.get("decoder_attention_heads", 8)
+    return ModelConfig(
+        arch="whisper",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf.get("decoder_ffn_dim", 4 * H),
+        num_layers=hf.get("decoder_layers", 12),
+        encoder_layers=hf.get("encoder_layers", 12),
+        num_heads=nh, num_kv_heads=nh, head_dim=H // nh,
+        max_position_embeddings=hf.get("max_target_positions", 448),
+        whisper_num_mel=hf.get("num_mel_bins", 80),
+        whisper_max_source_positions=hf.get("max_source_positions", 1500),
+        embed_scale=math.sqrt(H) if hf.get("scale_embedding") else None,
+        decoder_start_token_id=hf.get("decoder_start_token_id", 50257),
+        norm_type="layernorm", tie_word_embeddings=True,
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("BartForConditionalGeneration")
 @register("MBartForConditionalGeneration")
 @register("bart")
