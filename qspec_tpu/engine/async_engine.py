@@ -62,7 +62,8 @@ class AsyncLLMEngine:
                        request_id: Optional[int] = None,
                        task: str = "generate", prompt_embeds=None,
                        mm_images=None, image_token_id=None,
-                       lora_name=None) -> AsyncIterator[RequestOutput]:
+                       lora_name=None,
+                       mm_audio=None) -> AsyncIterator[RequestOutput]:
         if self._dead is not None:
             raise AsyncEngineDeadError("engine loop died") from self._dead
         self._ensure_loop()
@@ -71,7 +72,8 @@ class AsyncLLMEngine:
                                       prompt_embeds=prompt_embeds,
                                       mm_images=mm_images,
                                       image_token_id=image_token_id,
-                                      lora_name=lora_name)
+                                      lora_name=lora_name,
+                                      mm_audio=mm_audio)
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = q
         self._wake.set()

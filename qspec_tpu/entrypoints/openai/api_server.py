@@ -43,6 +43,8 @@ class OpenAIServer:
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/score", self.score)
         app.router.add_post("/score", self.score)
+        app.router.add_post("/v1/audio/transcriptions",
+                            self.transcriptions)
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         app.router.add_post("/v1/unload_lora_adapter", self.unload_lora)
         app.router.add_get("/v1/lora_adapters", self.list_lora)
@@ -50,6 +52,42 @@ class OpenAIServer:
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_get("/metrics", self.metrics)
         return app
+
+    async def transcriptions(self, request):
+        """OpenAI /v1/audio/transcriptions for whisper-family models:
+        multipart form with a WAV ``file``; the server extracts log-mel
+        features in-process (qspec_tpu/audio.py) and decodes greedily
+        from the model's forced decoder prompt (reference: vllm's
+        transcription serving over models/whisper.py)."""
+        cfg = self.engine.engine.config.model
+        if cfg.arch != "whisper":
+            raise web.HTTPBadRequest(
+                reason="transcriptions need a whisper-family model")
+        form = await request.post()
+        part = form.get("file")
+        if part is None:
+            raise web.HTTPBadRequest(reason="multipart 'file' required")
+        data = part.file.read() if hasattr(part, "file") else bytes(part)
+        from qspec_tpu.audio import wav_to_features
+        try:
+            mel = wav_to_features(
+                data, n_mels=cfg.whisper_num_mel,
+                max_frames=2 * cfg.whisper_max_source_positions)
+        except Exception as e:
+            raise web.HTTPBadRequest(reason=f"bad audio: {e}")
+        prompt = [cfg.decoder_start_token_id or 0]
+        sp = SamplingParams(
+            temperature=float(form.get("temperature", 0) or 0),
+            max_tokens=int(form.get("max_tokens", 0) or
+                           cfg.max_position_embeddings - 8))
+        rid = next(self._request_counter)
+        final = None
+        async for out in self.engine.generate(prompt, sp, request_id=rid,
+                                              mm_audio=mel):
+            final = out
+        text = final.text or (self.tokenizer.decode(final.output_token_ids)
+                              if self.tokenizer else "")
+        return web.json_response({"text": text})
 
     # ---- dynamic LoRA lifecycle (reference api_server endpoints
     # /v1/load_lora_adapter + /v1/unload_lora_adapter backed by

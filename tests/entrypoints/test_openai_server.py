@@ -523,3 +523,62 @@ def test_chat_image_url_caption(tmp_path):
         assert text.strip() == f"a {color} {shape}", text
 
     _run(server, body)
+
+
+def test_audio_transcriptions_endpoint(tmp_path):
+    """/v1/audio/transcriptions: WAV upload -> in-process log-mel ->
+    whisper-family decode (reference: vllm transcription serving)."""
+    import io
+    import json as _json
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from qspec_tpu.engine.arg_utils import EngineArgs
+    from qspec_tpu.entrypoints.openai.api_server import build_server
+    from tests.models.test_whisper import tiny_whisper
+
+    _, cfg, params = tiny_whisper()
+    hf_dict = {
+        "architectures": ["WhisperForConditionalGeneration"],
+        "model_type": "whisper", "vocab_size": cfg.vocab_size,
+        "d_model": cfg.hidden_size, "encoder_layers": cfg.encoder_layers,
+        "decoder_layers": cfg.num_layers,
+        "decoder_attention_heads": cfg.num_heads,
+        "decoder_ffn_dim": cfg.intermediate_size,
+        "num_mel_bins": cfg.whisper_num_mel,
+        "max_source_positions": cfg.whisper_max_source_positions,
+        "max_target_positions": cfg.max_position_embeddings,
+        "decoder_start_token_id": cfg.decoder_start_token_id,
+    }
+    mdir = tmp_path / "whisper"
+    mdir.mkdir()
+    (mdir / "config.json").write_text(_json.dumps(hf_dict))
+    args = EngineArgs(model=str(mdir), max_model_len=64, max_num_seqs=2,
+                      quantization=None)
+    server = build_server(args, model_name="whisper-test", params=params,
+                          tokenizer=FakeTokenizer())
+
+    # 0.5 s of 440 Hz sine at 16 kHz, 16-bit PCM WAV
+    t = np.arange(8000) / 16000.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    async def body(client):
+        import aiohttp
+        form = aiohttp.FormData()
+        form.add_field("file", buf.getvalue(), filename="a.wav",
+                       content_type="audio/wav")
+        form.add_field("max_tokens", "8")
+        r = await client.post("/v1/audio/transcriptions", data=form)
+        assert r.status == 200, await r.text()
+        out = await r.json()
+        assert isinstance(out["text"], str) and out["text"]
+
+    _run(server, body)
