@@ -161,6 +161,10 @@ class ModelConfig:
     parallel_block: bool = False
     # bias on every projection incl. o/down (OPT/GPT-2/Starcoder2)
     linear_bias: bool = False
+    # SmolLM3/Llama4-style NoPE layers: every `nope_interval`-th layer
+    # (1-indexed) skips rotary entirely (HF no_rope_layer_interval;
+    # no_rope_layers[li] == 0 means NoPE). 0 = rope everywhere.
+    nope_interval: int = 0
     # partial rotary: rope only the first `rotary_dim` dims of each head
     # (StableLM rope_pct / GPT-NeoX rotary_pct / Phi partial_rotary_factor /
     # GPT-J rotary_dim; reference rotary_embedding.py rotary_dim).

@@ -554,8 +554,16 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                 k = rmsnorm_ref(k, layers["k_norm"][li],
                                 eps=cfg.rms_norm_eps)
         if cfg.position_embedding == "rope":
-            q, k = apply_rope(q, k, batch.positions.reshape(-1), rope_cache,
-                              style=cfg.rope_style)
+            qr, kr = apply_rope(q, k, batch.positions.reshape(-1),
+                                rope_cache, style=cfg.rope_style)
+            if cfg.nope_interval:
+                # SmolLM3 NoPE layers: layer_idx is traced (layer scan),
+                # so select between roped and raw projections
+                use = ((layer_idx + 1) % cfg.nope_interval) != 0
+                q = jnp.where(use, qr, q)
+                k = jnp.where(use, kr, k)
+            else:
+                q, k = qr, kr
         q = q.astype(jnp.bfloat16)
         k = k.astype(jnp.bfloat16)
 

@@ -313,6 +313,18 @@ def _glm(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("SmolLM3ForCausalLM")
+@register("smollm3")
+def _smollm3(hf: dict) -> ModelConfig:
+    # SmolLM3 (reference models/smollm3.py): llama graph with every
+    # no_rope_layer_interval-th layer skipping rotary (NoPE).
+    cfg = ModelConfig.from_hf_config({**hf, "model_type": "llama"})
+    import dataclasses
+    return dataclasses.replace(
+        cfg, arch="smollm3",
+        nope_interval=hf.get("no_rope_layer_interval", 4) or 0)
+
+
 @register("HeliumForCausalLM")
 @register("helium")
 def _helium(hf: dict) -> ModelConfig:

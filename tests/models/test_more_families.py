@@ -274,3 +274,20 @@ def test_granitemoe_vs_hf():
         hf, {**hf_cfg.to_dict(),
              "architectures": ["GraniteMoeForCausalLM"]}, TOKENS, atol=0.4)
     assert cfg.num_experts == 4 and cfg.residual_multiplier == 0.5
+
+
+def test_smollm3_vs_hf():
+    # NoPE layers: every 2nd layer (interval 2) skips rotary
+    hf_cfg = transformers.SmolLM3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        no_rope_layer_interval=2, use_sliding_window=False,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attention_bias=False, pad_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
+    assert hf_cfg.no_rope_layers == [1, 0, 1, 0]
+    cfg = _golden_llama_family(
+        hf, {**hf_cfg.to_dict(), "architectures": ["SmolLM3ForCausalLM"]},
+        TOKENS)
+    assert cfg.nope_interval == 2

@@ -296,3 +296,109 @@ def test_guided_regex_on_chip():
                              sp_overrides={"allowed_token_ids": [5, 6, 7]})
     for v in outs.values():
         assert set(v) <= {5, 6, 7}, v
+
+
+# ---- round-4 families on hardware ------------------------------------
+
+def test_mamba_engine_on_chip():
+    """Selective-scan prefill + state-in-page decode on real Mosaic:
+    deterministic and stepwise-consistent (greedy rerun matches)."""
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.models.mamba import init_mamba_params
+
+    cfg = ModelConfig(arch="mamba", vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=1,
+                      num_kv_heads=1, head_dim=128,
+                      max_position_embeddings=512, quant="none",
+                      weightless_norm=False, lm_head_quant="bf16")
+    params = init_mamba_params(cfg, seed=0)
+    prompts = _prompts(cfg, plen=48)
+    out1, _, _ = _run_engine(cfg, params, prompts, None, max_tokens=12)
+    out2, _, _ = _run_engine(cfg, params, prompts, None, max_tokens=12)
+    assert out1 == out2 and all(len(v) == 12 for v in out1.values())
+
+
+def test_bart_engine_on_chip():
+    """Encoder + cross-KV pages + fused decoder steps on hardware."""
+    import tests.models.test_bart as tb
+
+    _, cfg, params = tb.tiny_bart()
+    rng = np.random.default_rng(7)
+    prompts = [list(map(int, rng.integers(3, 250, size=n)))
+               for n in (7, 12)]
+    from qspec_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+    sched = SchedulerConfig(max_num_seqs=2, max_model_len=96,
+                            prefill_chunk_size=32,
+                            decode_batch_buckets=(2,),
+                            prefill_token_buckets=(32,),
+                            steps_per_decode_call=4)
+    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=16),
+                                 scheduler=sched), params)
+    outs = {}
+    for p in prompts:
+        eng.add_request(p, SamplingParams(temperature=0.0, max_tokens=8,
+                                          ignore_eos=True))
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+    assert all(len(v) == 8 for v in outs.values())
+
+
+def test_jamba_engine_on_chip():
+    """Hybrid attention+mamba+MoE over one shared cache on hardware."""
+    import tests.models.test_jamba as tj
+
+    _, cfg, params = tj.tiny_jamba()
+    from qspec_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+    rng = np.random.default_rng(8)
+    sched = SchedulerConfig(max_num_seqs=2, max_model_len=96,
+                            prefill_chunk_size=32,
+                            decode_batch_buckets=(2,),
+                            prefill_token_buckets=(32,),
+                            steps_per_decode_call=4)
+    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=32),
+                                 scheduler=sched), params)
+    outs = {}
+    for n in (9, 14):
+        eng.add_request(list(map(int, rng.integers(2, 250, size=n))),
+                        SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True))
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+    assert all(len(v) == 8 for v in outs.values())
+
+
+def test_whisper_engine_on_chip():
+    """Mel frontend + row-bank cross cache + pre-LN decoder on hardware."""
+    import tests.models.test_whisper as tw
+
+    _, cfg, params = tw.tiny_whisper()
+    from qspec_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+    rng = np.random.default_rng(9)
+    sched = SchedulerConfig(max_num_seqs=2, max_model_len=64,
+                            prefill_chunk_size=16,
+                            decode_batch_buckets=(2,),
+                            prefill_token_buckets=(16,),
+                            steps_per_decode_call=4)
+    eng = LLMEngine(EngineConfig(model=cfg, cache=CacheConfig(page_size=16),
+                                 scheduler=sched), params)
+    outs = {}
+    for _ in range(2):
+        mel = rng.standard_normal((tw.T_MEL, tw.MEL)).astype(np.float32)
+        eng.add_request([cfg.decoder_start_token_id],
+                        SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True), mm_audio=mel)
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o.output_token_ids
+    assert all(len(v) == 8 for v in outs.values())
