@@ -92,6 +92,12 @@ class ModelConfig:
     # scores and final logits; query scale from query_pre_attn_scalar;
     # post-attention/pre+post-feedforward norms around each block
     sliding_window_pattern: int = 1
+    # gemma3 (reference models/gemma3.py): the pattern marks GLOBAL layers
+    # instead — layer li is full-attention iff (li+1) % pattern == 0, all
+    # others sliding; sliding layers also use a SECOND rope cache at
+    # rope_local_theta (params["rope_cache_local"])
+    sliding_global_every: bool = False
+    rope_local_theta: Optional[float] = None
     attn_logit_softcap: Optional[float] = None
     final_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None

@@ -72,9 +72,16 @@ def config_from_hf_dir(path: str) -> ModelConfig:
 
 
 def _common(cfg: ModelConfig, dtype=jnp.bfloat16):
-    return {"rope_cache": make_rope_cache(cfg.rotary_dim or cfg.head_dim,
-                                        cfg.max_position_embeddings,
-                                          cfg.rope_theta, rope_scaling=cfg.rope_scaling)}
+    out = {"rope_cache": make_rope_cache(cfg.rotary_dim or cfg.head_dim,
+                                         cfg.max_position_embeddings,
+                                         cfg.rope_theta,
+                                         rope_scaling=cfg.rope_scaling)}
+    if cfg.rope_local_theta is not None:
+        # gemma3: sliding layers rotate with the unscaled local theta
+        out["rope_cache_local"] = make_rope_cache(
+            cfg.rotary_dim or cfg.head_dim, cfg.max_position_embeddings,
+            cfg.rope_local_theta)
+    return out
 
 
 def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,

@@ -497,6 +497,10 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         from qspec_tpu.ops.quant import sym_dequant
         return sym_dequant(xq)
 
+    rope_local = None
+    if isinstance(rope_cache, tuple):
+        # gemma3 dual rope: (global theta cache, local theta cache)
+        rope_cache, rope_local = rope_cache
     ntp = 1 if axis_name is None else jax.lax.axis_size(axis_name)
     heads_l = cfg.num_heads // ntp
     kv_heads_l = cfg.num_kv_heads // ntp
@@ -508,8 +512,14 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
     window = cfg.sliding_window
     if window is not None and cfg.sliding_window_pattern > 1:
         from qspec_tpu.ops.attention_pallas import NO_WINDOW
-        window = jnp.where(layer_idx % cfg.sliding_window_pattern == 0,
-                           window, NO_WINDOW)
+        if cfg.sliding_global_every:
+            # gemma3: every pattern-th layer is GLOBAL, the rest sliding
+            window = jnp.where(
+                (layer_idx + 1) % cfg.sliding_window_pattern == 0,
+                NO_WINDOW, window)
+        else:
+            window = jnp.where(layer_idx % cfg.sliding_window_pattern == 0,
+                               window, NO_WINDOW)
 
     # --- attention block ---
     if cfg.pre_norms:
@@ -556,6 +566,15 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         if cfg.position_embedding == "rope":
             qr, kr = apply_rope(q, k, batch.positions.reshape(-1),
                                 rope_cache, style=cfg.rope_style)
+            if cfg.rope_local_theta is not None:
+                # gemma3 dual rope: sliding layers rotate with the LOCAL
+                # theta cache; layer_idx is traced, so select
+                ql, kl = apply_rope(q, k, batch.positions.reshape(-1),
+                                    rope_local, style=cfg.rope_style)
+                is_global = ((layer_idx + 1)
+                             % cfg.sliding_window_pattern) == 0
+                qr = jnp.where(is_global, qr, ql)
+                kr = jnp.where(is_global, kr, kl)
             if cfg.nope_interval:
                 # SmolLM3 NoPE layers: layer_idx is traced (layer scan),
                 # so select between roped and raw projections
@@ -793,6 +812,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         x = x + params["pos_embed"][pos].astype(x.dtype)
 
     rope_cache = params["rope_cache"]
+    if "rope_cache_local" in params:
+        rope_cache = (rope_cache, params["rope_cache_local"])
     hadamards = params.get("hadamards")
 
     # the cache rides the scan CARRY (aliased in place); xs carrying the

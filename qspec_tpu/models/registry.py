@@ -66,6 +66,43 @@ def _gemma2(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("Gemma3ForCausalLM")
+@register("Gemma3TextModel")
+@register("gemma3")
+@register("gemma3_text")
+def _gemma3(hf: dict) -> ModelConfig:
+    # gemma3 (reference models/gemma3.py): gemma2's pre+post norms and
+    # GeGLU, per-head q/k RMSNorm ((1+w), folded at load), every 6th
+    # layer GLOBAL with the scaled base theta while sliding layers use a
+    # second rope cache at rope_local_base_freq; no softcaps.
+    import math
+    H = hf["hidden_size"]
+    nh = hf.get("num_attention_heads", 8)
+    return ModelConfig(
+        arch="gemma3",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=hf.get("head_dim", 256),
+        rope_theta=hf.get("rope_theta", 1_000_000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        rope_local_theta=hf.get("rope_local_base_freq", 10_000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        sliding_window=hf.get("sliding_window", 4096),
+        sliding_window_pattern=hf.get("sliding_window_pattern")
+        or hf.get("_sliding_window_pattern", 6),
+        sliding_global_every=True,
+        qk_norm=True, post_norms=True,
+        hidden_act="gelu_tanh",
+        embed_scale=math.sqrt(H),
+        norm_weight_offset=1.0,
+        query_pre_attn_scalar=hf.get("query_pre_attn_scalar", 256),
+        tie_word_embeddings=True,
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("MixtralForCausalLM")
 @register("mixtral")
 def _mixtral(hf: dict) -> ModelConfig:

@@ -120,3 +120,40 @@ def test_quarot_rejected_for_gemma2():
     from qspec_tpu.model_loader.loader import quantize_float
     with pytest.raises(ValueError, match="gemma2"):
         quantize_float(sd, cfg)
+
+
+def test_gemma3_vs_hf():
+    """gemma3: dual rope (local theta on sliding layers, global every
+    6th... here every 2nd), per-head (1+w) q/k RMSNorm, pre+post norms
+    (reference models/gemma3.py)."""
+    from tests.models.test_gpt_family import run_ours
+
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        sliding_window=8, sliding_window_pattern=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, pad_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+    assert hf_cfg.layer_types[:2] == ["sliding_attention", "full_attention"]
+
+    from qspec_tpu.model_loader.loader import load_hf_float
+    from qspec_tpu.models.registry import resolve
+    cfg = resolve({**hf_cfg.to_dict(),
+                   "architectures": ["Gemma3ForCausalLM"]})
+    assert cfg.sliding_global_every and cfg.rope_local_theta == 10_000.0
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params, cfg = load_hf_float(sd, cfg)
+    assert "rope_cache_local" in params
+
+    toks = list(range(2, 22))     # > sliding window: both masks exercised
+    got = run_ours(params, cfg, toks)
+    with torch.no_grad():
+        want = hf(torch.tensor([toks])).logits[0].numpy()
+    top2 = np.sort(want, axis=-1)
+    tied = (top2[:, -1] - top2[:, -2]) < 0.01
+    agree = (got.argmax(-1) == want.argmax(-1)) | tied
+    assert agree.mean() > 0.9, (got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=0.4, rtol=0.05)
