@@ -845,10 +845,120 @@ def convert_granitemoe(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_dbrx(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """DBRX (reference models/dbrx.py): fused Wqkv + clip_qkv, bias-free
+    LayerNorms, fused expert slabs w1/v1 ([E*ffn, H], applied transposed)
+    and w2 ([E*ffn, H], applied direct). p=1 expert-weight normalization
+    equals mixtral's softmax-over-topk routing, so the layers ride our
+    mixtral MoE block."""
+    E = cfg.num_experts
+    I = cfg.expert_intermediate_size
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"transformer.blocks.{i}."
+        a = p + "norm_attn_norm."
+        f = p + "ffn."
+        w1 = _arr(sd, f + "experts.mlp.w1").reshape(E, I, -1)
+        v1 = _arr(sd, f + "experts.mlp.v1").reshape(E, I, -1)
+        w2 = _arr(sd, f + "experts.mlp.w2").reshape(E, I, -1)
+        gu = np.concatenate([w1.transpose(0, 2, 1),
+                             v1.transpose(0, 2, 1)], axis=2)  # [E, H, 2I]
+        layers.append({
+            "qkv": {"w": jnp.asarray(_t(sd, a + "attn.Wqkv.weight"), dtype)},
+            "o": {"w": jnp.asarray(_t(sd, a + "attn.out_proj.weight"),
+                                   dtype)},
+            "router": jnp.asarray(_t(sd, f + "router.layer.weight"), dtype),
+            "experts_gate_up": {"w": jnp.asarray(gu, dtype)},
+            "experts_down": {"w": jnp.asarray(w2, dtype)},
+            "input_norm": jnp.asarray(_arr(sd, a + "norm_1.weight"), dtype),
+            "post_norm": jnp.asarray(_arr(sd, a + "norm_2.weight"), dtype),
+        })
+    embed = _arr(sd, "transformer.wte.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "transformer.norm_f.weight"),
+                                  dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_persimmon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Persimmon (reference models/persimmon.py): per-head-INTERLEAVED
+    fused query_key_value (+bias) de-interleaved to [q|k|v], per-head
+    LayerNorm with bias on q/k, LayerNorm norms, relu^2 fc MLP, partial
+    rotary."""
+    H = cfg.hidden_size
+    nh, hd = cfg.num_heads, cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        w = _arr(sd, p + "self_attn.query_key_value.weight")  # [3H, H]
+        b = _arr(sd, p + "self_attn.query_key_value.bias")
+        w = w.reshape(nh, 3, hd, H)
+        b = b.reshape(nh, 3, hd)
+        qkv_w = np.concatenate([w[:, j].reshape(nh * hd, H)
+                                for j in range(3)], axis=0).T
+        qkv_b = np.concatenate([b[:, j].reshape(nh * hd)
+                                for j in range(3)])
+        layers.append({
+            "qkv": {"w": jnp.asarray(qkv_w, dtype),
+                    "b": jnp.asarray(qkv_b, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attn.dense.weight"),
+                                   dtype),
+                  "b": jnp.asarray(_arr(sd, p + "self_attn.dense.bias"),
+                                   dtype)},
+            "q_norm": jnp.asarray(
+                _arr(sd, p + "self_attn.q_layernorm.weight"), jnp.float32),
+            "q_norm_b": jnp.asarray(
+                _arr(sd, p + "self_attn.q_layernorm.bias"), jnp.float32),
+            "k_norm": jnp.asarray(
+                _arr(sd, p + "self_attn.k_layernorm.weight"), jnp.float32),
+            "k_norm_b": jnp.asarray(
+                _arr(sd, p + "self_attn.k_layernorm.bias"), jnp.float32),
+            "gate_up": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_h_to_4h.weight"), dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_h_to_4h.bias"),
+                                 dtype)},
+            "down": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_4h_to_h.weight"), dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_4h_to_h.bias"),
+                                 dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, "model.embed_tokens.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, "model.final_layernorm.weight"),
+                                  dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, "model.final_layernorm.bias"),
+                                    dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
 CONVERTERS = {
     "nemotron": convert_nemotron,
     "olmo2": convert_olmo2,
     "granitemoe": convert_granitemoe,
+    "dbrx": convert_dbrx,
+    "persimmon": convert_persimmon,
     "gpt_bigcode": convert_gpt_bigcode,
     "opt": convert_opt,
     "deepseek": convert_deepseek,

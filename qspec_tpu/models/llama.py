@@ -545,7 +545,18 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         k = k.reshape(T, kv_heads_l, cfg.head_dim)
         v = v.reshape(T, kv_heads_l, cfg.head_dim).astype(jnp.bfloat16)
         if cfg.qk_norm:
-            if cfg.qk_norm_style == "full":
+            if cfg.qk_norm_style == "head_ln":
+                # persimmon/phi-2-family qk_layernorm: per-head LayerNorm
+                # with affine+bias over head_dim (reference persimmon.py)
+                def _hln(v, g, b):
+                    v32 = v.astype(jnp.float32)
+                    mu = jnp.mean(v32, -1, keepdims=True)
+                    var = jnp.mean(jnp.square(v32 - mu), -1, keepdims=True)
+                    return ((v32 - mu) * jax.lax.rsqrt(
+                        var + cfg.rms_norm_eps) * g + b).astype(v.dtype)
+                q = _hln(q, layers["q_norm"][li], layers["q_norm_b"][li])
+                k = _hln(k, layers["k_norm"][li], layers["k_norm_b"][li])
+            elif cfg.qk_norm_style == "full":
                 # OLMo2: RMSNorm over the WHOLE projection width; under TP
                 # the mean spans shards (psum) and each shard applies its
                 # slice of the replicated full-width gamma

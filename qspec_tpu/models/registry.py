@@ -154,6 +154,60 @@ def _granite(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
+@register("PersimmonForCausalLM")
+@register("persimmon")
+def _persimmon(hf: dict) -> ModelConfig:
+    # Persimmon/Fuyu-base (reference models/persimmon.py): LayerNorm
+    # norms + per-head q/k LayerNorm (head_ln), relu^2 fc MLP, partial
+    # rotary, interleaved fused qkv (de-interleaved at conversion).
+    H = hf["hidden_size"]
+    nh = hf["num_attention_heads"]
+    hd = H // nh
+    return ModelConfig(
+        arch="persimmon",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=nh, head_dim=hd,
+        rope_theta=hf.get("rope_theta", 25000.0),
+        rotary_dim=int(hf.get("partial_rotary_factor", 0.5) * hd),
+        rms_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 16384),
+        qk_norm=bool(hf.get("qk_layernorm", True)),
+        qk_norm_style="head_ln",
+        hidden_act="relu2", mlp_gated=False, norm_type="layernorm",
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
+@register("DbrxForCausalLM")
+@register("dbrx")
+def _dbrx(hf: dict) -> ModelConfig:
+    # DBRX (reference models/dbrx.py): fused-slab MoE with clip_qkv and
+    # bias-free LayerNorms; p=1 routing == mixtral's renormalized topk.
+    H = hf["d_model"]
+    nh = hf["n_heads"]
+    attn = hf.get("attn_config") or {}
+    ffn = hf.get("ffn_config") or {}
+    norm_p = ffn.get("moe_normalize_expert_weights", 1)
+    return ModelConfig(
+        arch="dbrx",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=ffn.get("ffn_hidden_size", 4 * H),
+        moe_intermediate_size=ffn.get("ffn_hidden_size", 4 * H),
+        num_layers=hf["n_layers"], num_heads=nh,
+        num_kv_heads=attn.get("kv_n_heads", nh), head_dim=H // nh,
+        rope_theta=attn.get("rope_theta", 500000.0),
+        clip_qkv=attn.get("clip_qkv"),
+        num_experts=ffn.get("moe_num_experts", 16),
+        num_experts_per_tok=ffn.get("moe_top_k", 4),
+        moe_softmax_before_topk=norm_p is None,
+        max_position_embeddings=hf.get("max_seq_len", 32768),
+        norm_type="layernorm",
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("GraniteMoeForCausalLM")
 @register("granitemoe")
 def _granitemoe(hf: dict) -> ModelConfig:

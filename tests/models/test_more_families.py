@@ -291,3 +291,39 @@ def test_smollm3_vs_hf():
         hf, {**hf_cfg.to_dict(), "architectures": ["SmolLM3ForCausalLM"]},
         TOKENS)
     assert cfg.nope_interval == 2
+
+
+def test_dbrx_vs_hf():
+    # fused Wqkv + clip_qkv, bias-free LayerNorms, fused expert slabs
+    hf_cfg = transformers.DbrxConfig(
+        vocab_size=256, d_model=64, n_heads=4, n_layers=2,
+        max_seq_len=64,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1},
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = transformers.DbrxForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(), "architectures": ["DbrxForCausalLM"]},
+        TOKENS, atol=0.4)
+    assert cfg.num_experts == 4 and cfg.clip_qkv == 8.0
+    assert cfg.norm_type == "layernorm"
+
+
+def test_persimmon_vs_hf():
+    # interleaved fused qkv + per-head q/k LayerNorm + relu2 fc +
+    # partial rotary (reference models/persimmon.py)
+    hf_cfg = transformers.PersimmonConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, qk_layernorm=True,
+        partial_rotary_factor=0.5, hidden_act="relu2",
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.PersimmonForCausalLM(hf_cfg).eval()
+    cfg = check_against_hf(
+        hf, {**hf_cfg.to_dict(),
+             "architectures": ["PersimmonForCausalLM"]}, TOKENS, atol=0.4)
+    assert cfg.qk_norm_style == "head_ln" and cfg.rotary_dim == 8
