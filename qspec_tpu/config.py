@@ -212,6 +212,8 @@ class ModelConfig:
     # decoder with paged self-KV (models/bart.py).
     encoder_layers: int = 0
     decoder_start_token_id: Optional[int] = None
+    # BERT-family embedding pooling (models/bert.py): "cls"|"mean"|"last"
+    bert_pooling: str = "cls"
     # whisper audio frontend (models/whisper.py)
     whisper_num_mel: int = 80
     whisper_max_source_positions: int = 1500

@@ -283,6 +283,8 @@ class LLMEngine:
         if self._whisper and mm_audio is None:
             raise ValueError("whisper requests need mm_audio "
                              "(mel features [T, num_mel])")
+        if self.config.model.arch == "bert" and task != "embed":
+            raise ValueError("BERT-family models serve task='embed' only")
         sp = sampling_params
         if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
             gc = self._get_grammar_compiler()
@@ -557,6 +559,18 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def _run_prefill(self, batch: ScheduledBatch) -> None:
         chunks = [(c.seq, c.start, c.end) for c in (batch.chunks or [batch.chunk])]
+        if self.config.model.arch == "bert":
+            # encoder-only embedding models: one bidirectional pass,
+            # request finishes at prefill (models/bert.py)
+            pooled = self.runner.run_embed_bert(chunks)
+            for i, (s, _, end) in enumerate(chunks):
+                s.num_computed_tokens = end
+                self.block_manager.mark_computed(s)
+                if end == s.prefill_len:
+                    s.embedding = pooled[i]
+                    s.status = SequenceStatus.FINISHED_STOPPED
+                    s.finish_reason = "stop"
+            return
         embed_rows = [i for i, (s, _, end) in enumerate(chunks)
                       if s.task == "embed" and end == s.prefill_len]
         eagle_h = None

@@ -1476,6 +1476,23 @@ class ModelRunner:
         self._cross_slot[sid] = row
         return row
 
+    def run_embed_bert(self, chunks):
+        """Encoder-only embedding rectangle (models/bert.py): one
+        bidirectional pass, pooled per row. Returns [B, H] numpy."""
+        from qspec_tpu.models.bert import embed_bert_step
+        B = self._bucket_batch(len(chunks))
+        Q = self._bucket_tokens(max(end - start for _, start, end in chunks))
+        toks = np.zeros((B, Q), np.int32)
+        valid = np.zeros((B, Q), bool)
+        for i, (seq, start, end) in enumerate(chunks):
+            piece = seq.token_ids[start:end]
+            toks[i, :len(piece)] = piece
+            valid[i, :len(piece)] = True
+        pooled = embed_bert_step(self.params, jnp.asarray(toks),
+                                 jnp.asarray(valid), cfg=self.cfg,
+                                 pooling=self.cfg.bert_pooling)
+        return np.asarray(jax.device_get(pooled), np.float32)
+
     def run_prefill_whisper(self, chunks):
         """Audio encode + cross-bank build + decoder prompt replay
         (models/whisper.prefill_whisper_step). The decoder stream IS the

@@ -506,6 +506,27 @@ def _nemotron(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("BertModel")
+@register("BertForMaskedLM")
+@register("bert")
+def _bert(hf: dict) -> ModelConfig:
+    # BERT-family encoder-only embedding models (reference
+    # models/bert.py BertEmbeddingModel serving bge/e5 retrievers).
+    H = hf["hidden_size"]
+    nh = hf.get("num_attention_heads", 12)
+    return ModelConfig(
+        arch="bert",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf.get("intermediate_size", 4 * H),
+        num_layers=hf.get("num_hidden_layers", 12),
+        num_heads=nh, num_kv_heads=nh, head_dim=H // nh,
+        rms_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        max_position_embeddings=hf.get("max_position_embeddings", 512),
+        norm_type="layernorm", position_embedding="learned",
+        tie_word_embeddings=True,
+        quant="none", weightless_norm=False, lm_head_quant="bf16")
+
+
 @register("WhisperForConditionalGeneration")
 @register("whisper")
 def _whisper(hf: dict) -> ModelConfig:
