@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qspec_tpu.config import ModelConfig
-from qspec_tpu.models.mamba import (d_inner_of, mamba_mixer, read_state,
+from qspec_tpu.models.mamba import (mamba_mixer, read_state,
                                     state_floats, write_state)
 from qspec_tpu.ops import kv_cache as kvc
 from qspec_tpu.ops.attention import paged_attention

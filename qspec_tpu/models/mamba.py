@@ -30,7 +30,6 @@ TPU-native redesign, not a port:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
