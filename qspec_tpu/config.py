@@ -33,7 +33,10 @@ class VisionConfig:
     feature_layer: int = -2
     # vision_feature_select_strategy == "default": drop the CLS row
     drop_cls: bool = True
-    hidden_act: str = "quick_gelu"    # "quick_gelu" | "gelu"
+    hidden_act: str = "quick_gelu"    # "quick_gelu"|"gelu"|"gelu_tanh"
+    # "siglip": conv bias, NO class token, no pre-layernorm
+    # (reference: transformers SiglipVisionModel via vllm models/siglip.py)
+    tower: str = "clip"
 
     @property
     def num_patches(self) -> int:

@@ -686,6 +686,7 @@ def _llava_vlm(hf: dict) -> ModelConfig:
     else:
         base = ModelConfig.from_hf_config(text)
     v = dict(hf.get("vision_config") or {})
+    siglip = v.get("model_type") == "siglip_vision_model"
     vc = VisionConfig(
         hidden_size=v.get("hidden_size", 1024),
         intermediate_size=v.get("intermediate_size", 4096),
@@ -693,11 +694,14 @@ def _llava_vlm(hf: dict) -> ModelConfig:
         num_heads=v.get("num_attention_heads", 16),
         image_size=v.get("image_size", 336),
         patch_size=v.get("patch_size", 14),
-        layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+        layer_norm_eps=v.get("layer_norm_eps",
+                             1e-6 if siglip else 1e-5),
         feature_layer=hf.get("vision_feature_layer", -2),
         drop_cls=(hf.get("vision_feature_select_strategy", "default")
                   == "default"),
-        hidden_act=v.get("hidden_act", "quick_gelu"),
+        hidden_act=v.get("hidden_act",
+                         "gelu_pytorch_tanh" if siglip else "quick_gelu"),
+        tower="siglip" if siglip else "clip",
     )
     return dataclasses.replace(
         base, arch="llava", vision=vc,

@@ -27,6 +27,8 @@ from qspec_tpu.config import VisionConfig
 def _act(name: str, x):
     if name == "quick_gelu":           # x * sigmoid(1.702 x) — CLIP's GELU
         return x * jax.nn.sigmoid(1.702 * x)
+    if name in ("gelu_tanh", "gelu_pytorch_tanh"):   # siglip MLP
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -62,11 +64,17 @@ def vit_forward(vp: dict, vcfg: VisionConfig, pixels: jnp.ndarray,
     B = pixels.shape[0]
     x = jnp.dot(patchify(pixels.astype(jnp.float32), vcfg.patch_size),
                 vp["patch_embed"])                     # [B, n, vH] fp32
-    cls = jnp.broadcast_to(vp["cls_embed"][None, None, :],
-                           (B, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1) + vp["pos_embed"][None]
-    x = _layernorm(x, vp["pre_norm"]["w"], vp["pre_norm"]["b"],
-                   vcfg.layer_norm_eps).astype(jnp.bfloat16)
+    if "patch_bias" in vp:
+        x = x + vp["patch_bias"]
+    if "cls_embed" in vp:                              # CLIP: CLS row first
+        cls = jnp.broadcast_to(vp["cls_embed"][None, None, :],
+                               (B, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["pos_embed"][None]
+    if "pre_norm" in vp:                               # siglip has none
+        x = _layernorm(x, vp["pre_norm"]["w"], vp["pre_norm"]["b"],
+                       vcfg.layer_norm_eps)
+    x = x.astype(jnp.bfloat16)
 
     n_keep = fl % (vcfg.num_layers + 1)       # hidden_states index -> count
     nh, hd = vcfg.num_heads, vcfg.head_dim
@@ -119,7 +127,7 @@ def llava_image_features(params: dict, vcfg: VisionConfig,
     embedding space.
     """
     feats = vit_forward(params["vision"], vcfg, pixels)
-    if vcfg.drop_cls:
+    if vcfg.drop_cls and vcfg.tower == "clip":
         feats = feats[:, 1:]
     mm = params["mm_projector"]
     x = feats.astype(jnp.float32)
@@ -205,6 +213,7 @@ def convert_llava_tower(sd: dict, vcfg: VisionConfig) -> dict:
         vt = "model." + vt                       # transformers >= 4.52 layout
     conv = a(vt + "embeddings.patch_embedding.weight")   # [vH, 3, p, p]
     patch_embed = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+    siglip = vcfg.tower == "siglip"
 
     def ln(prefix):
         return {"w": jnp.asarray(a(prefix + ".weight")),
@@ -231,19 +240,25 @@ def convert_llava_tower(sd: dict, vcfg: VisionConfig) -> dict:
             "fc1": lin_t(p + "mlp.fc1"),
             "fc2": lin_t(p + "mlp.fc2"),
         })
-    pre = find(vt + "pre_layrnorm.weight", vt + "pre_layernorm.weight")
     mp = "multi_modal_projector."
     if mp + "linear_1.weight" not in sd and "model." + mp + "linear_1.weight" in sd:
         mp = "model." + mp
+    vision = {
+        "patch_embed": jnp.asarray(patch_embed),
+        "pos_embed": jnp.asarray(
+            a(vt + "embeddings.position_embedding.weight")),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+    }
+    if siglip:
+        vision["patch_bias"] = jnp.asarray(
+            a(vt + "embeddings.patch_embedding.bias"))
+    else:
+        vision["cls_embed"] = jnp.asarray(
+            a(vt + "embeddings.class_embedding"))
+        pre = find(vt + "pre_layrnorm.weight", vt + "pre_layernorm.weight")
+        vision["pre_norm"] = ln(pre[:-len(".weight")])
     return {
-        "vision": {
-            "patch_embed": jnp.asarray(patch_embed),
-            "cls_embed": jnp.asarray(a(vt + "embeddings.class_embedding")),
-            "pos_embed": jnp.asarray(
-                a(vt + "embeddings.position_embedding.weight")),
-            "pre_norm": ln(pre[:-len(".weight")]),
-            "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
-        },
+        "vision": vision,
         "mm_projector": {
             "w1": jnp.asarray(a(mp + "linear_1.weight").T),
             "b1": jnp.asarray(a(mp + "linear_1.bias")),

@@ -222,3 +222,65 @@ def test_trained_captioner_end_to_end():
                 got[o.request_id] = o.output_token_ids
     correct = sum(got[r] == want[r] for r in want)
     assert correct >= 7, (correct, got, want)
+
+
+def test_llava_siglip_tower_vs_hf():
+    """LLaVA with a SigLIP tower (conv bias, no CLS, no pre-LN,
+    gelu_tanh MLP) — full-pipeline parity vs HF (reference:
+    vllm models/siglip.py tower option)."""
+    text_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    vision_cfg = transformers.SiglipVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=IMAGE, patch_size=PATCH)
+    cfg_hf = transformers.LlavaConfig(
+        vision_config=vision_cfg, text_config=text_cfg,
+        image_token_index=IMG_TOKEN, vision_feature_layer=-1,
+        vision_feature_select_strategy="full")
+    torch.manual_seed(0)
+    hf = transformers.LlavaForConditionalGeneration(cfg_hf).eval()
+    cfg = resolve({**cfg_hf.to_dict(),
+                   "architectures": ["LlavaForConditionalGeneration"]})
+    assert cfg.vision.tower == "siglip"
+    assert cfg.vision.hidden_act == "gelu_pytorch_tanh"
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params, cfg = load_hf_float(sd, cfg)
+    assert "patch_bias" in params["vision"]
+    assert "cls_embed" not in params["vision"]
+
+    rng = np.random.default_rng(4)
+    image01 = rng.uniform(0.0, 1.0, size=(IMAGE, IMAGE, 3)).astype(np.float32)
+    n_img = cfg.vision.num_patches
+    prompt = [2, 9, IMG_TOKEN, 5, 11]
+    out_ids, embeds = splice_image_embeds(params, cfg, prompt, [image01],
+                                          IMG_TOKEN, arch="llava")
+    T = len(out_ids)
+    assert T == 4 + n_img
+    kv_cfg = kvc.KVCacheConfig(num_layers=cfg.num_layers,
+                               num_kv_heads=cfg.num_kv_heads,
+                               head_dim=cfg.head_dim, num_pages=8,
+                               page_size=32)
+    cache = kvc.allocate(kv_cfg)
+    batch = AttentionBatch(
+        positions=jnp.arange(T, dtype=jnp.int32)[None, :],
+        slot_mapping=(jnp.arange(T, dtype=jnp.int32) + 32)[None, :],
+        block_tables=jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+        ctx_lens=jnp.asarray([T], jnp.int32))
+    logits, _ = model_forward(
+        params, cfg, jnp.asarray(np.asarray(out_ids)[None]), cache, batch,
+        scheme="bf16", input_embeds=jnp.asarray(embeds[None]))
+    got = np.asarray(logits[0], np.float32)
+
+    pixel_values = torch.tensor(
+        ((image01 - _CLIP_MEAN) / _CLIP_STD).transpose(2, 0, 1)[None])
+    input_ids = torch.tensor([[2, 9] + [IMG_TOKEN] * n_img + [5, 11]])
+    with torch.no_grad():
+        want = hf(input_ids=input_ids,
+                  pixel_values=pixel_values).logits[0].numpy()
+    top2 = np.sort(want, axis=-1)
+    tied = (top2[:, -1] - top2[:, -2]) < 0.01
+    agree = (got.argmax(-1) == want.argmax(-1)) | tied
+    assert agree.mean() > 0.95, (got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=0.4, rtol=0.05)
