@@ -53,6 +53,20 @@ def model_cfg(preset: str = "small"):
                            num_heads=12, num_kv_heads=4, head_dim=128,
                            rope_theta=10000.0, max_position_embeddings=1024,
                            quant="none", weightless_norm=False)
+    if preset == "draft":
+        # ~18M params: a SEPARATE smaller draft model for the medium/medium4k
+        # target (reference draft_model_config, vllm/config.py:1707 +
+        # spec_decode/smaller_tp_proposer_worker.py). Same vocabulary as the
+        # medium presets (rejection sampling requires it); trained on the
+        # same induction distribution so its greedy continuations agree with
+        # the target's. Served bf16 (no QuaRot needed): at target scale its
+        # per-step weight traffic is ~1% of the target's — the weight-bound-
+        # regime fix BENCH_NOTES.md's exp45 analysis calls for.
+        return ModelConfig(vocab_size=4096, hidden_size=512,
+                           intermediate_size=1536, num_layers=4,
+                           num_heads=4, num_kv_heads=4, head_dim=128,
+                           rope_theta=10000.0, max_position_embeddings=4608,
+                           quant="none", weightless_norm=False)
     if preset == "medium4k":
         # the medium arch extended to a 4k position window (round-4 headline
         # regime): at B=32 and ctx 2-4k a decode step streams 1-2 GB of KV,
@@ -283,7 +297,7 @@ def main():
                          "prompt+output must fit inside this window")
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--preset", default="small",
-                    choices=["small", "medium", "medium4k", "big"])
+                    choices=["small", "draft", "medium", "medium4k", "big"])
     ap.add_argument("--out", default=DEFAULT_OUT)
     ap.add_argument("--save-every", type=int, default=0,
                     help="snapshot the checkpoint every N steps")

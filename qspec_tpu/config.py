@@ -845,6 +845,16 @@ class SpeculativeConfig:
     # only acceptance depends on the window covering the model's effective
     # lookback. None = full-context drafting.
     draft_kv_window: Optional[int] = None
+    # TIMING-HARNESS ONLY: force every round to accept exactly this many
+    # draft tokens (+1 recovery/bonus) regardless of the rejection-sampler
+    # outcome. All device work (k draft forwards + the full verify pass +
+    # rejection arithmetic) still runs, so wall time is honest — but the
+    # emitted tokens are NOT the target's greedy continuation. Used to
+    # sweep throughput-vs-acceptance at dims whose weights are synthetic
+    # (the 8B-dims regime: no honest in-image-trainable checkpoint at that
+    # scale); the real acceptance to read the curve at comes from the
+    # trained draft/target pair at in-image scale (bench.py medium-draft).
+    force_accept_len: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

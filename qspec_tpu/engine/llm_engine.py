@@ -193,8 +193,34 @@ class LLMEngine:
             page_bytes = (2 * mc.num_layers * cc.page_size * mc.cache_kv_heads
                           * mc.cache_head_dim
                           * kv_entry_bytes(cc.kv_cache_dtype))
-            n_caches = 2 if (self.spec is not None
-                             and not (self._ngram or self._medusa)) else 1
+            need_draft = (self.spec is not None
+                          and not (self._ngram or self._medusa))
+            n_caches = 1
+            if need_draft:
+                windowed = (self.spec.draft_model is None and not self._eagle
+                            and self.spec.draft_kv_window is not None)
+                if windowed:
+                    # ring-buffer draft pool (ModelRunner ring layout): a
+                    # small FIXED pool — subtract it from the budget instead
+                    # of doubling every page (the old 2x sizing halved the
+                    # target cache and OOM'd long-context bf16-KV points)
+                    w = self.spec.draft_kv_window
+                    if mc.sliding_window is not None:
+                        w = min(w, mc.sliding_window)
+                    k = self.spec.num_speculative_tokens
+                    ring_pages = -(-(w + k + 1) // cc.page_size) + 2
+                    rows = max(sched.decode_batch_buckets) + 1
+                    free -= (rows * ring_pages + 1) * page_bytes
+                elif self.spec.draft_model is not None:
+                    # separate draft model: its pool has its OWN (typically
+                    # much smaller) geometry but the same page count
+                    dm = self.spec.draft_model
+                    d_page = (2 * dm.num_layers * cc.page_size
+                              * dm.cache_kv_heads * dm.cache_head_dim
+                              * kv_entry_bytes(cc.kv_cache_dtype))
+                    n_caches = 1 + d_page / page_bytes
+                else:
+                    n_caches = 2
             fit = int(free // (page_bytes * n_caches))
             if fit <= 8:
                 return need
@@ -437,6 +463,8 @@ class LLMEngine:
                 self._kv_pending.discard(s.seq_id)
                 self._kv_held[s.seq_id] = s
         for s in finished:
+            if self.runner._ring_pages:
+                self.runner.free_ring_row(s)
             tr = self._traces.pop(s.seq_id, None)
             if tr is not None:
                 tr.mark_finished()
@@ -468,8 +496,19 @@ class LLMEngine:
             payload = {"n_pages": len(page_ids), "pages": pages,
                        "scales": scales}
             if self.runner.draft_cache is not None:
-                dp, ds = self.runner.gather_pages(page_ids, draft=True)
-                payload.update(draft_pages=dp, draft_scales=ds)
+                if self.runner._ring_pages:
+                    # ring layout: park the R ring pages (position mapping
+                    # lp % R is row-independent, so they can be restored
+                    # into a different row on swap-in)
+                    ring_ids = self.runner.ring_page_ids_for(seq)
+                    if ring_ids is not None:
+                        dp, ds = self.runner.gather_pages(ring_ids,
+                                                          draft=True)
+                        payload.update(draft_ring=dp, draft_ring_scales=ds)
+                    self.runner.free_ring_row(seq)
+                else:
+                    dp, ds = self.runner.gather_pages(page_ids, draft=True)
+                    payload.update(draft_pages=dp, draft_scales=ds)
             self._swap_pool.put(seq.seq_id, len(page_ids), payload)
         for seq in batch.swap_in:
             if seq.status != SequenceStatus.RUNNING:
@@ -484,6 +523,15 @@ class LLMEngine:
             if "draft_pages" in payload:
                 self.runner.write_pages(ids, payload["draft_pages"],
                                         payload["draft_scales"], draft=True)
+            elif "draft_ring" in payload:
+                # restore the parked ring into a (possibly different) row
+                row = self.runner._ring_row_for(seq, {seq.seq_id})
+                start = 1 + row * self.runner._ring_pages
+                ring_ids = list(range(start,
+                                      start + self.runner._ring_pages))
+                self.runner.write_pages(ring_ids, payload["draft_ring"],
+                                        payload["draft_ring_scales"],
+                                        draft=True)
 
     def _log_stats(self, batch) -> None:
         from qspec_tpu.engine.metrics import Stats

@@ -17,6 +17,7 @@ XLA updates the KV pages in place.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -46,11 +47,11 @@ def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "scheme", "axis_name",
-                                    "with_hidden"),
+                                    "with_hidden", "ring_cap"),
                    donate_argnames=("cache",))
 def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
                  lora_ids=None, input_embeds=None, embeds_rows=None, *, cfg,
-                 scheme, axis_name=None, with_hidden=False):
+                 scheme, axis_name=None, with_hidden=False, ring_cap=None):
     """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
     the final valid position ([1, V]) and the updated cache.
 
@@ -61,10 +62,20 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     ``with_hidden`` additionally returns the final position's post-norm
     hidden state ([B, H]) — last-token pooling for embedding requests
     (reference vllm/model_executor/layers/pooler.py).
+
+    ``ring_cap``: ring-buffer KV write floor (the MagicDec-style windowed
+    draft's cache, see ModelRunner ring layout): ``block_tables`` wraps with
+    period ring_pages, so within one rectangle only the final ``ring_cap``
+    positions before each row's ctx_len may be written — older positions
+    would alias the same physical pages in a single scatter (undefined write
+    order). Their KV is dead anyway: the windowed draft never reads past the
+    window, and early-query attention outputs of a prefill are discarded.
     """
     page_size = cache.page_size
     Q = token_ids.shape[1]
     valid = positions < ctx_len[:, None]
+    if ring_cap is not None:
+        valid &= positions >= ctx_len[:, None] - ring_cap
     slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
                            block_tables=block_tables, ctx_lens=ctx_len)
@@ -359,14 +370,16 @@ def verify_step_onehot(params, cache, last_tokens, draft_tokens, start_pos,
                    static_argnames=("cfg", "draft_cfg", "draft_scheme",
                                     "verify_scheme", "k", "num_rounds",
                                     "axis_name", "draft_axis_name",
-                                    "acceptance"),
+                                    "acceptance", "force_accept"),
                    donate_argnames=("draft_cache", "cache"))
 def spec_rounds_step(params, draft_cache, cache, last_tokens, prev_tokens,
                      start_pos,
-                     block_tables, max_new, enable, st, key, lora_ids=None,
+                     block_tables, draft_block_tables, max_new, enable, st,
+                     key, lora_ids=None,
                      draft_params=None, *, cfg, draft_scheme, verify_scheme, k,
                      num_rounds=1, axis_name=None, draft_cfg=None,
-                     draft_axis_name="inherit", acceptance="rejection_sampler"):
+                     draft_axis_name="inherit", acceptance="rejection_sampler",
+                     force_accept=None):
     """`num_rounds` full QSpec rounds (draft k + verify + rejection) in ONE
     executable — one host round-trip for up to num_rounds*(k+1) tokens.
 
@@ -398,6 +411,11 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, prev_tokens,
     run the draft collective-free on every chip — the TPU analogue of the
     reference's draft-TP=1 smaller_tp_proposer_worker.py.
 
+    ``draft_block_tables`` maps the DRAFT cache's logical pages (same array
+    as ``block_tables`` when the draft pool shares the target's page ids;
+    a wrap-around ring table under the windowed draft's ring-buffer pool —
+    see ModelRunner ring layout).
+
     Returns (tokens [R, B, k+1] (-1 padded), accepted_len [R, B], new caches).
     """
     d_params = params if draft_params is None else draft_params
@@ -412,7 +430,7 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, prev_tokens,
         draft_cache, cache, last, prev, pos, budget, g = carry
         dk, vk = jax.random.split(round_key)
         d_toks, d_probs, draft_cache = _draft_impl(
-            d_params, draft_cache, last, pos, block_tables, st, dk,
+            d_params, draft_cache, last, pos, draft_block_tables, st, dk,
             cfg=d_cfg, scheme=draft_scheme, k=k, axis_name=d_axis,
             lora_ids=d_lora, gstate=g, prev_tokens=prev)
         # oracle mode: -1 tokens always reject; zeroed q makes the recovery
@@ -424,7 +442,22 @@ def spec_rounds_step(params, draft_cache, cache, last_tokens, prev_tokens,
             cfg=cfg, scheme=verify_scheme, axis_name=axis_name,
             acceptance=acceptance, lora_ids=lora_ids, gstate=g)
         # budget mask: emit at most `budget` more tokens per seq
-        acc = jnp.minimum(result.accepted_len, jnp.maximum(budget, 0))
+        real_acc = result.accepted_len
+        if force_accept is not None:
+            # TIMING-HARNESS mode (SpeculativeConfig.force_accept_len):
+            # override the acceptance decision with a fixed accepted length
+            # to measure throughput as a function of acceptance at shapes
+            # whose weights are synthetic (e.g. 8B dims with no in-image
+            # checkpoint). ALL device work (k draft forwards, the full
+            # verify pass, rejection arithmetic) still runs — only the
+            # accepted-length decision is replaced, so wall time is honest.
+            # Output tokens are NOT the target's greedy continuation.
+            real_acc = jnp.full_like(real_acc,
+                                     min(force_accept + 1, k + 1))
+            # slots past the REAL accepted length hold -1; clamp so the
+            # advanced last/prev tokens stay valid ids
+            result = result._replace(tokens=jnp.maximum(result.tokens, 0))
+        acc = jnp.minimum(real_acc, jnp.maximum(budget, 0))
         active = budget > 0
         acc = jnp.where(active, jnp.maximum(acc, 1), 0)
         slots = jnp.arange(k + 1)[None, :]
@@ -881,17 +914,48 @@ class ModelRunner:
         if sep_draft and draft_params is None:
             raise ValueError("speculative.draft_model set but no draft_params "
                              "passed to the engine")
+        self.page_size = page_size
+        self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
+        spec_k = (config.speculative.num_speculative_tokens
+                  if config.speculative else 1)
+        # Ring-buffer draft-KV layout (MagicDec): the windowed draft only
+        # ever reads the last `window` positions and writes at most k ahead,
+        # so its cache needs a per-sequence RING of
+        # ceil((window + k + 1) / page_size) + 2 pages with wrap-around page
+        # reuse — NOT a second full-size pool (which doubled KV HBM and
+        # OOM'd the 8B 2k-ctx bf16 point, BENCH_NOTES.md). The ring block
+        # table maps logical page lp -> row*R + lp % R, so draft executables
+        # are unchanged: the indirection lives entirely in the table. The
+        # +2 page slack covers page-boundary straddle (a span of N tokens
+        # touches up to ceil(N/S)+1 logical pages) and window off-by-ones.
+        self._ring_pages = 0
+        self._ring_rows = 0
+        self._ring_slot: dict = {}
+        ring_enabled = os.environ.get("QSPEC_RING_DRAFT", "1") != "0"
+        if (need_draft_cache and self._windowed_draft and not self._eagle
+                and ring_enabled):
+            w = self.draft_cfg.sliding_window
+            self._ring_pages = -(-(w + spec_k + 1) // page_size) + 2
+            # row per sequence slot + a SCRATCH row for padded batch lanes;
+            # page 0 stays the reserved null page (phantom-query writes,
+            # masked prefill lanes), so rings start at page 1
+            self._ring_rows = max(config.scheduler.decode_batch_buckets) + 1
+            d_num_pages = self._ring_rows * self._ring_pages + 1
+            # precomputed wrap pattern: table row = 1 + ring_row*R + lp % R
+            self._ring_base = np.arange(self.max_pages_per_seq,
+                                        dtype=np.int32) % self._ring_pages
+        else:
+            d_num_pages = num_pages
         if need_draft_cache:
             d_kv_cfg = kvc.KVCacheConfig(
                 num_layers=self.draft_cfg.num_layers,
                 num_kv_heads=self.draft_cfg.cache_kv_heads,
-                head_dim=self.draft_cfg.cache_head_dim, num_pages=num_pages,
+                head_dim=self.draft_cfg.cache_head_dim,
+                num_pages=d_num_pages,
                 page_size=page_size, dtype=config.cache.kv_cache_dtype)
             self.draft_cache = kvc.allocate(d_kv_cfg)
         else:
             self.draft_cache = None
-        self.page_size = page_size
-        self.max_pages_per_seq = -(-config.scheduler.max_model_len // page_size)
         self.key = jax.random.PRNGKey(0)
         self._verify_scheme = ("w4a16" if self.cfg.quant in ("w4", "w4g", "w8")
                                else "bf16")
@@ -931,6 +995,7 @@ class ModelRunner:
                 draft_cfg=self.draft_cfg
                 if (sep_draft or self._windowed_draft) else None,
                 draft_params=self.draft_params,
+                draft_ring_cap=self.ring_cap if self._ring_pages else None,
                 decode_steps=config.scheduler.steps_per_decode_call,
                 nmin=(config.speculative.ngram_prompt_lookup_min
                       if config.speculative else 1),
@@ -943,9 +1008,9 @@ class ModelRunner:
                 "prefill_hidden": functools.partial(
                     prefill_step, cfg=self.cfg, scheme=self._verify_scheme,
                     with_hidden=True),
-                "prefill_draft": functools.partial(prefill_step,
-                                                   cfg=self.draft_cfg,
-                                                   scheme=draft_scheme),
+                "prefill_draft": functools.partial(
+                    prefill_step, cfg=self.draft_cfg, scheme=draft_scheme,
+                    ring_cap=self.ring_cap if self._ring_pages else None),
                 "decode": functools.partial(decode_step, cfg=self.cfg,
                                             scheme=self._verify_scheme),
                 "decode_top": functools.partial(
@@ -968,7 +1033,9 @@ class ModelRunner:
                     draft_cfg=self.draft_cfg
                     if (sep_draft or self._windowed_draft) else None,
                     acceptance=(config.speculative.acceptance_method
-                                if config.speculative else "rejection_sampler")),
+                                if config.speculative else "rejection_sampler"),
+                    force_accept=(config.speculative.force_accept_len
+                                  if config.speculative else None)),
                 "verify_onehot": functools.partial(
                     verify_step_onehot, cfg=self.cfg,
                     scheme=self._verify_scheme),
@@ -1139,9 +1206,13 @@ class ModelRunner:
             # mixed rectangles: embed-table rows keep their lookup; flagged
             # rows take the provided vectors (models/llama.model_forward)
             extra = (jnp.asarray(embeds, jnp.bfloat16), jnp.asarray(erow))
+        if draft and self._ring_pages:
+            tables_arr = self._ring_tables([c[0] for c in chunks], B)
+        else:
+            tables_arr = self._pad_block_tables(tables)
         out = fn(
             p, cache, jnp.asarray(toks), jnp.asarray(positions),
-            jnp.asarray(self._pad_block_tables(tables)), jnp.asarray(ctx),
+            jnp.asarray(tables_arr), jnp.asarray(ctx),
             None if draft and self.draft_params is not None
             else self._lora_ids([c[0] for c in chunks], B), *extra)
         hidden = None
@@ -1304,6 +1375,8 @@ class ModelRunner:
 
         extra = (() if self.draft_params is None else (self.draft_params,))
         tables_d = jnp.asarray(self._pad_block_tables(tables))
+        dtables_d = (jnp.asarray(self._ring_tables(seqs, B))
+                     if self._ring_pages else tables_d)
         lora = self._lora_ids(seqs, B)
         last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
         prev_d = jnp.asarray(prev)
@@ -1315,8 +1388,8 @@ class ModelRunner:
                 self.fns["spec_rounds"](
                     self.params, self.draft_cache, self.cache, last_d, prev_d,
                     pos_d,
-                    tables_d, budget_d, en_d, st, self._next_key(), lora,
-                    *extra)
+                    tables_d, dtables_d, budget_d, en_d, st, self._next_key(),
+                    lora, *extra)
             last_d, prev_d, pos_d, budget_d = adv
             parts.append((toks, accs, lps))
         parts = jax.device_get(parts)
@@ -1325,6 +1398,55 @@ class ModelRunner:
         lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
         n = len(seqs)
         return toks[:, :n], accs[:, :n], lps[:, :n]
+
+    # -- ring-buffer draft KV (windowed shared-weights draft) --------------
+    @property
+    def ring_cap(self) -> int:
+        """Ring write floor: only the last ring_cap positions of a prefill
+        rectangle may be written (older ones would alias ring pages within
+        one scatter). Always >= window + k + page_size."""
+        return (self._ring_pages - 1) * self.page_size
+
+    def _ring_row_for(self, seq, live_ids) -> int:
+        """Assign (or reuse) a draft-KV ring row for a sequence; evict rows
+        of sequences not in the current batch when full (acceptance-only
+        cost: the evictee's draft window rebuilds through backfill)."""
+        sid = seq.seq_id
+        if sid in self._ring_slot:
+            return self._ring_slot[sid]
+        used = set(self._ring_slot.values())
+        # last row is the padded-lane scratch ring — never assigned
+        row = next((r for r in range(self._ring_rows - 1) if r not in used),
+                   None)
+        if row is None:
+            victim = next(s for s in self._ring_slot if s not in live_ids)
+            row = self._ring_slot.pop(victim)
+        self._ring_slot[sid] = row
+        return row
+
+    def ring_page_ids_for(self, seq):
+        """The R physical draft-pool page ids of a sequence's ring row (for
+        swap-mode preemption payloads), or None if it has no row yet."""
+        row = self._ring_slot.get(seq.seq_id)
+        if row is None:
+            return None
+        start = 1 + row * self._ring_pages
+        return list(range(start, start + self._ring_pages))
+
+    def _ring_tables(self, seqs, B: int) -> np.ndarray:
+        """[B, max_pages_per_seq] draft block tables under the ring layout:
+        entry lp -> 1 + row*R + lp % R. Padded lanes ride the scratch ring."""
+        live = {s.seq_id for s in seqs}
+        out = np.empty((B, self.max_pages_per_seq), np.int32)
+        scratch = 1 + (self._ring_rows - 1) * self._ring_pages
+        out[:] = scratch + self._ring_base
+        for i, s in enumerate(seqs):
+            out[i] = (1 + self._ring_row_for(s, live) * self._ring_pages
+                      + self._ring_base)
+        return out
+
+    def free_ring_row(self, seq) -> None:
+        self._ring_slot.pop(seq.seq_id, None)
 
     def _hist_row_for(self, seq, live_ids) -> int:
         """Assign (or reuse) a device-history row for a sequence; evict rows

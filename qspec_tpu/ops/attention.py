@@ -25,10 +25,38 @@ from qspec_tpu.ops.kv_cache import PagedKVCache, gather_layer
 NEG_INF = -1e30
 
 
+def alibi_slopes(n_heads: int):
+    """Per-head ALiBi slopes (the closed form the reference replicates in
+    every ALiBi family: vllm/model_executor/models/bloom.py:49
+    _get_alibi_slopes; "Train Short, Test Long", Press et al. 2022).
+
+    For n a power of two: slopes are the geometric sequence starting at
+    2^(-8/n) with that same ratio. Otherwise the power-of-two sequence below
+    n is interleaved with the start of the 2*floor-sequence's odd elements.
+    Returns a float32 numpy array [n_heads].
+    """
+    import math
+
+    import numpy as np
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        out = pow2_slopes(n_heads)
+    else:
+        base = 2 ** math.floor(math.log2(n_heads))
+        out = pow2_slopes(base)
+        out += pow2_slopes(2 * base)[0::2][: n_heads - base]
+    return np.asarray(out, np.float32)
+
+
 def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                         block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                         scale: float, q_positions: jnp.ndarray = None,
-                        window=None, softcap: float = None) -> jnp.ndarray:
+                        window=None, softcap: float = None,
+                        alibi: jnp.ndarray = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the new ones.
 
     ``q_positions`` [B, Q] gives each query's absolute position; query i

@@ -187,7 +187,7 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                      draft_scheme: str = "w4a4", k: int = 3, num_rounds: int = 1,
                      decode_steps: int = 1, nmin: int = 1, nmax: int = 4,
                      draft_cfg: Optional[ModelConfig] = None,
-                     draft_params=None):
+                     draft_params=None, draft_ring_cap: Optional[int] = None):
     """Build shard_mapped analogues of the model_runner step functions.
 
     Returns dict with keys prefill / decode / draft / verify whose call
@@ -241,11 +241,13 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
     else:
         fns["prefill_draft"] = _wrap(
             mr.prefill_step.__wrapped__, mesh, shared_draft_cfg, params,
-            (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme) if cfg.quant == "w4" else None
+            (R, R, R, R, R), (P(), cspec), 1, scheme=draft_scheme,
+            ring_cap=draft_ring_cap) if cfg.quant == "w4" else None
         fns["prefill_draft_embeds"] = _wrap(
             mr.prefill_step.__wrapped__, mesh, shared_draft_cfg, params,
             (R, R, R, R, R, R, R), (P(), cspec), 1,
-            scheme=draft_scheme) if cfg.quant == "w4" else None
+            scheme=draft_scheme,
+            ring_cap=draft_ring_cap) if cfg.quant == "w4" else None
     fns["prefill_hidden"] = _wrap(
         mr.prefill_step.__wrapped__, mesh, cfg, params,
         (R, R, R, R, R), (P(), P(), cspec), 1, scheme=scheme,
@@ -296,11 +298,12 @@ def make_tp_step_fns(mesh: Mesh, cfg: ModelConfig, params, scheme: str,
                               draft_cfg=draft_cfg,  # windowed shared draft OK
                               draft_axis_name=None if sep_draft else "inherit")
     if sep_draft:
-        in_specs = (pspecs, dcspec, cspec, R, R, R, R, R, R, mr_st_spec(), R,
-                    R, dpspecs)
+        in_specs = (pspecs, dcspec, cspec, R, R, R, R, R, R, R, mr_st_spec(),
+                    R, R, dpspecs)
         out_specs = (P(), P(), P(), (P(), P(), P(), P()), dcspec, cspec)
     else:
-        in_specs = (pspecs, cspec, cspec, R, R, R, R, R, R, mr_st_spec(), R, R)
+        in_specs = (pspecs, cspec, cspec, R, R, R, R, R, R, R, mr_st_spec(),
+                    R, R)
         out_specs = (P(), P(), P(), (P(), P(), P(), P()), cspec, cspec)
     mapped = shard_map(inner, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
