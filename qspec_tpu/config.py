@@ -378,7 +378,8 @@ class ModelConfig:
         """Build from a HuggingFace config.json dict."""
         mt = hf.get("model_type", "")
         if mt in ("opt", "gpt2", "starcoder2", "falcon", "stablelm",
-                  "gpt_neox", "phi", "gptj", "cohere", "olmo"):
+                  "gpt_neox", "phi", "gptj", "cohere", "olmo", "bloom",
+                  "mpt", "jais"):
             return ModelConfig._from_gpt_family(mt, hf)
         if mt == "deepseek_v2":
             # deepseek-v2 (reference models/deepseek_v2.py): MLA attention
@@ -493,6 +494,11 @@ class ModelConfig:
             residual_multiplier=(hf.get("residual_multiplier", 1.0)
                                  if granite else 1.0),
             logits_scaling=hf.get("logits_scaling") if granite else None,
+            # Baichuan-13B: llama graph with ALiBi instead of rope (the
+            # registry's capital-C entry sets the flag; the 13B HF config
+            # carries no explicit marker — the reference keys off the
+            # architecture string, models/baichuan.py)
+            position_embedding="alibi" if hf.get("_alibi") else "rope",
             moe_intermediate_size=hf.get("moe_intermediate_size"),
             shared_expert_intermediate_size=hf.get(
                 "shared_expert_intermediate_size", 0) if qwen2moe else 0,
@@ -717,17 +723,99 @@ class ModelConfig:
                 rms_norm_eps=1e-5,
                 quant="none", weightless_norm=False,
                 tie_word_embeddings=hf.get("tie_word_embeddings", True))
-        # falcon: parallel blocks, fused qkv, gelu MLP of width 4H
+        if mt == "bloom":
+            # BLOOM (reference models/bloom.py): ALiBi, LayerNorm + biases,
+            # non-gated tanh-gelu MLP of width 4H, head-interleaved fused
+            # query_key_value, an embedding LayerNorm
+            # (word_embeddings_layernorm), tied lm_head
+            nh = hf["n_head"]
+            return ModelConfig(
+                arch="bloom", norm_type="layernorm", mlp_gated=False,
+                position_embedding="alibi", linear_bias=True,
+                parallel_block=False, hidden_act="gelu_tanh",
+                vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+                intermediate_size=4 * hf["hidden_size"],
+                num_layers=hf["n_layer"], num_heads=nh, num_kv_heads=nh,
+                head_dim=hf["hidden_size"] // nh,
+                max_position_embeddings=hf.get("seq_length", 8192),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=True)
+        if mt == "mpt":
+            # MPT (reference models/mpt.py): ALiBi, LayerNorm (bias-free
+            # when no_bias), fused Wqkv, non-gated gelu MLP of
+            # expansion_ratio*d, tied embeddings, optional clip_qkv
+            ac = hf.get("attn_config", {}) or {}
+            if not ac.get("alibi", True):
+                raise ValueError("MPT without ALiBi (learned positions) is "
+                                 "not supported")
+            if ac.get("qk_ln"):
+                raise ValueError("MPT qk_ln is not supported")
+            nh = hf["n_heads"]
+            return ModelConfig(
+                arch="mpt", norm_type="layernorm", mlp_gated=False,
+                position_embedding="alibi",
+                linear_bias=not hf.get("no_bias", True),
+                clip_qkv=ac.get("clip_qkv"),
+                parallel_block=False, hidden_act="gelu",
+                vocab_size=hf["vocab_size"], hidden_size=hf["d_model"],
+                intermediate_size=int(hf.get("expansion_ratio", 4)
+                                      * hf["d_model"]),
+                num_layers=hf["n_layers"], num_heads=nh,
+                num_kv_heads=ac.get("kv_n_heads", nh) or nh,
+                head_dim=hf["d_model"] // nh,
+                max_position_embeddings=hf.get("max_seq_len", 2048),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=True)
+        if mt == "jais":
+            # JAIS (reference models/jais.py, custom remote code): GPT-2
+            # skeleton (LayerNorm + biases, fused c_attn) with ALiBi, a
+            # GATED swiglu MLP, muP scaling knobs: embeddings *
+            # embeddings_scale, logits * width_scale, and attention scores
+            # scaled 1/d instead of 1/sqrt(d) (scale_qk_dot_by_d) — 1/d ==
+            # (d^2)^-0.5 rides query_pre_attn_scalar
+            nh = hf["n_head"]
+            dh = hf["n_embd"] // nh
+            emb_scale = hf.get("mup_embeddings_scale",
+                               hf.get("embeddings_scale", 1.0))
+            width_scale = (hf.get("mup_output_alpha", 1.0)
+                           * hf.get("mup_width_scale", 1.0)
+                           if "mup_output_alpha" in hf
+                           else hf.get("width_scale", 1.0))
+            return ModelConfig(
+                arch="jais", norm_type="layernorm", mlp_gated=True,
+                position_embedding=("alibi"
+                                    if hf.get("position_embedding_type",
+                                              "alibi") == "alibi"
+                                    else "learned"),
+                linear_bias=True, hidden_act="silu",
+                embed_scale=emb_scale if emb_scale != 1.0 else None,
+                logits_scaling=(1.0 / width_scale
+                                if width_scale != 1.0 else None),
+                query_pre_attn_scalar=(dh * dh
+                                       if hf.get("scale_qk_dot_by_d")
+                                       else None),
+                vocab_size=hf["vocab_size"], hidden_size=hf["n_embd"],
+                intermediate_size=hf.get("n_inner") or 4 * hf["n_embd"],
+                num_layers=hf["n_layer"], num_heads=nh, num_kv_heads=nh,
+                head_dim=dh,
+                max_position_embeddings=hf.get("n_positions", 2048),
+                rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+                quant="none", weightless_norm=False,
+                tie_word_embeddings=True)
+        # falcon: fused qkv, gelu MLP of width 4H; parallel blocks (7B/40B
+        # rope lineage) or sequential pre-LN blocks with ALiBi (falcon-rw)
         nh = hf["num_attention_heads"]
-        if not hf.get("parallel_attn", True) or hf.get("alibi"):
-            raise ValueError("falcon non-parallel / alibi variants not "
-                             "supported")
+        alibi = bool(hf.get("alibi"))
         nkv = (hf.get("num_kv_heads", nh)
                if hf.get("new_decoder_architecture") else
                (1 if hf.get("multi_query", True) else nh))
         return ModelConfig(
             arch="falcon", norm_type="layernorm", mlp_gated=False,
-            parallel_block=True, linear_bias=False,
+            parallel_block=hf.get("parallel_attn", True),
+            linear_bias=hf.get("bias", False),
+            position_embedding="alibi" if alibi else "rope",
             hidden_act="gelu",
             vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
             intermediate_size=hf.get("ffn_hidden_size", 4 * hf["hidden_size"]),

@@ -228,6 +228,10 @@ def convert_falcon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     for i in range(cfg.num_layers):
         p = f"{pre}h.{i}."
         w = _t(sd, p + "self_attention.query_key_value.weight")  # [H, out]
+        qkv_b = (sd.get(p + "self_attention.query_key_value.bias")
+                 if cfg.linear_bias else None)
+        if qkv_b is not None:
+            qkv_b = np.asarray(qkv_b, np.float32)
         if nkv not in (1, nh):
             # new-decoder GQA interleave: [nkv, q_per_group + 2, dh]
             grouped = w.reshape(w.shape[0], nkv, nh // nkv + 2, dh)
@@ -235,10 +239,22 @@ def convert_falcon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
             k = grouped[:, :, -2].reshape(w.shape[0], nkv * dh)
             v = grouped[:, :, -1].reshape(w.shape[0], nkv * dh)
             w = np.concatenate([q, k, v], axis=1)
+        elif nkv == nh:
+            # falcon-rw MHA lineage: PER-HEAD [nh, 3, dh] interleave, same
+            # as BLOOM (reference falcon.py FalconAttention._split_heads
+            # non-multi_query/non-new-arch branch)
+            grouped = w.reshape(w.shape[0], nh, 3, dh)
+            w = np.concatenate(
+                [grouped[:, :, j].reshape(w.shape[0], nh * dh)
+                 for j in range(3)], axis=1)
+            if qkv_b is not None:
+                qkv_b = np.concatenate(
+                    [qkv_b.reshape(nh, 3, dh)[:, j].reshape(-1)
+                     for j in range(3)])
         ln_w = sd.get(p + "input_layernorm.weight",
                       sd.get(p + "ln_attn.weight"))
         ln_b = sd.get(p + "input_layernorm.bias", sd.get(p + "ln_attn.bias"))
-        layers.append({
+        layer = {
             "qkv": {"w": jnp.asarray(w, dtype)},
             "o": {"w": jnp.asarray(_t(sd, p + "self_attention.dense.weight"),
                                    dtype)},
@@ -248,7 +264,24 @@ def convert_falcon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
                                       dtype)},
             "input_norm": jnp.asarray(np.asarray(ln_w, np.float32), dtype),
             "input_norm_b": jnp.asarray(np.asarray(ln_b, np.float32), dtype),
-        })
+        }
+        if cfg.linear_bias:
+            # falcon-rw lineage (bias=True): biases on every projection;
+            # the fused qkv bias was de-interleaved alongside its weight
+            layer["qkv"]["b"] = jnp.asarray(qkv_b, dtype)
+            layer["o"]["b"] = jnp.asarray(
+                _arr(sd, p + "self_attention.dense.bias"), dtype)
+            layer["gate_up"]["b"] = jnp.asarray(
+                _arr(sd, p + "mlp.dense_h_to_4h.bias"), dtype)
+            layer["down"]["b"] = jnp.asarray(
+                _arr(sd, p + "mlp.dense_4h_to_h.bias"), dtype)
+        if not cfg.parallel_block:
+            # sequential pre-LN blocks (falcon-rw): a separate MLP norm
+            layer["post_norm"] = jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype)
+            layer["post_norm_b"] = jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype)
+        layers.append(layer)
     embed = _arr(sd, pre + "word_embeddings.weight")
     from qspec_tpu.models.llama import pack_lm_head
     params = {
@@ -256,6 +289,158 @@ def convert_falcon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
         "lm_head": pack_lm_head(
             np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
             cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_bloom(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """BLOOM (reference models/bloom.py): transformer.* prefix, ALiBi (no
+    position table), an embedding LayerNorm, HEAD-INTERLEAVED fused
+    query_key_value ([nh, 3, dh] rows — de-interleaved to q|k|v here, the
+    same reshuffle the reference does in BloomAttention weight loading),
+    tanh-gelu MLP with biases, tied lm_head."""
+    pre = "transformer."
+    nh, dh = cfg.num_heads, cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        w = _t(sd, p + "self_attention.query_key_value.weight")  # [H, 3H]
+        b = _arr(sd, p + "self_attention.query_key_value.bias")  # [3H]
+        grouped = w.reshape(w.shape[0], nh, 3, dh)
+        w = np.concatenate([grouped[:, :, j].reshape(w.shape[0], nh * dh)
+                            for j in range(3)], axis=1)
+        b = np.concatenate([b.reshape(nh, 3, dh)[:, j].reshape(-1)
+                            for j in range(3)])
+        layers.append({
+            "qkv": {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)},
+            "o": {"w": jnp.asarray(_t(sd, p + "self_attention.dense.weight"),
+                                   dtype),
+                  "b": jnp.asarray(_arr(sd, p + "self_attention.dense.bias"),
+                                   dtype)},
+            "gate_up": {
+                "w": jnp.asarray(_t(sd, p + "mlp.dense_h_to_4h.weight"),
+                                 dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_h_to_4h.bias"),
+                                 dtype)},
+            "down": {
+                "w": jnp.asarray(_t(sd, p + "mlp.dense_4h_to_h.weight"),
+                                 dtype),
+                "b": jnp.asarray(_arr(sd, p + "mlp.dense_4h_to_h.bias"),
+                                 dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "input_norm_b": jnp.asarray(
+                _arr(sd, p + "input_layernorm.bias"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+            "post_norm_b": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.bias"), dtype),
+        })
+    embed = _arr(sd, pre + "word_embeddings.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "embed_norm": jnp.asarray(
+            _arr(sd, pre + "word_embeddings_layernorm.weight"), dtype),
+        "embed_norm_b": jnp.asarray(
+            _arr(sd, pre + "word_embeddings_layernorm.bias"), dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("lm_head.weight", embed), np.float32).T,
+            cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
+        "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
+def convert_mpt(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """MPT (reference models/mpt.py): transformer.blocks.* naming, fused
+    Wqkv already in q|k|v order, bias-free LayerNorms when no_bias, gelu
+    up/down MLP, tied embeddings (no separate lm_head weight)."""
+    pre = "transformer."
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}blocks.{i}."
+
+        def maybe_b(d, name):
+            if cfg.linear_bias and name + ".bias" in sd:
+                d["b"] = jnp.asarray(_arr(sd, name + ".bias"), dtype)
+            return d
+
+        layer = {
+            "qkv": maybe_b({"w": jnp.asarray(_t(sd, p + "attn.Wqkv.weight"),
+                                             dtype)}, p + "attn.Wqkv"),
+            "o": maybe_b({"w": jnp.asarray(_t(sd, p + "attn.out_proj.weight"),
+                                           dtype)}, p + "attn.out_proj"),
+            "gate_up": maybe_b(
+                {"w": jnp.asarray(_t(sd, p + "ffn.up_proj.weight"), dtype)},
+                p + "ffn.up_proj"),
+            "down": maybe_b(
+                {"w": jnp.asarray(_t(sd, p + "ffn.down_proj.weight"), dtype)},
+                p + "ffn.down_proj"),
+            "input_norm": jnp.asarray(_arr(sd, p + "norm_1.weight"), dtype),
+            "post_norm": jnp.asarray(_arr(sd, p + "norm_2.weight"), dtype),
+        }
+        if p + "norm_1.bias" in sd:
+            layer["input_norm_b"] = jnp.asarray(_arr(sd, p + "norm_1.bias"),
+                                                dtype)
+            layer["post_norm_b"] = jnp.asarray(_arr(sd, p + "norm_2.bias"),
+                                               dtype)
+        layers.append(layer)
+    embed = _arr(sd, pre + "wte.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(embed.T, cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_arr(sd, pre + "norm_f.weight"), dtype),
+    }
+    if pre + "norm_f.bias" in sd:
+        params["final_norm_b"] = jnp.asarray(_arr(sd, pre + "norm_f.bias"),
+                                             dtype)
+    return _finish(params, cfg, dtype)
+
+
+def convert_jais(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """JAIS (reference models/jais.py): GPT-2 Conv1D layout ([in, out], no
+    transpose), fused c_attn = [q|k|v], SWIGLU MLP as c_fc (gate) + c_fc2
+    (up) -> gate_up concat, ALiBi (no wpe), tied head. The muP scales ride
+    cfg (embed_scale / logits_scaling / query_pre_attn_scalar)."""
+    pre = "transformer."
+
+    def conv(name):  # Conv1D: stored [in, out]
+        return np.asarray(sd[name], np.float32)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}h.{i}."
+        gate_up = np.concatenate([conv(p + "mlp.c_fc.weight"),
+                                  conv(p + "mlp.c_fc2.weight")], axis=1)
+        gate_up_b = np.concatenate([_arr(sd, p + "mlp.c_fc.bias"),
+                                    _arr(sd, p + "mlp.c_fc2.bias")])
+        layers.append({
+            "qkv": {"w": jnp.asarray(conv(p + "attn.c_attn.weight"), dtype),
+                    "b": jnp.asarray(_arr(sd, p + "attn.c_attn.bias"), dtype)},
+            "o": {"w": jnp.asarray(conv(p + "attn.c_proj.weight"), dtype),
+                  "b": jnp.asarray(_arr(sd, p + "attn.c_proj.bias"), dtype)},
+            "gate_up": {"w": jnp.asarray(gate_up, dtype),
+                        "b": jnp.asarray(gate_up_b, dtype)},
+            "down": {"w": jnp.asarray(conv(p + "mlp.c_proj.weight"), dtype),
+                     "b": jnp.asarray(_arr(sd, p + "mlp.c_proj.bias"), dtype)},
+            "input_norm": jnp.asarray(_arr(sd, p + "ln_1.weight"), dtype),
+            "input_norm_b": jnp.asarray(_arr(sd, p + "ln_1.bias"), dtype),
+            "post_norm": jnp.asarray(_arr(sd, p + "ln_2.weight"), dtype),
+            "post_norm_b": jnp.asarray(_arr(sd, p + "ln_2.bias"), dtype),
+        })
+    embed = _arr(sd, pre + "wte.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(embed.T, cfg, dtype),
         "layers": _stack(layers),
         "final_norm": jnp.asarray(_arr(sd, pre + "ln_f.weight"), dtype),
         "final_norm_b": jnp.asarray(_arr(sd, pre + "ln_f.bias"), dtype),
@@ -966,6 +1151,9 @@ CONVERTERS = {
     "gpt2": convert_gpt2,
     "starcoder2": convert_starcoder2,
     "falcon": convert_falcon,
+    "bloom": convert_bloom,
+    "mpt": convert_mpt,
+    "jais": convert_jais,
     "baichuan": convert_baichuan,
     "internlm2": convert_internlm2,
     "stablelm": convert_stablelm,

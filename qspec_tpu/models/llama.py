@@ -521,6 +521,18 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
             window = jnp.where(layer_idx % cfg.sliding_window_pattern == 0,
                                window, NO_WINDOW)
 
+    # ALiBi position-encoding class (BLOOM/MPT/JAIS/Baichuan-13B/Falcon-rw;
+    # reference bloom.py:49): per-head slopes bias the attention scores, no
+    # rope is applied. Under TP each shard passes its heads' slope slice.
+    alibi = None
+    if cfg.position_embedding == "alibi":
+        from qspec_tpu.ops.attention import alibi_slopes
+        sl = jnp.asarray(alibi_slopes(cfg.num_heads))
+        if axis_name is not None and ntp > 1:
+            sl = jax.lax.dynamic_slice_in_dim(
+                sl, jax.lax.axis_index(axis_name) * heads_l, heads_l, 0)
+        alibi = sl
+
     # --- attention block ---
     if cfg.pre_norms:
         xn, xq = _norm_maybe_quant(x, gamma_in, cfg.rms_norm_eps, scheme,
@@ -602,7 +614,8 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
         attn = paged_attention(q.reshape(B, Q, heads_l, cfg.head_dim), cache, layer_idx,
                                batch.block_tables, batch.ctx_lens, scale,
                                q_positions=batch.positions,
-                               window=window, softcap=cfg.attn_logit_softcap)
+                               window=window, softcap=cfg.attn_logit_softcap,
+                               alibi=alibi)
         attn = attn.reshape(T, heads_l, cfg.head_dim)
 
         if quarot:
@@ -821,6 +834,11 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         if cfg.position_embedding == "learned_opt":
             pos = pos + 2
         x = x + params["pos_embed"][pos].astype(x.dtype)
+    if "embed_norm" in params:
+        # BLOOM word_embeddings_layernorm (reference bloom.py BloomModel):
+        # a LayerNorm applied to the embedding output before layer 0
+        x = layernorm(x, params["embed_norm"], params["embed_norm_b"],
+                      cfg.rms_norm_eps)
 
     rope_cache = params["rope_cache"]
     if "rope_cache_local" in params:

@@ -262,10 +262,40 @@ def _starcoder2(hf: dict) -> ModelConfig:
 @register("RWForCausalLM")
 @register("falcon")
 def _falcon(hf: dict) -> ModelConfig:
-    # falcon: parallel attention+MLP blocks sharing one LayerNorm, fused
-    # query_key_value, MQA/new-decoder GQA, rope (reference models/falcon.py;
-    # alibi and non-parallel variants are rejected in from_hf_config)
+    # falcon: fused query_key_value, MQA/new-decoder GQA; 7B/40B lineage =
+    # parallel blocks + rope, falcon-rw lineage = sequential pre-LN blocks
+    # + ALiBi + biases (reference models/falcon.py _get_alibi_slopes)
     hf = {**hf, "model_type": "falcon"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("BloomForCausalLM")
+@register("bloom")
+def _bloom(hf: dict) -> ModelConfig:
+    # BLOOM (reference models/bloom.py): ALiBi, LayerNorm + biases,
+    # embedding LayerNorm, head-interleaved fused query_key_value,
+    # non-gated tanh-gelu MLP, tied lm_head
+    hf = {**hf, "model_type": "bloom"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("MPTForCausalLM")
+@register("MptForCausalLM")
+@register("mpt")
+def _mpt(hf: dict) -> ModelConfig:
+    # MPT (reference models/mpt.py): ALiBi, bias-free LayerNorm (no_bias),
+    # fused Wqkv, non-gated gelu MLP, tied embeddings
+    hf = {**hf, "model_type": "mpt"}
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("JAISLMHeadModel")
+@register("jais")
+def _jais(hf: dict) -> ModelConfig:
+    # JAIS (reference models/jais.py): GPT-2 skeleton + ALiBi + gated
+    # swiglu MLP + muP scaling (embeddings_scale / width_scale /
+    # scale_qk_dot_by_d)
+    hf = {**hf, "model_type": "jais"}
     return ModelConfig.from_hf_config(hf)
 
 
@@ -278,13 +308,13 @@ def _baichuan(hf: dict) -> ModelConfig:
     return ModelConfig.from_hf_config(hf)
 
 
-@register("BaichuanForCausalLM")   # 13B (alibi) — explicit rejection
+@register("BaichuanForCausalLM")   # 13B (alibi)
 def _baichuan13(hf: dict) -> ModelConfig:
     # the reference distinguishes 7B/13B by the architecture string's
-    # capital C (models/baichuan.py); 13B uses ALiBi which this build
-    # does not implement
-    raise ValueError("Baichuan-13B (ALiBi) is not supported; the rope "
-                     "7B variant (BaiChuanForCausalLM) is")
+    # capital C (models/baichuan.py): 13B is the same W_pack llama graph
+    # with ALiBi instead of rope
+    hf = {**hf, "model_type": "baichuan", "_alibi": True}
+    return ModelConfig.from_hf_config(hf)
 
 
 @register("InternLM2ForCausalLM")

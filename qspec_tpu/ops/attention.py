@@ -66,7 +66,10 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
     ``window`` limits attention to the last `window` positions (Mistral
     sliding window, reference quarot_llama.py:125-136); it may be a traced
     scalar (gemma2 per-layer alternation). ``softcap``: gemma2
-    attention-logit tanh cap.
+    attention-logit tanh cap. ``alibi``: [Hq] per-head ALiBi slopes —
+    adds slope * (kv_pos - q_pos) to the scores pre-softmax (BLOOM / MPT /
+    JAIS / Baichuan-13B / Falcon-alibi; reference
+    vllm/attention/backends/flash_attn.py:603-619 alibi bias build).
     """
     B, Q, Hq, D = q.shape
     if q_positions is None:
@@ -83,6 +86,14 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
 
     C = k.shape[2]
     kv_pos = jnp.arange(C)[None, :]                       # [1, C]
+    if alibi is not None:
+        # delta <= 0 in the causal region; masked positions are overwritten
+        # with NEG_INF below regardless
+        delta = (kv_pos[None].astype(jnp.float32)
+                 - q_positions[:, :, None].astype(jnp.float32))  # [B, Q, C]
+        sl = jnp.asarray(alibi, jnp.float32).reshape(Hkv, group)
+        scores = scores + (sl[None, :, :, None, None]
+                           * delta[:, None, None, :, :])
     mask = kv_pos[None] <= q_positions[:, :, None]        # [B, Q, C]
     if window is not None:
         mask = mask & (kv_pos[None] > q_positions[:, :, None] - window)
@@ -120,7 +131,8 @@ def prefill_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                     scale: float, q_positions: jnp.ndarray = None,
-                    window=None, softcap: float = None) -> jnp.ndarray:
+                    window=None, softcap: float = None,
+                    alibi: jnp.ndarray = None) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
@@ -141,9 +153,11 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                                      q_positions=q_positions,
                                      layer=jnp.asarray(layer, jnp.int32),
                                      kv_scales=cache.kv_scales,
-                                     window=window, softcap=softcap)
+                                     window=window, softcap=softcap,
+                                     alibi=alibi)
     else:
         out = paged_attention_ref(q, cache, layer, block_tables, ctx_lens,
                                   scale, q_positions=q_positions,
-                                  window=window, softcap=softcap)
+                                  window=window, softcap=softcap,
+                                  alibi=alibi)
     return out[..., :head_dim] if cache_dim != head_dim else out

@@ -69,9 +69,15 @@ def _paged_attn_kernel(
     scale: float,
     quant: bool,
     softcap: float,
+    alibi: bool,
 ):
+    refs = list(refs)
+    kv_scales_ref = refs.pop(0) if quant else None
+    # [Hkv, G_blk] f32 per-ROW ALiBi slope (the slope of the query head
+    # owning that grouped-query row); precomputed in the wrapper
+    slopes_ref = refs.pop(0) if alibi else None
     if quant:
-        kv_scales_ref, out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
+        out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
     else:
         out_ref, kv_buf, acc, sems = refs
     b = pl.program_id(0)
@@ -148,13 +154,21 @@ def _paged_attn_kernel(
             # per-(head, token) K scale folds into score space
             s = s * sc_buf[slot, 0][:, None, :]
 
+        kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (Hkv, G, chunk_kv), 2)
+
+        if alibi:
+            # ALiBi positional bias: slope * (kv_pos - q_pos) added to the
+            # scores pre-softmax (reference bloom.py:49 _get_alibi_slopes;
+            # flash_attn.py:603-619 bias build). delta <= 0 causally;
+            # out-of-range positions are NEG_INF-masked below anyway.
+            s = s + (slopes_ref[...][:, :, None]
+                     * (kv_pos - q_pos).astype(jnp.float32))
+
         if softcap is not None:
             # gemma2 attention-logit softcapping: cap * tanh(s / cap)
             # (reference gemma2.py attn_logit_softcapping)
             s = jnp.tanh(s * (1.0 / softcap)) * softcap
-
-        kv_pos = c * chunk_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (Hkv, G, chunk_kv), 2)
         live = (kv_pos <= q_pos) & (kv_pos > q_pos - window)
         s = jnp.where(live, s, NEG_INF)
 
@@ -196,7 +210,8 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            q_positions: jnp.ndarray = None,
                            layer: jnp.ndarray = None,
                            kv_scales: jnp.ndarray = None,
-                           window=None, softcap: float = None) -> jnp.ndarray:
+                           window=None, softcap: float = None,
+                           alibi: jnp.ndarray = None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; kv_pages: [L, P, 2, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
     through scan xs/ys); block_tables: [B, PPS]; kv_scales
@@ -243,6 +258,14 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch.append(pltpu.VMEM((2, 2, Hkv, S), jnp.float32))
         inputs.append(kv_scales)
+    if alibi is not None:
+        # per-ROW slope (the query head owning grouped-query row r is
+        # hkv*group + r // Q); padded rows clamp to the last group
+        gi = jnp.minimum(jnp.arange(G_pad, dtype=jnp.int32) // Q, group - 1)
+        slope_rows = jnp.asarray(alibi, jnp.float32).reshape(Hkv, group)[:, gi]
+        in_specs.append(pl.BlockSpec((Hkv, G_blk), lambda b, g, *_: (0, g),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(slope_rows)
     scratch.append(pltpu.VMEM((Hkv, G_blk, D), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if quant:
@@ -265,6 +288,7 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         scale=scale,
         quant=quant,
         softcap=softcap,
+        alibi=alibi is not None,
     )
 
     out = pl.pallas_call(

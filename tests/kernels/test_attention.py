@@ -261,3 +261,49 @@ def test_sliding_window_prefill_ref(rng):
     with pytest.raises(AssertionError):
         np.testing.assert_allclose(np.asarray(out[1], np.float32),
                                    np.asarray(out2[1], np.float32), atol=1e-3)
+
+
+@pytest.mark.parametrize("Q", [1, 4])  # decode and verify widths
+def test_alibi_pallas_matches_ref(rng, Q):
+    """ALiBi bias (BLOOM/MPT/JAIS/Baichuan-13B): slope * (kv_pos - q_pos)
+    added pre-softmax, grouped-query heads each carrying their own slope
+    (reference flash_attn.py:603-619 bias build)."""
+    from qspec_tpu.ops.attention import alibi_slopes
+
+    B, Hq, Hkv, D, S = 3, 4, 2, 64, 8
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray(rng.permutation(np.arange(1, 13)).reshape(3, 4)
+                         .astype(np.int32))
+    ctx = jnp.asarray([Q + 3, S + Q, 2 * S + Q], jnp.int32)
+    scale = D ** -0.5
+    sl = jnp.asarray(alibi_slopes(Hq))
+
+    ref = paged_attention_ref(q, cache, 0, tables, ctx, scale, alibi=sl)
+    out = paged_attention_pallas(q, cache.kv_pages, tables, ctx, scale,
+                                 alibi=sl)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    # the bias must actually matter: no-alibi output differs
+    base = paged_attention_ref(q, cache, 0, tables, ctx, scale)
+    assert not np.allclose(np.asarray(ref, np.float32),
+                           np.asarray(base, np.float32), atol=1e-3)
+
+
+def test_alibi_slopes_match_hf():
+    """Closed-form slopes == transformers' BLOOM builder (power-of-2 and
+    interpolated non-power-of-2 head counts)."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from qspec_tpu.ops.attention import alibi_slopes
+
+    for n in (4, 8, 6, 12):
+        mask = torch.ones(1, 5)
+        alibi = build_alibi_tensor(mask, n, torch.float32)  # [n, 1, 5]
+        # slope = bias at distance 1 relative to distance 0... the tensor is
+        # slopes * arange(seq), so column 1 IS the slope
+        hf = alibi[:, 0, 1].numpy()
+        np.testing.assert_allclose(alibi_slopes(n), hf, rtol=1e-6)

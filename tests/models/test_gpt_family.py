@@ -174,9 +174,14 @@ def test_baichuan_wpack_matches_llama():
     np.testing.assert_allclose(got, want, atol=0.25, rtol=0.05)
 
 
-def test_baichuan_13b_alibi_rejected():
-    with pytest.raises(ValueError, match="ALiBi"):
-        resolve({"architectures": ["BaichuanForCausalLM"]})
+def test_baichuan_13b_resolves_alibi():
+    # capital-C 13B arch -> the W_pack llama graph with ALiBi
+    # (tests/models/test_alibi_family.py has the layout + graph tests)
+    cfg = resolve({"architectures": ["BaichuanForCausalLM"],
+                   "vocab_size": 256, "hidden_size": 64,
+                   "intermediate_size": 128, "num_hidden_layers": 2,
+                   "num_attention_heads": 4, "max_position_embeddings": 64})
+    assert cfg.arch == "baichuan" and cfg.position_embedding == "alibi"
 
 
 def test_internlm2_wqkv_deinterleave_matches_llama():

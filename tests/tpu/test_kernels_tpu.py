@@ -167,6 +167,31 @@ def test_attention_sliding_window(rng, window):
     _attn_pair(rng, cache, B=4, Q=1, Hq=16, n_pages=8, window=window)
 
 
+@pytest.mark.parametrize("Q", [1, 4])
+def test_attention_alibi(rng, Q):
+    """ALiBi slope bias (BLOOM/MPT/JAIS/Baichuan-13B) in the Mosaic kernel
+    at production shapes, nonzero slopes, grouped-query rows."""
+    from qspec_tpu.ops.attention import alibi_slopes, paged_attention_ref
+    from qspec_tpu.ops.attention_pallas import paged_attention_pallas
+
+    cache = make_cache(rng)
+    B, Hq, n_pages = 4, 16, 8
+    Hkv, S, D = (cache.kv_pages.shape[3], cache.kv_pages.shape[4],
+                 cache.kv_pages.shape[5])
+    q = _bf16(rng, (B, Q, Hq, D))
+    ids = rng.permutation(np.arange(1, cache.kv_pages.shape[1]))[:B * n_pages]
+    tables = jnp.asarray(ids.reshape(B, n_pages).astype(np.int32))
+    ctx = jnp.asarray(rng.integers(Q + 1, n_pages * S, size=B), jnp.int32)
+    sl = jnp.asarray(alibi_slopes(Hq))
+    assert float(jnp.abs(sl).min()) > 0
+    ref = paged_attention_ref(q, cache, 1, tables, ctx, D ** -0.5, alibi=sl)
+    out = paged_attention_pallas(q, cache.kv_pages, tables, ctx, D ** -0.5,
+                                 layer=jnp.asarray(1, jnp.int32), alibi=sl)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=4e-2, rtol=4e-2)
+
+
 def test_kv_update_layer_scatter(rng):
     """Token scatter into the interleaved head-major pages (both dtypes)."""
     for dtype in ("bfloat16", "int8"):
