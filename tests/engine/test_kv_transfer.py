@@ -88,3 +88,80 @@ def test_inject_respects_page_budget(setup):
     with pytest.raises(RuntimeError, match="free pages"):
         for _ in range(200):
             dec.inject_kv(h, SP(max_tokens=4))
+
+
+# -- cross-process transport (KVPipe) ---------------------------------------
+
+def _prefill_process(addr: str, prompts, ready):
+    """Child: build the prefill engine, push every handoff over the pipe."""
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                  SchedulerConfig)
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.kv_transfer import KVPipe
+    from qspec_tpu.models.llama import init_params
+
+    mc = ModelConfig.tiny(quant="w4")
+    eng = LLMEngine(
+        EngineConfig(model=mc, cache=CacheConfig(page_size=16),
+                     scheduler=SchedulerConfig(max_num_seqs=4,
+                                               max_model_len=128,
+                                               prefill_chunk_size=32,
+                                               decode_batch_buckets=(4,),
+                                               prefill_token_buckets=(32,))),
+        init_params(mc, seed=0))
+    pipe = KVPipe.producer(addr)
+    ready.wait(120)
+    for p in prompts:
+        rid = eng.prefill_for_transfer(list(p))
+        while eng.has_unfinished_requests():
+            eng.step()
+        pipe.send_handoff(eng.extract_kv(rid))
+    pipe.close()
+
+
+def test_disaggregated_prefill_cross_process(setup, tmp_path):
+    """The reference moves KV between SEPARATE engine processes over a pipe
+    (kv_pipe/pynccl_pipe.py:40, simple_connector.py:28): prefill in process
+    A, decode in process B, transcripts bit-equal to a co-located run."""
+    import multiprocessing as mp
+
+    from qspec_tpu.kv_transfer import KVPipe
+
+    mc, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [list(map(int, rng.integers(1, 500, size=n)))
+               for n in (33, 17)]
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+
+    single = make_engine(mc, params)
+    rids = [single.add_request(p, sp) for p in prompts]
+    ref = {r: o.output_token_ids for r, o in drain(single).items()}
+
+    addr = f"ipc://{tmp_path}/kv_pipe"
+    ctx = mp.get_context("spawn")
+    ready = ctx.Event()
+    child = ctx.Process(target=_prefill_process, args=(addr, prompts, ready))
+    child.start()
+    try:
+        # consumer binds; then release the producer to connect+send
+        pipe = KVPipe.consumer(addr)
+        ready.set()
+        dec = make_engine(mc, params)
+        order = {}
+        for i in range(len(prompts)):
+            h = pipe.recv_handoff(timeout_ms=120_000)
+            assert h.prompt_token_ids == prompts[i]
+            order[dec.inject_kv(h, sp)] = i
+        got = drain(dec)
+        for rid, i in order.items():
+            assert got[rid].output_token_ids == ref[rids[i]], (
+                f"prompt {i}: cross-process transcript diverged")
+        pipe.close()
+    finally:
+        child.join(timeout=180)
+        if child.is_alive():
+            child.terminate()
+    assert child.exitcode == 0
