@@ -154,7 +154,8 @@ def induction_prompts(n: int, prompt_len: int, vocab: int, seed: int = 0):
 def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
              page_size=128, rounds=4, warmup=True, draft_scheme="w4a8",
              method="qspec", spec_k=3, draft_kv_window=None, trials=1,
-             draft=None, force_accept=None, kv_dtype="bfloat16"):
+             draft=None, force_accept=None, kv_dtype="bfloat16",
+             medusa_tree=None):
     """One engine configuration, measured over ``trials`` timed runs.
 
     The warmup pass drives the FULL generation (same shapes, same context
@@ -212,7 +213,8 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
                                                     draft_model=(draft[0]
                                                                  if draft
                                                                  else None),
-                                                    force_accept_len=force_accept)
+                                                    force_accept_len=force_accept,
+                                                    medusa_tree=medusa_tree)
                       if spec else None)
     draft_params = draft[1] if draft else None
 
@@ -600,19 +602,28 @@ def bench_medusa(args):
     print(f"# model=induction-medusa prompts={n_prompts} "
           f"prompt_len={prompt_len} max_tokens={max_tokens} "
           f"platform={jax.default_backend()}", file=sys.stderr, flush=True)
+    tree = None
+    if not args.medusa_chain:
+        # candidate TREE (default): top-k hedging per head — the shape the
+        # reference's medusa heads are designed for (spec_decode/
+        # medusa_tree.py). --medusa-chain measures the old top-1 chain.
+        from qspec_tpu.spec_decode.medusa_tree import DEFAULT_TREE
+        tree = tuple(p for p in DEFAULT_TREE if len(p) <= k)
     ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
-                  max_num_seqs=max_num_seqs, rounds=rounds)
+                  max_num_seqs=max_num_seqs, rounds=rounds, trials=args.trials)
     print(f"# [induction-medusa] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s",
           file=sys.stderr, flush=True)
     sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
                   max_num_seqs=max_num_seqs, rounds=rounds,
-                  method="medusa", spec_k=k)
+                  method="medusa", spec_k=k, medusa_tree=tree,
+                  trials=args.trials)
     mismatches = sum(1 for rid in sp["outputs"]
                      if sp["outputs"][rid] != ar["outputs"].get(rid))
-    print(f"# [induction-medusa] medusa (k={k}): "
+    label = "medusa-tree" if tree else "medusa"
+    print(f"# [induction-medusa] {label} (k={k}): "
           f"{sp['tokens_per_sec']:.2f} tok/s metrics={sp['spec_metrics']} "
           f"mismatches={mismatches}", file=sys.stderr, flush=True)
-    sp["model"], sp["label"], sp["k"] = "induction-medusa", "medusa", k
+    sp["model"], sp["label"], sp["k"] = "induction-medusa", label, k
     sp["mismatches"] = mismatches
     sp["vs_baseline"] = sp["tokens_per_sec"] / max(ar["tokens_per_sec"], 1e-9)
     return {"model": "induction-medusa", "ar": ar, "runs": [sp]}
@@ -684,6 +695,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=None,
                     help="fused spec rounds per host call (default 4; 8 for "
                          "the induction regime)")
+    ap.add_argument("--medusa-chain", action="store_true",
+                    help="measure medusa as the old single top-1 chain "
+                         "instead of the candidate tree")
     args = ap.parse_args()
 
     import jax

@@ -919,6 +919,14 @@ class SpeculativeConfig:
     # process group needed; ICI carries zero draft traffic). None = QSpec
     # shared-weights dual-scheme drafting.
     draft_model: Optional[ModelConfig] = None
+    # Medusa candidate TREE (reference models/medusa.py heads + the Medusa
+    # paper's tree attention; the reference scores top-k continuations per
+    # head): a tuple of paths in Medusa-choices format, e.g.
+    # ((0,), (1,), (0, 0), ...) — see spec_decode/medusa_tree.py
+    # (DEFAULT_TREE). None = single top-1 chain per round. Tree mode walks
+    # target-sampled tokens down the candidate tree, which is lossless at
+    # any temperature; it does not compose with guided decoding.
+    medusa_tree: Optional[tuple] = None
     # "rejection_sampler" (lossless) | "typical_acceptance_sampler" (lossy)
     acceptance_method: str = "rejection_sampler"
     ngram_prompt_lookup_max: int = 4

@@ -61,6 +61,11 @@ class LLMEngine:
         lookahead = ((self.spec.num_speculative_tokens + 1)
                      * self.spec.rounds_per_step) if self.spec \
             else config.scheduler.steps_per_decode_call
+        if self.spec is not None and self.spec.medusa_tree is not None:
+            # tree verify writes T node slots past the current position
+            # every round while advancing at most D+1; the block tables
+            # must address the extra (T - D) reach
+            lookahead += len(self.spec.medusa_tree) + 1
 
         # "ngram"/"null" run the device-side fused proposer rounds (no draft
         # model, no draft cache); "null" is the bit-exact AR oracle mode.
@@ -71,8 +76,10 @@ class LLMEngine:
         # "mlp_speculator" is the same serving shape as medusa (trained
         # net, proposals ride the verify hidden, no draft cache) with a
         # recurrent head chain (spec_decode/mlp_speculator.py)
+        # "medusa_null" = medusa's same-executable AR oracle (nulled props)
         self._medusa = (self.spec is not None
-                        and self.spec.method in ("medusa", "mlp_speculator"))
+                        and self.spec.method in ("medusa", "mlp_speculator",
+                                                 "medusa_null"))
         # "eagle": one-layer draft net over (embed, hidden) features with
         # its OWN draft KV cache; its prompt pass is fused into prefill
         # (spec_decode/eagle.py)
@@ -312,6 +319,12 @@ class LLMEngine:
         if self.config.model.arch == "bert" and task != "embed":
             raise ValueError("BERT-family models serve task='embed' only")
         sp = sampling_params
+        if (sp.guided_regex or sp.guided_json is not None or sp.guided_choice) \
+                and self.spec is not None \
+                and self.spec.medusa_tree is not None:
+            raise ValueError("guided decoding does not compose with the "
+                             "medusa candidate tree (medusa_tree); use the "
+                             "single-chain medusa rounds")
         if sp.guided_regex or sp.guided_json is not None or sp.guided_choice:
             gc = self._get_grammar_compiler()
             if sp.guided_regex:
@@ -780,7 +793,8 @@ class LLMEngine:
                 seqs, st, k, chain=chain)
         elif self._medusa:
             tokens, accepted, lps = self.runner.run_medusa_rounds(
-                seqs, st, chain=chain)
+                seqs, st, chain=chain,
+                enable=self.spec.method != "medusa_null")
         elif self._ngram:
             tokens, accepted, lps = self.runner.run_ngram_rounds(
                 seqs, st, enable=self.spec.method == "ngram", chain=chain)

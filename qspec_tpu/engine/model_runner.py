@@ -628,6 +628,170 @@ def medusa_rounds_step(params, cache, props, prop_rows, last_tokens, start_pos,
     return toks, accs, lps, (f_last, f_pos, f_budget), props, cache
 
 
+def _verify_tree_impl(params, cache, recent_tokens, tree_tokens, start_pos,
+                      block_tables, st, key, *, cfg, scheme, tspec,
+                      axis_name=None):
+    """One Medusa TREE verify pass (reference: the Medusa tree attention the
+    reference's heads are built for — top-k candidates per head scored in
+    one pass under a tree-structured causal mask, models/medusa.py).
+
+    Rectangle layout per row: [recent prefix | tree nodes].
+    ``recent_tokens`` [B, prefix] are the last `prefix` COMMITTED tokens
+    (rightmost at position start_pos). Re-scoring them every round (a) gives
+    the root its logits and (b) REWRITES their KV slots — accepted tokens
+    from the previous round had their KV parked at tree slots, so this is
+    the same self-healing the shared-weights draft gets from its Q=2
+    backfill (_draft_impl). Tree node i carries proposal token
+    tree_tokens[:, i], rope position start_pos + depth(i), and cache SLOT
+    start_pos + 1 + i; its attention sees the committed context plus its
+    tree ancestors only (ops/attention.tree_slot_mask / the Pallas kernel's
+    ancestor bits).
+
+    Returns (t_samp [B, 1+T], t_lp [B, 1+T], hidden [B, 1+T, H], cache):
+    the target-SAMPLED token (greedy: argmax) at the root and at every
+    node — each is distributed as p_target(. | that node's path prefix), so
+    the tree walk emits a lossless transcript at any temperature.
+    """
+    page_size = cache.page_size
+    B, prefix = recent_tokens.shape
+    T = tspec.num_nodes
+    tokens = jnp.concatenate([recent_tokens, tree_tokens], axis=1)
+    prefix_pos = (start_pos[:, None] - (prefix - 1)
+                  + jnp.arange(prefix)[None, :])
+    depth = jnp.asarray(tspec.depth, jnp.int32)
+    tree_pos = start_pos[:, None] + depth[None, :]
+    positions = jnp.concatenate([jnp.maximum(prefix_pos, 0), tree_pos], 1)
+    tree_slot_idx = start_pos[:, None] + 1 + jnp.arange(T)[None, :]
+    slot_idx = jnp.concatenate([jnp.maximum(prefix_pos, 0), tree_slot_idx], 1)
+    slot = _slot_of(block_tables, slot_idx, page_size)
+    # phantom prefix rows (position < 0 on very short prompts) write to the
+    # reserved null page; their outputs are never read
+    slot = jnp.where(jnp.concatenate(
+        [prefix_pos >= 0, jnp.ones_like(tree_slot_idx, bool)], 1), slot, 0)
+    batch = AttentionBatch(positions=positions, slot_mapping=slot,
+                           block_tables=block_tables,
+                           ctx_lens=start_pos + 1 + T)
+    logits, hidden, cache = model_forward(
+        params, cfg, tokens, cache, batch, scheme=scheme,
+        axis_name=axis_name, return_hidden=True,
+        tree=(prefix, tspec.ancestors))
+    # sample the target at the root (row prefix-1) and at every tree node
+    sel = jnp.arange(prefix - 1, prefix + T)
+    lg = logits[:, sel]                                   # [B, 1+T, V]
+    hid = hidden[:, sel]
+    V = lg.shape[-1]
+    n = T + 1
+    st_rep = SamplingTensors(
+        temperature=jnp.repeat(st.temperature, n),
+        top_k=jnp.repeat(st.top_k, n), top_p=jnp.repeat(st.top_p, n),
+        min_p=jnp.repeat(st.min_p, n), vocab_mask=st.vocab_mask,
+        logit_bias=st.logit_bias, grammar_next=None, grammar_idx=None)
+    t_samp, t_lp = sample_with_logprob(lg.reshape(B * n, V), st_rep, key)
+    return (t_samp.reshape(B, n), t_lp.reshape(B, n), hid, cache)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scheme", "tspec", "num_rounds",
+                                    "axis_name"),
+                   donate_argnames=("cache", "props", "recent_bank"))
+def medusa_tree_rounds_step(params, cache, props, recent_bank, prop_rows,
+                            start_pos, block_tables, max_new, enable, st, key,
+                            *, cfg, scheme, tspec, num_rounds=1,
+                            axis_name=None):
+    """`num_rounds` Medusa TREE rounds in one executable.
+
+    The reference pairs its Medusa heads with top-k/tree candidates
+    (models/medusa.py + the Medusa paper's tree attention); the single-chain
+    round ran the method below spec (~0.32 acceptance at k=5). Here every
+    round verifies the whole static candidate tree in one rectangle and
+    WALKS it: start at the root, sample the target's token, descend into the
+    child proposing that token (emit it), repeat; the first miss ends the
+    round with that sampled token as the recovery emission. Each emitted
+    token is target-sampled conditioned on its accepted prefix -> lossless
+    at any temperature; greedy is bit-equal to AR (``enable=False`` nulls
+    the proposals and reduces every round to exactly that AR sample).
+
+    ``props`` [rows, T]: device-resident per-sequence tree-node proposals.
+    ``recent_bank`` [rows, D+2]: each sequence's last D+2 committed tokens
+    (rightmost = the token at start_pos) — the verify prefix that re-scores
+    the root and heals tree-slot KV residue.
+
+    Returns (tokens [R, B, D+1] (-1 padded), accepted [R, B], logprobs,
+    (start_pos, budget) advance, props, recent_bank, cache).
+    """
+    from qspec_tpu.spec_decode.medusa_tree import medusa_propose_tree
+    T = tspec.num_nodes
+    D = tspec.max_depth
+    prefix = recent_bank.shape[1]
+    B = prop_rows.shape[0]
+
+    def round_body(carry, round_key):
+        cache, props, recent_bank, pos, budget = carry
+        recent = recent_bank[prop_rows]                  # [B, prefix]
+        p_b = props[prop_rows][:, :T]
+        p_b = jnp.where(enable, p_b, -1)
+        t_samp, t_lp, hid, cache = _verify_tree_impl(
+            params, cache, recent, p_b, pos, block_tables, st, round_key,
+            cfg=cfg, scheme=scheme, tspec=tspec, axis_name=axis_name)
+
+        # walk the tree (static unroll over depth levels)
+        cur = jnp.zeros((B,), jnp.int32)                 # 0=root, 1..T=nodes
+        alive = jnp.ones((B,), bool)
+        e = t_samp[:, 0]
+        lp_e = t_lp[:, 0]
+        emitted = [e]
+        lps_l = [lp_e]
+        acc = jnp.ones((B,), jnp.int32)
+        for d in range(1, D + 1):
+            best = jnp.full((B,), -1, jnp.int32)
+            for i in range(T):
+                if tspec.depth[i] != d:
+                    continue
+                m = (alive & (cur == tspec.parent[i] + 1)
+                     & (p_b[:, i] == e) & (p_b[:, i] >= 0))
+                best = jnp.where(m & (best < 0), i + 1, best)
+            alive = alive & (best >= 0)
+            cur = jnp.where(alive, best, cur)
+            e_next = jnp.take_along_axis(t_samp, cur[:, None], 1)[:, 0]
+            lp_next = jnp.take_along_axis(t_lp, cur[:, None], 1)[:, 0]
+            e = jnp.where(alive, e_next, e)
+            lp_e = jnp.where(alive, lp_next, lp_e)
+            emitted.append(jnp.where(alive, e_next, -1))
+            lps_l.append(jnp.where(alive, lp_next, 0.0))
+            acc = acc + alive.astype(jnp.int32)
+
+        toks_full = jnp.stack(emitted, axis=1)           # [B, D+1]
+        lps_full = jnp.stack(lps_l, axis=1)
+        acc = jnp.minimum(acc, jnp.maximum(budget, 0))
+        active = budget > 0
+        acc = jnp.where(active, jnp.maximum(acc, 1), 0)
+        slots = jnp.arange(D + 1)[None, :]
+        toks = jnp.where(slots < acc[:, None], toks_full, -1)
+        lps = jnp.where(slots < acc[:, None], lps_full, 0.0)
+
+        # roll the recent window forward by `acc`
+        combined = jnp.concatenate([recent, jnp.maximum(toks, 0)], axis=1)
+        idx = acc[:, None] + jnp.arange(prefix)[None, :]
+        new_recent = jnp.take_along_axis(combined, idx, axis=1)
+        new_recent = jnp.where(active[:, None], new_recent, recent)
+        recent_bank = recent_bank.at[prop_rows].set(new_recent, mode="drop")
+
+        # next round's proposals from the hidden at the last ACCEPTED node
+        h_star = jnp.take_along_axis(
+            hid, cur[:, None, None], axis=1)[:, 0]
+        new_p = medusa_propose_tree(params["medusa"], h_star, tspec)
+        props = props.at[prop_rows].set(
+            jnp.where(active[:, None], new_p, p_b), mode="drop")
+        return ((cache, props, recent_bank, pos + acc, budget - acc),
+                (toks, acc, lps))
+
+    keys = jax.random.split(key, num_rounds)
+    (cache, props, recent_bank, f_pos, f_budget), (toks, accs, lps) = \
+        jax.lax.scan(round_body,
+                     (cache, props, recent_bank, start_pos, max_new), keys)
+    return toks, accs, lps, (f_pos, f_budget), props, recent_bank, cache
+
+
 def _embed_rows_of(params, cfg, tokens):
     """Embed-table rows (with gemma's scale) for arbitrary token tensors."""
     e = params["embed"][tokens.reshape(-1)].astype(jnp.bfloat16)
@@ -1097,11 +1261,14 @@ class ModelRunner:
         # device-side proposal store for the fused Medusa / MLPSpeculator
         # rounds (row per sequence slot; -1 = no proposal yet)
         self._mprops = None
+        self._mtree = None
         self._mprop_slot: dict = {}
         if config.speculative is not None and \
-                config.speculative.method in ("medusa", "mlp_speculator"):
-            net_key = ("medusa" if config.speculative.method == "medusa"
-                       else "mlp_spec")
+                config.speculative.method in ("medusa", "mlp_speculator",
+                                              "medusa_null"):
+            net_key = ("mlp_spec"
+                       if config.speculative.method == "mlp_speculator"
+                       else "medusa")
             if net_key not in params:
                 raise ValueError(
                     f"speculative.method='{config.speculative.method}' but "
@@ -1113,7 +1280,32 @@ class ModelRunner:
                 raise ValueError(f"num_speculative_tokens={k} exceeds the "
                                  f"{n_heads} trained proposer heads")
             rows = max(config.scheduler.decode_batch_buckets)
-            self._mprops = jnp.full((rows, n_heads), -1, jnp.int32)
+            if (config.speculative.medusa_tree is not None
+                    and config.speculative.method in ("medusa",
+                                                      "medusa_null")):
+                from qspec_tpu.spec_decode.medusa_tree import build_tree
+                self._mtree = build_tree(config.speculative.medusa_tree)
+                if self._mtree.max_depth > n_heads:
+                    raise ValueError(
+                        f"medusa_tree depth {self._mtree.max_depth} exceeds "
+                        f"the {n_heads} trained proposer heads")
+                self._mprops = jnp.full((rows, self._mtree.num_nodes), -1,
+                                        jnp.int32)
+                # per-row recent-token window (verify prefix): D+1 tokens,
+                # rightmost = the token at the sequence's current position
+                self._mrecent = jnp.zeros(
+                    (rows, self._mtree.max_depth + 1), jnp.int32)
+                self._mrecent_synced: dict = {}
+                self.fns["medusa_tree_rounds"] = functools.partial(
+                    medusa_tree_rounds_step, cfg=self.cfg,
+                    scheme=self._verify_scheme, tspec=self._mtree,
+                    num_rounds=rounds) if mesh is None else None
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "medusa_tree under a TP mesh is not wired yet; "
+                        "use the single-chain medusa rounds")
+            else:
+                self._mprops = jnp.full((rows, n_heads), -1, jnp.int32)
 
     # -- helpers ----------------------------------------------------------
     def _lora_ids(self, seqs, bucket: int):
@@ -1536,6 +1728,9 @@ class ModelRunner:
         if row is None:
             victim = next(s for s in self._mprop_slot if s not in live_ids)
             row = self._mprop_slot.pop(victim)
+            if self._mtree is not None:
+                # the victim's recent-window sync is void with its row
+                self._mrecent_synced.pop(victim, None)
         self._mprop_slot[sid] = row
         self._mprops = self._mprops.at[row].set(-1)
         return row
@@ -1570,6 +1765,39 @@ class ModelRunner:
         en_d = jnp.asarray(bool(enable))
         last_d, pos_d = jnp.asarray(last), jnp.asarray(pos)
         budget_d = jnp.asarray(max_new)
+        if self._mtree is not None:
+            # tree mode: sync each newly-assigned row's recent-token window
+            # (the verify prefix) from host once; afterwards the executable
+            # rolls it forward on device
+            W = self._mrecent.shape[1]
+            sync_rows, sync_vals = [], []
+            for i, s in enumerate(seqs):
+                r = prop_rows[i]
+                if self._mrecent_synced.get(s.seq_id) != r:
+                    tail = s.token_ids[-W:]
+                    tail = [tail[0]] * (W - len(tail)) + list(tail)
+                    sync_rows.append(r)
+                    sync_vals.append(tail)
+                    self._mrecent_synced[s.seq_id] = r
+            if sync_rows:
+                self._mrecent = self._mrecent.at[
+                    jnp.asarray(np.asarray(sync_rows, np.int32))].set(
+                    jnp.asarray(np.asarray(sync_vals, np.int32)))
+            parts = []
+            for _ in range(max(1, chain)):
+                toks, accs, lps, adv, self._mprops, self._mrecent, \
+                    self.cache = self.fns["medusa_tree_rounds"](
+                        self.params, self.cache, self._mprops, self._mrecent,
+                        rows_d, pos_d, tables_d, budget_d, en_d, st,
+                        self._next_key())
+                pos_d, budget_d = adv
+                parts.append((toks, accs, lps))
+            parts = jax.device_get(parts)
+            toks = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+            accs = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+            lps = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
+            n = len(seqs)
+            return toks[:, :n], accs[:, :n], lps[:, :n]
         parts = []
         for _ in range(max(1, chain)):
             toks, accs, lps, adv, self._mprops, self.cache = \

@@ -420,7 +420,7 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
 
 def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: AttentionBatch,
                   rope_cache, hadamards, scheme: str, axis_name: Optional[str] = None,
-                  lora=None, lora_ids=None, weight_idx=None):
+                  lora=None, lora_ids=None, weight_idx=None, tree=None):
     """One decoder layer. x: [T, hidden] bf16 (replicated across the model
     axis); ``layers`` is the layer-STACKED param dict (leaves [L, ...]) and
     ``layer_idx`` selects both the weight layer (in-kernel, no slab copy)
@@ -615,7 +615,7 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                                batch.block_tables, batch.ctx_lens, scale,
                                q_positions=batch.positions,
                                window=window, softcap=cfg.attn_logit_softcap,
-                               alibi=alibi)
+                               alibi=alibi, tree=tree)
         attn = attn.reshape(T, heads_l, cfg.head_dim)
 
         if quarot:
@@ -744,7 +744,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
                   lora_ids: Optional[jnp.ndarray] = None,
                   return_hidden: bool = False,
                   input_embeds: Optional[jnp.ndarray] = None,
-                  embeds_rows: Optional[jnp.ndarray] = None):
+                  embeds_rows: Optional[jnp.ndarray] = None,
+                  tree=None):
     """Full forward. token_ids: [B, Q] -> (logits [B, Q, V], new cache).
 
     Mirrors the reference call path LlamaModel.forward -> compute_logits
@@ -901,7 +902,8 @@ def model_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
         def body(carry, li):
             x, cache = carry
             x, cache = decoder_layer(x, layers, cache, li, cfg, batch,
-                                     rope_cache, hadamards, scheme, axis_name)
+                                     rope_cache, hadamards, scheme, axis_name,
+                                     tree=tree)
             return (x, cache), None
 
         (x, cache), _ = jax.lax.scan(body, (x, cache), layer_ids)

@@ -52,11 +52,47 @@ def alibi_slopes(n_heads: int):
     return np.asarray(out, np.float32)
 
 
+def tree_slot_mask(prefix: int, num_q: int, q_start, ancestors,
+                   C: int):
+    """[B, num_q, C] live mask for a tree-verify rectangle, in SLOT space.
+
+    Queries 0..prefix-1 are normal consecutive positions (the KV-rewrite
+    prefix ending at the root); queries prefix..num_q-1 are tree nodes
+    stored at slots root+1+node. A tree query attends every committed slot
+    (<= root) plus its tree ANCESTORS only — the Medusa tree-structured
+    causal mask (reference medusa tree attention; vllm scores candidate
+    continuations per head rather than a single chain).
+
+    q_start [B]: slot of query row 0 (= root_slot - prefix + 1).
+    ancestors: static [T, T] bool, ancestors[i][j] = node j is
+    ancestor-of-or-equal-to node i.
+    """
+    T = num_q - prefix
+    anc = jnp.asarray(ancestors, bool)                        # [T, T]
+    kv = jnp.arange(C)[None, None, :]                         # [1, 1, C]
+    rows = jnp.arange(num_q)[None, :, None]                   # [1, Q, 1]
+    root = (q_start + prefix - 1)[:, None, None]              # [B, 1, 1]
+    q_slot = jnp.where(rows < prefix,
+                       q_start[:, None, None] + rows,
+                       root)                                   # causal bound
+    causal = kv <= q_slot
+    node = jnp.clip(rows - prefix, 0, max(T - 1, 0))
+    kv_node = kv - root - 1                                    # [B, 1, C]
+    in_tree = (kv_node >= 0) & (kv_node < T)
+    anc_bit = anc[node[0, :, 0]][None]                         # [1, Q, T]
+    tree_live = jnp.zeros(causal.shape, bool)
+    for t in range(T):
+        tree_live |= (kv_node == t) & anc_bit[:, :, t:t + 1]
+    tree_live &= (rows >= prefix) & in_tree
+    return causal | tree_live
+
+
 def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                         block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                         scale: float, q_positions: jnp.ndarray = None,
                         window=None, softcap: float = None,
-                        alibi: jnp.ndarray = None) -> jnp.ndarray:
+                        alibi: jnp.ndarray = None,
+                        tree=None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; ctx_lens[b] counts tokens *including* the new ones.
 
     ``q_positions`` [B, Q] gives each query's absolute position; query i
@@ -94,9 +130,16 @@ def paged_attention_ref(q: jnp.ndarray, cache: PagedKVCache, layer: int,
         sl = jnp.asarray(alibi, jnp.float32).reshape(Hkv, group)
         scores = scores + (sl[None, :, :, None, None]
                            * delta[:, None, None, :, :])
-    mask = kv_pos[None] <= q_positions[:, :, None]        # [B, Q, C]
-    if window is not None:
-        mask = mask & (kv_pos[None] > q_positions[:, :, None] - window)
+    if tree is not None:
+        # Medusa tree verify: mask in SLOT space (row 0 is a prefix row
+        # whose slot equals its position); window/alibi are rejected
+        # upstream in tree mode
+        prefix, ancestors = tree
+        mask = tree_slot_mask(prefix, Q, q_positions[:, 0], ancestors, C)
+    else:
+        mask = kv_pos[None] <= q_positions[:, :, None]        # [B, Q, C]
+        if window is not None:
+            mask = mask & (kv_pos[None] > q_positions[:, :, None] - window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
@@ -132,7 +175,7 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                     block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                     scale: float, q_positions: jnp.ndarray = None,
                     window=None, softcap: float = None,
-                    alibi: jnp.ndarray = None) -> jnp.ndarray:
+                    alibi: jnp.ndarray = None, tree=None) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU, reference path elsewhere."""
     from qspec_tpu.ops._kernel_utils import backend_is_tpu
     head_dim = q.shape[-1]
@@ -154,10 +197,10 @@ def paged_attention(q: jnp.ndarray, cache: PagedKVCache, layer: int,
                                      layer=jnp.asarray(layer, jnp.int32),
                                      kv_scales=cache.kv_scales,
                                      window=window, softcap=softcap,
-                                     alibi=alibi)
+                                     alibi=alibi, tree=tree)
     else:
         out = paged_attention_ref(q, cache, layer, block_tables, ctx_lens,
                                   scale, q_positions=q_positions,
                                   window=window, softcap=softcap,
-                                  alibi=alibi)
+                                  alibi=alibi, tree=tree)
     return out[..., :head_dim] if cache_dim != head_dim else out

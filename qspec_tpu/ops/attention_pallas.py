@@ -70,12 +70,16 @@ def _paged_attn_kernel(
     quant: bool,
     softcap: float,
     alibi: bool,
+    tree,
 ):
     refs = list(refs)
     kv_scales_ref = refs.pop(0) if quant else None
     # [Hkv, G_blk] f32 per-ROW ALiBi slope (the slope of the query head
     # owning that grouped-query row); precomputed in the wrapper
     slopes_ref = refs.pop(0) if alibi else None
+    # [G_blk, T_pad] f32 per-ROW tree-ancestor bits (Medusa tree verify;
+    # see ops/attention.tree_slot_mask) — prefix rows carry all-zeros
+    anc_ref = refs.pop(0) if tree is not None else None
     if quant:
         out_ref, kv_buf, sc_buf, acc, sems, sc_sems = refs
     else:
@@ -124,6 +128,17 @@ def _paged_attn_kernel(
     q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)  # [Hkv, G, D]
     row = g * G + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, chunk_kv), 1)
     q_pos = q_start_ref[b] + row % num_q
+    if tree is not None:
+        # Medusa tree verify (slot-space mask, ops/attention.tree_slot_mask):
+        # rows past `prefix` are tree nodes at slots root+1+node; they see
+        # the committed context (<= root) plus their ancestor bits below
+        t_prefix, t_T = tree
+        root_slot = q_start_ref[b] + t_prefix - 1
+        node_row = row % num_q - t_prefix
+        is_tree_row = node_row >= 0
+        q_eff = jnp.where(is_tree_row, root_slot, q_pos)
+    else:
+        q_eff = q_pos
 
     def body(c, carry):
         m_prev, l_prev = carry
@@ -169,7 +184,14 @@ def _paged_attn_kernel(
             # gemma2 attention-logit softcapping: cap * tanh(s / cap)
             # (reference gemma2.py attn_logit_softcapping)
             s = jnp.tanh(s * (1.0 / softcap)) * softcap
-        live = (kv_pos <= q_pos) & (kv_pos > q_pos - window)
+        live = (kv_pos <= q_eff) & (kv_pos > q_eff - window)
+        if tree is not None:
+            anc = anc_ref[...]                          # [G_blk, T_pad]
+            tl = jnp.zeros(live.shape, bool)
+            for t in range(t_T):                        # static, T <= ~16
+                tl |= ((kv_pos == root_slot + 1 + t)
+                       & (anc[:, t] > 0.5)[None, :, None])
+            live |= tl & is_tree_row
         s = jnp.where(live, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -203,7 +225,8 @@ NO_WINDOW = 1 << 30   # sliding-window sentinel (far past any position)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "pages_per_chunk", "softcap"))
+                   static_argnames=("scale", "pages_per_chunk", "softcap",
+                                    "tree"))
 def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            block_tables: jnp.ndarray, ctx_lens: jnp.ndarray,
                            scale: float, pages_per_chunk: int = 1,
@@ -211,7 +234,8 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
                            layer: jnp.ndarray = None,
                            kv_scales: jnp.ndarray = None,
                            window=None, softcap: float = None,
-                           alibi: jnp.ndarray = None) -> jnp.ndarray:
+                           alibi: jnp.ndarray = None,
+                           tree=None) -> jnp.ndarray:
     """q: [B, Q, Hq, D]; kv_pages: [L, P, 2, Hkv, S, D] (whole stacked cache —
     the kernel indexes the scalar-prefetched layer, so the cache never flows
     through scan xs/ys); block_tables: [B, PPS]; kv_scales
@@ -266,6 +290,27 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         in_specs.append(pl.BlockSpec((Hkv, G_blk), lambda b, g, *_: (0, g),
                                      memory_space=pltpu.VMEM))
         inputs.append(slope_rows)
+    tree_static = None
+    if tree is not None:
+        # Medusa tree verify: per-ROW ancestor bits for the tree queries
+        # (rows whose q index >= prefix); prefix and padded rows carry
+        # zeros. Static part = (prefix, T); the [G_pad, T_pad] bit plane
+        # rides VMEM like the alibi slopes.
+        t_prefix, ancestors = tree
+        anc_np = jnp.asarray(ancestors, jnp.float32)          # [T, T]
+        T_tree = anc_np.shape[0]
+        tree_static = (t_prefix, T_tree)
+        import numpy as _np
+        qi = _np.arange(G_pad, dtype=_np.int32) % Q           # q index per row
+        node = qi - t_prefix
+        T_pad = max(128, round_up(T_tree, 128))
+        rows_anc = _np.zeros((G_pad, T_pad), _np.float32)
+        valid = (node >= 0) & (node < T_tree) & (qi < Q)
+        anc_host = _np.asarray(ancestors, _np.float32)
+        rows_anc[valid, :T_tree] = anc_host[node[valid]]
+        in_specs.append(pl.BlockSpec((G_blk, T_pad), lambda b, g, *_: (g, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(rows_anc))
     scratch.append(pltpu.VMEM((Hkv, G_blk, D), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     if quant:
@@ -289,6 +334,7 @@ def paged_attention_pallas(q: jnp.ndarray, kv_pages: jnp.ndarray,
         quant=quant,
         softcap=softcap,
         alibi=alibi is not None,
+        tree=tree_static,
     )
 
     out = pl.pallas_call(

@@ -307,3 +307,60 @@ def test_alibi_slopes_match_hf():
         # slopes * arange(seq), so column 1 IS the slope
         hf = alibi[:, 0, 1].numpy()
         np.testing.assert_allclose(alibi_slopes(n), hf, rtol=1e-6)
+
+
+@pytest.mark.parametrize("prefix", [3, 5])
+def test_tree_mask_pallas_matches_ref(rng, prefix):
+    """Medusa tree verify: [rewrite-prefix | tree] rectangle under the
+    tree-structured causal mask (ancestor bits per tree query) — Pallas
+    interpret vs the dense reference."""
+    from qspec_tpu.spec_decode.medusa_tree import DEFAULT_TREE, build_tree
+
+    tspec = build_tree(DEFAULT_TREE)
+    T = tspec.num_nodes
+    B, Hq, Hkv, D, S = 2, 4, 2, 64, 8
+    Q = prefix + T
+    cache = make_cache(rng, Hkv=Hkv, S=S, D=D, P=24)
+    q = jnp.asarray(rng.standard_normal((B, Q, Hq, D)).astype(np.float32),
+                    jnp.bfloat16)
+    tables = jnp.asarray(rng.permutation(np.arange(1, 21)).reshape(2, 10)
+                         .astype(np.int32))
+    # root at slot pos; tree slots pos+1..pos+T must fit the tables
+    pos = np.asarray([17, 30], np.int32)
+    q_start = jnp.asarray(pos - (prefix - 1), jnp.int32)
+    depth = np.asarray(tspec.depth, np.int32)
+    positions = np.concatenate([
+        q_start[:, None] + np.arange(prefix)[None, :],
+        pos[:, None] + depth[None, :]], axis=1)
+    ctx = jnp.asarray(pos + 1 + T, jnp.int32)
+    tree = (prefix, tspec.ancestors)
+    scale = D ** -0.5
+
+    ref = paged_attention_ref(q, cache, 0, tables, ctx, scale,
+                              q_positions=jnp.asarray(positions), tree=tree)
+    out = paged_attention_pallas(q, cache.kv_pages, tables, ctx, scale,
+                                 q_positions=jnp.asarray(positions),
+                                 tree=tree)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    # structural check: a tree query must IGNORE its non-ancestor siblings
+    # (slot-space garbage): perturb a depth-1 node's KV slot and assert the
+    # sibling depth-1 queries are unchanged while its own child changes
+    root_slot = int(pos[0])
+    sib_slot = root_slot + 1 + 1          # node index 1 = path (1,)
+    page, off = sib_slot // S, sib_slot % S
+    pid = int(np.asarray(tables)[0, page])
+    kv2 = cache.kv_pages.at[0, pid, :, :, off].set(99.0)
+    out2 = paged_attention_ref(q, cache._replace(kv_pages=kv2), 0, tables,
+                               ctx, scale,
+                               q_positions=jnp.asarray(positions), tree=tree)
+    # node 0 (path (0,)) is not a descendant of node 1: row prefix+0
+    np.testing.assert_allclose(np.asarray(ref[0, prefix], np.float32),
+                               np.asarray(out2[0, prefix], np.float32),
+                               atol=1e-6)
+    # node (1, 0) IS node 1's child: must see the perturbation
+    child = tspec.choices.index((1, 0))
+    assert not np.allclose(np.asarray(ref[0, prefix + child], np.float32),
+                           np.asarray(out2[0, prefix + child], np.float32),
+                           atol=1e-3)
