@@ -36,7 +36,12 @@ class VisionConfig:
     hidden_act: str = "quick_gelu"    # "quick_gelu"|"gelu"|"gelu_tanh"
     # "siglip": conv bias, NO class token, no pre-layernorm
     # (reference: transformers SiglipVisionModel via vllm models/siglip.py)
+    # "qwen2vl": native-resolution tower with 2D vision rope + PatchMerger
+    # (reference models/qwen2_vl.py; models/qwen2vl_vit.py here)
     tower: str = "clip"
+    # qwen2vl tower geometry (HF Qwen2VLVisionConfig)
+    spatial_merge: int = 2
+    temporal_patch: int = 2
 
     @property
     def num_patches(self) -> int:
@@ -140,6 +145,17 @@ class ModelConfig:
     shared_expert_intermediate_size: int = 0      # 0 -> no shared expert
     moe_norm_topk_prob: bool = False
     moe_softmax_before_topk: bool = False
+    # "topk" (mixtral/qwen2-moe shapes, refined by the two flags around
+    # this) | "sparsemixer" (Phi-3.5-MoE: threshold-masked softmax around
+    # the running max, reference models/phimoe.py sparsemixer) |
+    # "noaux_tc" (DeepSeek-V3: sigmoid scores + e_score_correction_bias
+    # group-limited routing, reference models/deepseek_v3.py)
+    moe_routing: str = "topk"
+    # noaux_tc group-limited routing (DeepSeek-V3): experts partition into
+    # n_group groups; only the topk_group best groups (by their top-2
+    # biased scores) may receive tokens
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
     # deepseek-moe variations (reference DeepseekForCausalLM,
     # models/deepseek.py): the first k layers keep a DENSE MLP
     # (first_k_dense_replace) — their stack lives in params["layers_dense"]
@@ -153,6 +169,15 @@ class ModelConfig:
     # hidden; /v1/score then runs TRUE cross-encoding (query+doc jointly
     # through the trunk) instead of bi-encoder cosine
     num_labels: int = 0
+    # RoBERTa-family position offset: position ids start at
+    # padding_idx + 1 (= 2) instead of 0 (reference models/roberta.py
+    # create_position_ids_from_input_ids)
+    bert_pos_offset: int = 0
+    # Qwen2-VL M-RoPE section widths in HALF-dims, e.g. (16, 24, 24) for
+    # head_dim 128 (reference qwen2_vl.py uses_mrope; HF rope_scaling
+    # mrope_section): rotary channels split over (temporal, height, width)
+    # position streams. None = standard rope.
+    mrope_section: Optional[tuple] = None
     # pre-RMSNorm GPT-family graph knobs (reference models/{opt,gpt2,
     # starcoder2,falcon}.py). These serve bf16/grouped-int4 only — the
     # QuaRot pipeline's norm folding assumes weightless RMSNorm.

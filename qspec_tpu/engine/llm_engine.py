@@ -96,6 +96,9 @@ class LLMEngine:
         if (self._encdec or self._whisper) and self.spec is not None:
             raise ValueError("speculative decoding is unsupported for "
                              "encoder-decoder models")
+        if config.model.mrope_section is not None and self.spec is not None:
+            raise ValueError("speculative decoding is unsupported for "
+                             "M-RoPE (qwen2vl) models")
         prefix_caching = config.cache.enable_prefix_caching
         if self._encdec or self._whisper:
             # cross-KV pages are request-private, and decoder self-KV
@@ -288,15 +291,23 @@ class LLMEngine:
                 raise ValueError("prompt_adapter with images is unsupported")
             prompt_token_ids, prompt_embeds = self.prompt_adapters.splice(
                 prompt_adapter, list(prompt_token_ids), self.runner.params)
+        mrope_table, mrope_delta = None, 0
         if mm_images:
             # multimodal: expand image placeholders into projected embedding
             # rows (multimodal.py); the result rides the prompt-embeds path
             from qspec_tpu.multimodal import splice_image_embeds
             assert image_token_id is not None, \
                 "mm_images needs image_token_id"
-            prompt_token_ids, prompt_embeds = splice_image_embeds(
-                self.runner.params, self.config.model,
-                list(prompt_token_ids), mm_images, image_token_id)
+            if self.config.model.arch == "qwen2vl":
+                from qspec_tpu.multimodal import splice_image_embeds_qwen2vl
+                (prompt_token_ids, prompt_embeds, mrope_table,
+                 mrope_delta) = splice_image_embeds_qwen2vl(
+                    self.runner.params, self.config.model,
+                    list(prompt_token_ids), mm_images, image_token_id)
+            else:
+                prompt_token_ids, prompt_embeds = splice_image_embeds(
+                    self.runner.params, self.config.model,
+                    list(prompt_token_ids), mm_images, image_token_id)
         if prompt_embeds is not None:
             if (self.spec is not None
                     and self.spec.draft_model is not None):
@@ -313,6 +324,12 @@ class LLMEngine:
                        sampling_params=sampling_params, lora_id=lora_id,
                        task=task, prompt_embeds=prompt_embeds,
                        audio_features=mm_audio)
+        if self.config.model.mrope_section is not None:
+            # Qwen2-VL M-RoPE state (qwen2vl_vit.mrope_positions): prefill
+            # rope reads the 3-channel table; decode advances all channels
+            # at pos + delta (text-only requests: no table, delta 0)
+            seq.mrope_table = mrope_table
+            seq.mrope_delta = mrope_delta
         if self._whisper and mm_audio is None:
             raise ValueError("whisper requests need mm_audio "
                              "(mel features [T, num_mel])")

@@ -50,7 +50,8 @@ def _slot_of(block_tables: jnp.ndarray, pos: jnp.ndarray, page_size: int) -> jnp
                                     "with_hidden", "ring_cap"),
                    donate_argnames=("cache",))
 def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
-                 lora_ids=None, input_embeds=None, embeds_rows=None, *, cfg,
+                 lora_ids=None, input_embeds=None, embeds_rows=None,
+                 mrope=None, *, cfg,
                  scheme, axis_name=None, with_hidden=False, ring_cap=None):
     """One prompt chunk for one sequence. token_ids [1, Q]; returns logits of
     the final valid position ([1, V]) and the updated cache.
@@ -77,8 +78,12 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
     if ring_cap is not None:
         valid &= positions >= ctx_len[:, None] - ring_cap
     slot = jnp.where(valid, _slot_of(block_tables, positions, page_size), 0)
+    # mrope [B, 3, Q]: Qwen2-VL 3-channel rope positions (-> [3, B, Q] for
+    # the rope lookup); attention masking stays on `positions`
     batch = AttentionBatch(positions=positions, slot_mapping=slot,
-                           block_tables=block_tables, ctx_lens=ctx_len)
+                           block_tables=block_tables, ctx_lens=ctx_len,
+                           mrope=(None if mrope is None
+                                  else mrope.transpose(1, 0, 2)))
     last_idx = jnp.clip(ctx_len - 1 - positions[:, 0], 0, Q - 1)
     if with_hidden:
         logits, hidden, cache = model_forward(
@@ -99,7 +104,8 @@ def prefill_step(params, cache, token_ids, positions, block_tables, ctx_len,
                                              "num_top"),
                    donate_argnames=("cache",))
 def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
-                lora_ids=None, *, cfg, scheme, axis_name=None, num_top=0):
+                lora_ids=None, mrope_delta=None, *, cfg, scheme,
+                axis_name=None, num_top=0):
     """Autoregressive decode: one token per sequence.
 
     last_tokens [B] (not yet processed), start_pos [B] = their positions.
@@ -110,8 +116,13 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
     page_size = cache.page_size
     pos = start_pos[:, None]
     slot = _slot_of(block_tables, pos, page_size)
+    # Qwen2-VL decode: all three rope channels equal pos + delta (HF
+    # get_rope_index decode rule); attention stays at the true position
+    mr = (None if mrope_delta is None else jnp.broadcast_to(
+        (start_pos + mrope_delta)[None, :, None], (3,) + pos.shape))
     batch = AttentionBatch(positions=pos, slot_mapping=slot,
-                           block_tables=block_tables, ctx_lens=start_pos + 1)
+                           block_tables=block_tables, ctx_lens=start_pos + 1,
+                           mrope=mr)
     logits, cache = model_forward(params, cfg, last_tokens[:, None], cache, batch,
                                   scheme=scheme, axis_name=axis_name,
                                   lora_ids=lora_ids)
@@ -126,7 +137,8 @@ def decode_step(params, cache, last_tokens, start_pos, block_tables, st, key,
                                              "axis_name", "num_top"),
                    donate_argnames=("cache",))
 def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
-                      max_new, st, key, lora_ids=None, *, cfg, scheme, num_steps,
+                      max_new, st, key, lora_ids=None, mrope_delta=None, *,
+                      cfg, scheme, num_steps,
                       axis_name=None, num_top=0):
     """num_steps autoregressive decode steps in one executable.
 
@@ -141,8 +153,11 @@ def multi_decode_step(params, cache, last_tokens, start_pos, block_tables,
         cache, tok, pos, budget, g = carry
         p = pos[:, None]
         slot = _slot_of(block_tables, p, page_size)
+        mr = (None if mrope_delta is None else jnp.broadcast_to(
+            (pos + mrope_delta)[None, :, None], (3,) + p.shape))
         batch = AttentionBatch(positions=p, slot_mapping=slot,
-                               block_tables=block_tables, ctx_lens=pos + 1)
+                               block_tables=block_tables, ctx_lens=pos + 1,
+                               mrope=mr)
         logits, cache = model_forward(params, cfg, tok[:, None], cache, batch,
                                       scheme=scheme, axis_name=axis_name,
                                       lora_ids=lora_ids)
@@ -1402,11 +1417,25 @@ class ModelRunner:
             tables_arr = self._ring_tables([c[0] for c in chunks], B)
         else:
             tables_arr = self._pad_block_tables(tables)
+        kw = {}
+        if self.cfg.mrope_section is not None:
+            # Qwen2-VL 3-channel rope positions: prompt positions read the
+            # per-sequence table; positions past it (resumed re-prefill of
+            # generated tokens) advance all channels at pos + delta
+            mr = np.zeros((B, 3, Q), np.int32)
+            for i, (seq, start, end) in enumerate(chunks):
+                d = getattr(seq, "mrope_delta", 0)
+                mr[i] = positions[i][None] + d
+                tbl = getattr(seq, "mrope_table", None)
+                if tbl is not None and start < tbl.shape[1]:
+                    n = min(tbl.shape[1], start + Q) - start
+                    mr[i, :, :n] = tbl[:, start:start + n]
+            kw["mrope"] = jnp.asarray(mr)
         out = fn(
             p, cache, jnp.asarray(toks), jnp.asarray(positions),
             jnp.asarray(tables_arr), jnp.asarray(ctx),
             None if draft and self.draft_params is not None
-            else self._lora_ids([c[0] for c in chunks], B), *extra)
+            else self._lora_ids([c[0] for c in chunks], B), *extra, **kw)
         hidden = None
         if want_hidden and not draft:
             logits, hidden, new_cache = out
@@ -1497,11 +1526,17 @@ class ModelRunner:
         st = _pad_sampling(sampling, len(seqs), B)
         lora = self._lora_ids(seqs, B)
         n = len(seqs)
+        kw = {}
+        if self.cfg.mrope_section is not None:
+            deltas = np.zeros(B, np.int32)
+            for i, s in enumerate(seqs):
+                deltas[i] = getattr(s, "mrope_delta", 0)
+            kw["mrope_delta"] = jnp.asarray(deltas)
         if num_steps == 1:
             out = self.fns["decode_top" if want_top else "decode"](
                 self.params, self.cache, jnp.asarray(last), jnp.asarray(pos),
                 jnp.asarray(self._pad_block_tables(tables)), st, self._next_key(),
-                lora)
+                lora, **kw)
             if want_top:
                 next_tokens, lp, topv, topi, self.cache = out
                 next_tokens, lp, topv, topi = jax.device_get(
@@ -1521,7 +1556,7 @@ class ModelRunner:
         for _ in range(max(1, chain)):
             out = self.fns[fname](
                 self.params, self.cache, last_d, pos_d, tables_d, budget_d,
-                st, self._next_key(), lora)
+                st, self._next_key(), lora, **kw)
             if want_top:
                 toks, lps, topv, topi, adv, self.cache = out
                 parts.append((toks, lps, topv, topi))

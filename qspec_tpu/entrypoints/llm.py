@@ -15,14 +15,22 @@ from qspec_tpu.sampling_params import SamplingParams
 
 
 def cross_encoder_score(head, pooled) -> float:
-    """Sequence-classification head over a pooled hidden state (reference
-    cross-encoder pooling, serving_score.py): sigmoid for a 1-logit head,
+    """Sequence-classification / reward head over a pooled hidden state
+    (reference cross-encoder pooling, serving_score.py; two-layer reward
+    stacks per models/qwen2_rm.py): sigmoid for a 1-logit head,
     probability of the last label for a softmax head."""
     import math
 
     import numpy as np
+    pooled = np.asarray(pooled, np.float32)
+    if "w1" in head:
+        h = pooled @ np.asarray(head["w1"], np.float32)
+        if "b1" in head:
+            h = h + np.asarray(head["b1"], np.float32)
+        act = int(np.asarray(head.get("act", 0)))
+        pooled = np.tanh(h) if act == 1 else np.maximum(h, 0.0)
     w = np.asarray(head["w"], np.float32)
-    logits = np.asarray(pooled, np.float32) @ w
+    logits = pooled @ w
     if "b" in head:
         logits = logits + np.asarray(head["b"], np.float32)
     if logits.shape[-1] == 1:

@@ -497,15 +497,165 @@ def internlm2_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
     return remapped
 
 
+def qwen1_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
+    """Qwen(1) (reference models/qwen.py): transformer.h.* naming, fused
+    c_attn = [q|k|v] with bias, RMSNorm ln_1/ln_2, swiglu with gate = w2
+    and up = w1 (reference stacked_params_mapping :976)."""
+    H = cfg.hidden_size
+    remapped = {
+        "model.embed_tokens.weight": sd["transformer.wte.weight"],
+        "model.norm.weight": sd["transformer.ln_f.weight"],
+        "lm_head.weight": sd.get("lm_head.weight",
+                                 sd["transformer.wte.weight"]),
+    }
+    for i in range(cfg.num_layers):
+        p, o = f"transformer.h.{i}.", f"model.layers.{i}."
+        w = np.asarray(sd[p + "attn.c_attn.weight"], np.float32)  # [3H, H]
+        b = np.asarray(sd[p + "attn.c_attn.bias"], np.float32)
+        remapped[o + "self_attn.q_proj.weight"] = w[:H]
+        remapped[o + "self_attn.k_proj.weight"] = w[H:2 * H]
+        remapped[o + "self_attn.v_proj.weight"] = w[2 * H:]
+        remapped[o + "self_attn.q_proj.bias"] = b[:H]
+        remapped[o + "self_attn.k_proj.bias"] = b[H:2 * H]
+        remapped[o + "self_attn.v_proj.bias"] = b[2 * H:]
+        remapped[o + "self_attn.o_proj.weight"] = sd[p + "attn.c_proj.weight"]
+        remapped[o + "mlp.gate_proj.weight"] = sd[p + "mlp.w2.weight"]
+        remapped[o + "mlp.up_proj.weight"] = sd[p + "mlp.w1.weight"]
+        remapped[o + "mlp.down_proj.weight"] = sd[p + "mlp.c_proj.weight"]
+        remapped[o + "input_layernorm.weight"] = sd[p + "ln_1.weight"]
+        remapped[o + "post_attention_layernorm.weight"] = sd[p + "ln_2.weight"]
+    return remapped
+
+
+def exaone_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
+    """EXAONE (reference models/exaone.py): llama graph under
+    transformer.h.{i}.{ln_1, attn.attention.*, ln_2, mlp.c_fc_0/c_fc_1/
+    c_proj} naming; gate = c_fc_0, up = c_fc_1 (:516-517)."""
+    remapped = {
+        "model.embed_tokens.weight": sd["transformer.wte.weight"],
+        "model.norm.weight": sd["transformer.ln_f.weight"],
+        "lm_head.weight": sd.get("lm_head.weight",
+                                 sd["transformer.wte.weight"]),
+    }
+    for i in range(cfg.num_layers):
+        p, o = f"transformer.h.{i}.", f"model.layers.{i}."
+        a = p + "attn.attention."
+        remapped[o + "self_attn.q_proj.weight"] = sd[a + "q_proj.weight"]
+        remapped[o + "self_attn.k_proj.weight"] = sd[a + "k_proj.weight"]
+        remapped[o + "self_attn.v_proj.weight"] = sd[a + "v_proj.weight"]
+        remapped[o + "self_attn.o_proj.weight"] = sd[a + "out_proj.weight"]
+        remapped[o + "mlp.gate_proj.weight"] = sd[p + "mlp.c_fc_0.weight"]
+        remapped[o + "mlp.up_proj.weight"] = sd[p + "mlp.c_fc_1.weight"]
+        remapped[o + "mlp.down_proj.weight"] = sd[p + "mlp.c_proj.weight"]
+        remapped[o + "input_layernorm.weight"] = sd[p + "ln_1.weight"]
+        remapped[o + "post_attention_layernorm.weight"] = sd[p + "ln_2.weight"]
+    return remapped
+
+
+def telechat2_to_llama_keys(sd: Dict, cfg: ModelConfig) -> Dict:
+    """TeleChat2 (reference models/telechat2.py): llama graph with a
+    separate query projection, key_value fused PER HEAD as [h, 2, dh]
+    (de-interleaved here, :60-76), biased o/down, bias-free qkv/gate_up."""
+    nh, dh = cfg.num_heads, cfg.head_dim
+    remapped = {
+        "model.embed_tokens.weight": sd["transformer.word_embeddings.weight"],
+        "model.norm.weight": sd["transformer.ln_f.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    for i in range(cfg.num_layers):
+        p, o = f"transformer.h.{i}.", f"model.layers.{i}."
+        kv = np.asarray(sd[p + "self_attention.key_value.weight"],
+                        np.float32).reshape(nh, 2, dh, -1)
+        remapped[o + "self_attn.q_proj.weight"] = \
+            sd[p + "self_attention.query.weight"]
+        remapped[o + "self_attn.k_proj.weight"] = kv[:, 0].reshape(nh * dh, -1)
+        remapped[o + "self_attn.v_proj.weight"] = kv[:, 1].reshape(nh * dh, -1)
+        remapped[o + "self_attn.o_proj.weight"] = \
+            sd[p + "self_attention.dense.weight"]
+        remapped[o + "self_attn.o_proj.bias"] = \
+            sd[p + "self_attention.dense.bias"]
+        remapped[o + "mlp.gate_proj.weight"] = sd[p + "mlp.gate_proj.weight"]
+        remapped[o + "mlp.up_proj.weight"] = sd[p + "mlp.up_proj.weight"]
+        remapped[o + "mlp.down_proj.weight"] = sd[p + "mlp.down_proj.weight"]
+        remapped[o + "mlp.down_proj.bias"] = sd[p + "mlp.down_proj.bias"]
+        remapped[o + "input_layernorm.weight"] = sd[p + "input_layernorm.weight"]
+        remapped[o + "post_attention_layernorm.weight"] = \
+            sd[p + "post_attention_layernorm.weight"]
+    return remapped
+
+
+def convert_chatglm(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """ChatGLM2/3 / GLM-4-chat (reference models/chatglm.py): transformer.
+    encoder.* naming, straight-fused query_key_value [q|k|v] with qkv-only
+    bias (MQA groups), RMSNorm, fused swiglu dense_h_to_4h = [gate|up],
+    rotary over head_dim/2 interleaved pairs, untied output_layer."""
+    pre = "transformer.encoder.layers."
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{pre}{i}."
+        layer = {
+            "qkv": {"w": jnp.asarray(
+                _t(sd, p + "self_attention.query_key_value.weight"), dtype)},
+            "o": {"w": jnp.asarray(
+                _t(sd, p + "self_attention.dense.weight"), dtype)},
+            "gate_up": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_h_to_4h.weight"), dtype)},
+            "down": {"w": jnp.asarray(
+                _t(sd, p + "mlp.dense_4h_to_h.weight"), dtype)},
+            "input_norm": jnp.asarray(
+                _arr(sd, p + "input_layernorm.weight"), dtype),
+            "post_norm": jnp.asarray(
+                _arr(sd, p + "post_attention_layernorm.weight"), dtype),
+        }
+        if cfg.qkv_bias:
+            layer["qkv"]["b"] = jnp.asarray(
+                _arr(sd, p + "self_attention.query_key_value.bias"), dtype)
+        layers.append(layer)
+    embed = _arr(sd, "transformer.embedding.word_embeddings.weight")
+    from qspec_tpu.models.llama import pack_lm_head
+    params = {
+        "embed": jnp.asarray(embed, dtype),
+        "lm_head": pack_lm_head(
+            np.asarray(sd.get("transformer.output_layer.weight", embed),
+                       np.float32).T, cfg, dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(
+            _arr(sd, "transformer.encoder.final_layernorm.weight"), dtype),
+    }
+    return _finish(params, cfg, dtype)
+
+
 LLAMA_KEY_REMAPS = {
     "baichuan": baichuan_to_llama_keys,
     "internlm2": internlm2_to_llama_keys,
+    "qwen": qwen1_to_llama_keys,
+    "exaone": exaone_to_llama_keys,
+    "telechat2": telechat2_to_llama_keys,
 }
 
 
 def convert_baichuan(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     from qspec_tpu.model_loader.loader import load_hf_float
     params, _ = load_hf_float(baichuan_to_llama_keys(sd, cfg), cfg,
+                              dtype=dtype)
+    return params
+
+
+def convert_qwen1(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    from qspec_tpu.model_loader.loader import load_hf_float
+    params, _ = load_hf_float(qwen1_to_llama_keys(sd, cfg), cfg, dtype=dtype)
+    return params
+
+
+def convert_exaone(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    from qspec_tpu.model_loader.loader import load_hf_float
+    params, _ = load_hf_float(exaone_to_llama_keys(sd, cfg), cfg, dtype=dtype)
+    return params
+
+
+def convert_telechat2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    from qspec_tpu.model_loader.loader import load_hf_float
+    params, _ = load_hf_float(telechat2_to_llama_keys(sd, cfg), cfg,
                               dtype=dtype)
     return params
 
@@ -621,6 +771,13 @@ def convert_deepseek_v2(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
             dense_layers.append(layer)
             continue
         layer["router"] = jnp.asarray(_t(sd, mp + "gate.weight"), dtype)
+        if mp + "gate.e_score_correction_bias" in sd:
+            # DeepSeek-V3 noaux_tc selection bias (reference
+            # DeepseekV3TopkRouter.e_score_correction_bias)
+            layer["router_bias"] = jnp.asarray(
+                _arr(sd, mp + "gate.e_score_correction_bias"), jnp.float32)
+        elif cfg.moe_routing == "noaux_tc":
+            layer["router_bias"] = jnp.zeros((cfg.num_experts,), jnp.float32)
         gu = [np.concatenate([_t(sd, f"{mp}experts.{e}.gate_proj.weight"),
                               _t(sd, f"{mp}experts.{e}.up_proj.weight")],
                              axis=1) for e in range(cfg.num_experts)]
@@ -1148,6 +1305,7 @@ CONVERTERS = {
     "opt": convert_opt,
     "deepseek": convert_deepseek,
     "deepseek_v2": convert_deepseek_v2,
+    "deepseek_v3": convert_deepseek_v2,   # V3 = V2 keys + router bias
     "gpt2": convert_gpt2,
     "starcoder2": convert_starcoder2,
     "falcon": convert_falcon,
@@ -1156,6 +1314,10 @@ CONVERTERS = {
     "jais": convert_jais,
     "baichuan": convert_baichuan,
     "internlm2": convert_internlm2,
+    "qwen": convert_qwen1,
+    "exaone": convert_exaone,
+    "telechat2": convert_telechat2,
+    "chatglm": convert_chatglm,
     "stablelm": convert_stablelm,
     "gpt_neox": convert_gpt_neox,
     "phi": convert_phi,

@@ -96,6 +96,27 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             cfg = config_from_hf_dir(path_or_sd)
         sd = _read_safetensors(path_or_sd)
     cfg = ModelConfig(**{**cfg.__dict__, "quant": "none", "weightless_norm": False})
+    if cfg.arch == "qwen2vl" and cfg.vision is not None:
+        # Qwen2-VL checkpoint: visual.* tower (or model.visual.*) + qwen2
+        # LM keys (model.* classic, model.language_model.* >= 4.52).
+        # Reference: qwen2_vl.py load_weights + WeightsMapper.
+        from qspec_tpu.models.qwen2vl_vit import convert_qwen2vl_tower
+        lm_sd, vis_sd = {}, {}
+        for k, v in sd.items():
+            if k.startswith("visual."):
+                vis_sd[k] = v
+            elif k.startswith("model.visual."):
+                vis_sd["visual." + k[len("model.visual."):]] = v
+            elif k.startswith("model.language_model."):
+                lm_sd["model." + k[len("model.language_model."):]] = v
+            elif k == "lm_head.weight" or k.startswith("model."):
+                lm_sd[k] = v
+        tower = convert_qwen2vl_tower(vis_sd, cfg.vision, dtype=dtype)
+        import dataclasses
+        inner = dataclasses.replace(cfg, vision=None)
+        params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
+        params.update(tower)
+        return params, dataclasses.replace(inner, vision=cfg.vision)
     if cfg.arch == "llava" and cfg.vision is not None:
         # LLaVA checkpoint: language_model.* prefixed LM keys (classic) or
         # model.language_model.* (transformers >= 4.52) + vision tower +
@@ -148,6 +169,13 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                 p + ("pre_feedforward_layernorm.weight" if cfg.post_norms
                      else "post_attention_layernorm.weight")),
         }
+        if cfg.norm_type == "layernorm" and \
+                p + "input_layernorm.bias" in sd:
+            # biased-LayerNorm llama-keyed families (PhiMoE, Orion)
+            layer["input_norm_b"] = jnp.asarray(
+                sd[p + "input_layernorm.bias"], dtype)
+            layer["post_norm_b"] = jnp.asarray(
+                sd[p + "post_attention_layernorm.bias"], dtype)
         if cfg.post_norms:
             layer["post_attn_norm"] = norm_w(
                 p + "post_attention_layernorm.weight")
@@ -206,6 +234,14 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
                                 sd[p + "self_attn.k_proj.bias"],
                                 sd[p + "self_attn.v_proj.bias"]])
             layer["qkv"]["b"] = jnp.asarray(b, dtype)
+        if p + "self_attn.o_proj.bias" in sd:
+            # phimoe attention_bias also biases o_proj
+            layer["o"]["b"] = jnp.asarray(sd[p + "self_attn.o_proj.bias"],
+                                          dtype)
+        if "down" in layer and p + "mlp.down_proj.bias" in sd:
+            # telechat2 biases down_proj (and o) only
+            layer["down"]["b"] = jnp.asarray(sd[p + "mlp.down_proj.bias"],
+                                             dtype)
         if cfg.qk_norm:
             # qwen3 per-head q/k norms ([head_dim] gammas)
             layer["q_norm"] = norm_w(p + "self_attn.q_norm.weight")
@@ -220,14 +256,25 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         **_common(cfg),
     }
+    if "model.norm.bias" in sd:
+        params["final_norm_b"] = jnp.asarray(sd["model.norm.bias"], dtype)
+    if cfg.lm_head_bias and "lm_head.bias" in sd:
+        params["lm_head_b"] = jnp.asarray(sd["lm_head.bias"], jnp.float32)
     return params, cfg
 
 
 def _score_head(sd, xform):
-    """Extract an HF sequence-classification head if present ("score.weight"
-    llama-style / "classifier.weight" bert-style, [num_labels, H]); xform
-    maps [H, num_labels] into the model's final-hidden basis."""
-    for key in ("score.weight", "classifier.weight"):
+    """Extract an HF sequence-classification / reward head if present;
+    xform maps the FIRST layer's [H, ...] weight into the model's
+    final-hidden basis (QuaRot rotation).
+
+    Shapes served: single linear ("score.weight" llama-style /
+    "classifier.weight" bert-style / "v_head.weight" InternLM2-reward),
+    and the Qwen2 reward stack nn.Sequential(Linear, ReLU, Linear)
+    ("score.0.weight" / "score.2.weight", reference models/qwen2_rm.py) —
+    stored as {"w1","b1","act","w","b"} and applied by
+    entrypoints.llm.cross_encoder_score."""
+    for key in ("score.weight", "classifier.weight", "v_head.weight"):
         if key in sd:
             w = np.asarray(sd[key], np.float32).T  # [H, num_labels]
             head = {"w": jnp.asarray(xform(w), jnp.float32)}
@@ -235,6 +282,20 @@ def _score_head(sd, xform):
             if bkey in sd:
                 head["b"] = jnp.asarray(np.asarray(sd[bkey], np.float32))
             return head
+    if "score.0.weight" in sd:
+        head = {"w1": jnp.asarray(
+            xform(np.asarray(sd["score.0.weight"], np.float32).T),
+            jnp.float32),
+            "act": jnp.asarray(0, jnp.int32),  # 0 = relu (1 = tanh)
+            "w": jnp.asarray(np.asarray(sd["score.2.weight"], np.float32).T,
+                             jnp.float32)}
+        if "score.0.bias" in sd:
+            head["b1"] = jnp.asarray(np.asarray(sd["score.0.bias"],
+                                                np.float32))
+        if "score.2.bias" in sd:
+            head["b"] = jnp.asarray(np.asarray(sd["score.2.bias"],
+                                               np.float32))
+        return head
     return None
 
 

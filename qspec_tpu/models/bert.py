@@ -25,7 +25,10 @@ def bert_forward(params, cfg: ModelConfig, token_ids: jnp.ndarray,
     """[B, T] + valid mask -> final hidden states [B, T, H]."""
     B, T = token_ids.shape
     x = params["embed"][token_ids.reshape(-1)].reshape(B, T, -1)
-    x = x + params["pos_embed"][:T][None]
+    # RoBERTa family offsets position ids by padding_idx+1 (reference
+    # models/roberta.py create_position_ids_from_input_ids)
+    off = cfg.bert_pos_offset
+    x = x + params["pos_embed"][off:off + T][None]
     x = (x + params["type_embed"][0][None, None]).astype(jnp.bfloat16)
     x = _ln(x, params["embed_ln"], eps=cfg.rms_norm_eps)
     nh = cfg.num_heads
@@ -72,7 +75,10 @@ def convert_bert(sd: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     def a(name):
         return np.asarray(sd[name], np.float32)
 
-    root = "bert." if "bert.embeddings.word_embeddings.weight" in sd else ""
+    root = ""
+    for cand in ("bert.", "roberta."):
+        if cand + "embeddings.word_embeddings.weight" in sd:
+            root = cand
 
     def lin_t(prefix):
         return {"w": jnp.asarray(a(prefix + ".weight").T, dtype),
@@ -102,7 +108,7 @@ def convert_bert(sd: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
             "ln2": ln(p + "output.LayerNorm"),
         })
     e = root + "embeddings."
-    return {
+    params = {
         "embed": jnp.asarray(a(e + "word_embeddings.weight"), jnp.float32),
         "pos_embed": jnp.asarray(a(e + "position_embeddings.weight"),
                                  jnp.float32),
@@ -111,3 +117,27 @@ def convert_bert(sd: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
         "embed_ln": ln(e + "LayerNorm"),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
     }
+    # sequence-classification heads over the CLS vector (reference
+    # models/{bert,roberta}.py + cross-encoder serving,
+    # serving_score.py): RoBERTa = classifier.dense -> tanh -> out_proj;
+    # BERT = pooler.dense -> tanh -> classifier. Stored in the
+    # cross_encoder_score head format ({"w1","b1","act","w","b"}).
+    if root + "classifier.out_proj.weight" in sd or \
+            "classifier.out_proj.weight" in sd:
+        c = root + "classifier." if root + "classifier.dense.weight" in sd \
+            else "classifier."
+        params["score_head"] = {
+            "w1": jnp.asarray(a(c + "dense.weight").T, jnp.float32),
+            "b1": jnp.asarray(a(c + "dense.bias"), jnp.float32),
+            "act": jnp.asarray(1, jnp.int32),  # 1 = tanh (0 = relu)
+            "w": jnp.asarray(a(c + "out_proj.weight").T, jnp.float32),
+            "b": jnp.asarray(a(c + "out_proj.bias"), jnp.float32)}
+    elif "classifier.weight" in sd and root + "pooler.dense.weight" in sd:
+        params["score_head"] = {
+            "w1": jnp.asarray(a(root + "pooler.dense.weight").T,
+                              jnp.float32),
+            "b1": jnp.asarray(a(root + "pooler.dense.bias"), jnp.float32),
+            "act": jnp.asarray(1, jnp.int32),  # 1 = tanh (0 = relu)
+            "w": jnp.asarray(a("classifier.weight").T, jnp.float32),
+            "b": jnp.asarray(a("classifier.bias"), jnp.float32)}
+    return params

@@ -67,6 +67,10 @@ class AttentionBatch(NamedTuple):
     slot_mapping: jnp.ndarray  # [B, Q] int32 flat kv slots
     block_tables: jnp.ndarray  # [B, max_pages] int32
     ctx_lens: jnp.ndarray      # [B] int32, includes the Q new tokens
+    # Qwen2-VL M-RoPE (reference qwen2_vl.py:66 uses_mrope): 3-channel
+    # (temporal, height, width) ROPE positions [3, B, Q]; None = standard
+    # rope at `positions`. Attention masking/slots always use `positions`.
+    mrope: Optional[jnp.ndarray] = None
 
 
 def _linear(x, w, scheme, xq=None, li=None):
@@ -343,7 +347,52 @@ def _moe_block(xn, xq, layers, li, cfg: ModelConfig, scheme, hadamards,
     # router on the float hidden (reference gate: nn.Linear on hidden_states)
     logits = jnp.dot(x_fp, layers["router"][li].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)      # [T, E]
-    if cfg.moe_softmax_before_topk:
+    if cfg.moe_routing == "sparsemixer":
+        # Phi-3.5-MoE sparsemixer (reference models/phimoe.py:163-215,
+        # inference path): per pick, experts within a 2*eps relative band
+        # of the max survive a mask, the weight is the survivor-softmax
+        # prob at the argmax; the second pick repeats with the first
+        # expert's score removed. Exactly two picks.
+        assert k == 2, "sparsemixer routing is top-2"
+        eps = 0.01
+        i1 = jnp.argmax(logits, axis=-1)                       # [T]
+        mx1 = jnp.max(logits, axis=-1, keepdims=True)
+        factor1 = jnp.maximum(jnp.abs(logits), mx1)
+        m1 = ((mx1 - logits) / factor1) > (2 * eps)
+        g1 = jax.nn.softmax(jnp.where(m1, -jnp.inf, logits), axis=-1)
+        w1 = jnp.take_along_axis(g1, i1[:, None], axis=-1)     # [T, 1]
+        masked = logits.at[jnp.arange(T), i1].set(-jnp.inf)
+        i2 = jnp.argmax(masked, axis=-1)
+        mx2 = jnp.max(masked, axis=-1, keepdims=True)
+        factor2 = jnp.maximum(jnp.abs(logits), mx2)
+        m2 = ((mx2 - logits) / factor2) > (2 * eps)
+        g2 = jax.nn.softmax(jnp.where(m2, -jnp.inf, masked), axis=-1)
+        w2 = jnp.take_along_axis(g2, i2[:, None], axis=-1)
+        w = jnp.concatenate([w1, w2], axis=-1)                 # [T, 2]
+        topi = jnp.stack([i1, i2], axis=-1)
+    elif cfg.moe_routing == "noaux_tc":
+        # DeepSeek-V3 (reference deepseek_v2.py V3 path + HF
+        # DeepseekV3TopkRouter): sigmoid scores + per-expert bias for
+        # SELECTION only; groups ranked by their top-2 biased scores,
+        # top-k chosen inside the surviving groups; combine weights are
+        # the UNBIASED sigmoid scores renormalized
+        scores = jax.nn.sigmoid(logits)
+        biased = scores + layers["router_bias"][li][None].astype(jnp.float32)
+        n_group = cfg.moe_n_group
+        gsz = E // n_group
+        bg = biased.reshape(T, n_group, gsz)
+        g_rank = jnp.sum(jax.lax.top_k(bg, 2)[0], axis=-1)     # [T, G]
+        _, gi = jax.lax.top_k(g_rank, cfg.moe_topk_group)
+        gmask = jnp.zeros((T, n_group), bool).at[
+            jnp.arange(T)[:, None], gi].set(True)
+        allowed = jnp.repeat(gmask, gsz, axis=-1)
+        sel = jnp.where(allowed, biased, -jnp.inf)
+        _, topi = jax.lax.top_k(sel, k)
+        w = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.moe_norm_topk_prob:
+            w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+        # routed_scaling_factor applies once, on the routed delta below
+    elif cfg.moe_softmax_before_topk:
         # qwen2-moe: softmax over ALL experts, then top-k (+ optional
         # renormalization, reference Qwen2MoeSparseMoeBlock)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -587,8 +636,14 @@ def decoder_layer(x, layers, cache, layer_idx, cfg: ModelConfig, batch: Attentio
                 k = rmsnorm_ref(k, layers["k_norm"][li],
                                 eps=cfg.rms_norm_eps)
         if cfg.position_embedding == "rope":
-            qr, kr = apply_rope(q, k, batch.positions.reshape(-1),
-                                rope_cache, style=cfg.rope_style)
+            if batch.mrope is not None and cfg.mrope_section is not None:
+                from qspec_tpu.ops.rotary import apply_rope_mrope
+                qr, kr = apply_rope_mrope(
+                    q, k, batch.mrope.reshape(3, -1), rope_cache,
+                    cfg.mrope_section)
+            else:
+                qr, kr = apply_rope(q, k, batch.positions.reshape(-1),
+                                    rope_cache, style=cfg.rope_style)
             if cfg.rope_local_theta is not None:
                 # gemma3 dual rope: sliding layers rotate with the LOCAL
                 # theta cache; layer_idx is traced, so select
@@ -1185,6 +1240,9 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, tp_size: in
         }
         if cfg.num_experts and _li >= cfg.first_k_dense:
             layer["router"] = jnp.asarray(dense(H, cfg.num_experts), dtype)
+            if cfg.moe_routing == "noaux_tc":
+                layer["router_bias"] = jnp.zeros((cfg.num_experts,),
+                                                 jnp.float32)
             layer["experts_gate_up"], layer["experts_down"] = make_experts()
             if cfg.shared_expert_intermediate_size:
                 Is = cfg.shared_expert_intermediate_size

@@ -557,6 +557,76 @@ def _bert(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("BertForSequenceClassification")
+def _bert_classify(hf: dict) -> ModelConfig:
+    # cross-encoder / classifier BERT (reference models/bert.py
+    # BertForSequenceClassification + serving_score.py): the bert graph;
+    # the pooler+classifier stack rides params["score_head"]
+    import dataclasses
+    n = (hf.get("num_labels") or len(hf.get("id2label") or {}) or 2)
+    return dataclasses.replace(_bert(hf), num_labels=n)
+
+
+@register("RobertaModel")
+@register("RobertaEmbeddingModel")
+@register("XLMRobertaModel")
+@register("roberta")
+@register("xlm-roberta")
+def _roberta(hf: dict) -> ModelConfig:
+    # RoBERTa/XLM-R retrievers (reference models/roberta.py): the bert
+    # graph with position ids offset by padding_idx+1
+    import dataclasses
+    return dataclasses.replace(
+        _bert(hf), bert_pos_offset=(hf.get("pad_token_id", 1) or 1) + 1)
+
+
+@register("RobertaForSequenceClassification")
+@register("XLMRobertaForSequenceClassification")
+def _roberta_classify(hf: dict) -> ModelConfig:
+    # bge-reranker-style cross-encoders (reference models/roberta.py
+    # RobertaForSequenceClassification): classifier.dense->tanh->out_proj
+    # over CLS, served through /v1/score
+    import dataclasses
+    n = (hf.get("num_labels") or len(hf.get("id2label") or {}) or 1)
+    return dataclasses.replace(_roberta(hf), num_labels=n)
+
+
+@register("Qwen2ForSequenceClassification")
+def _qwen2_classify(hf: dict) -> ModelConfig:
+    # decoder-as-classifier (reference models/qwen2_cls.py): qwen2 trunk +
+    # score.weight over the last-token hidden (loader _score_head)
+    import dataclasses
+    n = (hf.get("num_labels") or len(hf.get("id2label") or {}) or 2)
+    return dataclasses.replace(_qwen2(hf), num_labels=n)
+
+
+@register("Qwen2ForRewardModel")
+@register("Qwen2ForProcessRewardModel")
+def _qwen2_reward(hf: dict) -> ModelConfig:
+    # reward models (reference models/qwen2_rm.py): qwen2 trunk + the
+    # Sequential(Linear, ReLU, Linear) score stack (loader _score_head);
+    # the PRM variant shares the head shape, scored at the pooled position
+    import dataclasses
+    return dataclasses.replace(_qwen2(hf), num_labels=1)
+
+
+@register("InternLM2ForRewardModel")
+def _internlm2_reward(hf: dict) -> ModelConfig:
+    # reference models/internlm2_ve.py lineage reward head: internlm2
+    # trunk + v_head.weight (loader _score_head)
+    import dataclasses
+    return dataclasses.replace(_internlm2(hf), num_labels=1)
+
+
+@register("JambaForSequenceClassification")
+def _jamba_classify(hf: dict) -> ModelConfig:
+    # reference models/jamba.py JambaForSequenceClassification: the jamba
+    # trunk with a score head over the pooled hidden
+    import dataclasses
+    n = (hf.get("num_labels") or len(hf.get("id2label") or {}) or 2)
+    return dataclasses.replace(_jamba(hf), num_labels=n)
+
+
 @register("WhisperForConditionalGeneration")
 @register("whisper")
 def _whisper(hf: dict) -> ModelConfig:
@@ -736,6 +806,378 @@ def _llava_vlm(hf: dict) -> ModelConfig:
     return dataclasses.replace(
         base, arch="llava", vision=vc,
         image_token_id=hf.get("image_token_index", 32000))
+
+
+# ---------------------------------------------------------------------------
+# llama-graph lineage (reference models/registry.py:30-109): these archs ARE
+# the llama compute graph — per-arch differences are config knobs and/or
+# checkpoint key layouts (model_loader/families.py), exactly how the
+# reference's per-model files mostly re-wire the same decoder modules.
+# ---------------------------------------------------------------------------
+
+
+@register("AquilaForCausalLM")
+@register("AquilaModel")
+@register("aquila")
+def _aquila(hf: dict) -> ModelConfig:
+    # BAAI Aquila: llama graph verbatim (reference models/registry.py maps
+    # both arch strings onto models/llama.py)
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("LLaMAForCausalLM")       # legacy capitalization
+@register("LlamaModel")            # decoder-as-embedder registration
+@register("Fairseq2LlamaForCausalLM")
+def _llama_aliases(hf: dict) -> ModelConfig:
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("MistralModel")          # e5-mistral-style embedder
+def _mistral_embed(hf: dict) -> ModelConfig:
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("Qwen2Model")
+@register("Qwen2EmbeddingModel")   # gte-qwen2-style embedder
+def _qwen2_embed(hf: dict) -> ModelConfig:
+    return _qwen2(hf)
+
+
+@register("Gemma2Model")           # gemma2-based embedder
+def _gemma2_embed(hf: dict) -> ModelConfig:
+    return _gemma2(hf)
+
+
+@register("QuantMixtralForCausalLM")
+def _quant_mixtral(hf: dict) -> ModelConfig:
+    return _mixtral(hf)
+
+
+@register("XverseForCausalLM")
+@register("xverse")
+def _xverse(hf: dict) -> ModelConfig:
+    # XVERSE: llama graph verbatim (reference models/registry.py)
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("SolarForCausalLM")
+@register("solar")
+def _solar(hf: dict) -> ModelConfig:
+    # Upstage SOLAR: depth-up-scaled llama (reference models/solar.py);
+    # the bskcn_* backbone-skip variants change the graph and are rejected
+    if hf.get("bskcn_1") or hf.get("bskcn_tv"):
+        raise ValueError("SOLAR bskcn (backbone skip connections) variants "
+                         "are not supported; plain SOLAR checkpoints are")
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("InternLMForCausalLM")
+@register("internlm")
+def _internlm(hf: dict) -> ModelConfig:
+    # InternLM(1): llama graph with biases on every projection when the
+    # config's `bias` flag is set (reference models/internlm.py... folded
+    # into llama.py in the reference registry)
+    import dataclasses
+    cfg = ModelConfig.from_hf_config(hf)
+    bias = bool(hf.get("bias", False))
+    return dataclasses.replace(cfg, arch="llama", qkv_bias=bias,
+                               linear_bias=bias)
+
+
+@register("InternLM3ForCausalLM")
+@register("internlm3")
+def _internlm3(hf: dict) -> ModelConfig:
+    # InternLM3: llama graph + optional qkv bias (reference
+    # models/registry.py InternLM3ForCausalLM -> llama)
+    import dataclasses
+    cfg = ModelConfig.from_hf_config(hf)
+    return dataclasses.replace(cfg, qkv_bias=bool(hf.get("qkv_bias", False)))
+
+
+@register("OrionForCausalLM")
+@register("orion")
+def _orion(hf: dict) -> ModelConfig:
+    # OrionStar: llama projections under biased LayerNorm instead of
+    # RMSNorm (reference models/orion.py)
+    import dataclasses
+    cfg = ModelConfig.from_hf_config(hf)
+    return dataclasses.replace(
+        cfg, arch="orion", norm_type="layernorm",
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5))
+
+
+@register("DeciLMForCausalLM")
+@register("decilm")
+def _decilm(hf: dict) -> ModelConfig:
+    # DeciLM: llama graph whose GQA ratio VARIES per layer
+    # (num_key_value_heads_per_layer, reference models/decilm.py). The
+    # stacked-layer executable requires uniform kv heads: uniform configs
+    # serve; variable ones are rejected.
+    per_layer = hf.get("num_key_value_heads_per_layer")
+    if per_layer and len(set(per_layer)) > 1:
+        raise ValueError(
+            "DeciLM with per-layer variable GQA is not supported (the "
+            "stacked-layer executable needs uniform kv heads); uniform "
+            "num_key_value_heads_per_layer configs are")
+    hf = dict(hf)
+    if per_layer:
+        hf["num_key_value_heads"] = per_layer[0]
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("MiniCPMForCausalLM")
+@register("minicpm")
+def _minicpm(hf: dict) -> ModelConfig:
+    # MiniCPM (reference models/minicpm.py): llama graph + muP-style
+    # scales — embeddings * scale_emb, per-block residual *
+    # scale_depth/sqrt(L), logits / (hidden_size / dim_model_base) — all
+    # existing knobs; tied embeddings
+    import dataclasses
+    import math
+    cfg = ModelConfig.from_hf_config(hf)
+    L = hf["num_hidden_layers"]
+    if hf.get("num_experts") or hf.get("num_experts_per_tok"):
+        raise ValueError("MiniCPM-MoE variants are not supported")
+    return dataclasses.replace(
+        cfg, arch="minicpm",
+        embed_scale=float(hf.get("scale_emb", 1.0)) or None,
+        residual_multiplier=float(hf.get("scale_depth", math.sqrt(L)))
+        / math.sqrt(L),
+        logits_scaling=(hf["hidden_size"] / hf["dim_model_base"]
+                        if hf.get("dim_model_base") else None),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True))
+
+
+@register("MiniCPM3ForCausalLM")
+@register("minicpm3")
+def _minicpm3(hf: dict) -> ModelConfig:
+    # MiniCPM3 (reference models/minicpm3.py): MiniCPM's muP scales over
+    # MLA attention with q LoRA (the deepseek-v2 attention machinery and
+    # checkpoint key layout)
+    import dataclasses
+    import math
+    nh = hf["num_attention_heads"]
+    L = hf["num_hidden_layers"]
+    cfg = ModelConfig(
+        arch="deepseek_v2", attention_type="mla",
+        kv_lora_rank=hf["kv_lora_rank"], q_lora_rank=hf.get("q_lora_rank"),
+        qk_nope_head_dim=hf["qk_nope_head_dim"],
+        qk_rope_head_dim=hf["qk_rope_head_dim"],
+        v_head_dim=hf.get("v_head_dim", hf["hidden_size"] // nh),
+        rotary_dim=hf["qk_rope_head_dim"],
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=L, num_heads=nh, num_kv_heads=nh,
+        head_dim=hf["qk_nope_head_dim"] + hf["qk_rope_head_dim"],
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        quant="none", weightless_norm=False)
+    return dataclasses.replace(
+        cfg,
+        embed_scale=float(hf.get("scale_emb", 1.0)) or None,
+        residual_multiplier=float(hf.get("scale_depth", math.sqrt(L)))
+        / math.sqrt(L),
+        logits_scaling=(hf["hidden_size"] / hf["dim_model_base"]
+                        if hf.get("dim_model_base") else None),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True))
+
+
+@register("QWenLMHeadModel")
+@register("qwen")
+def _qwen1(hf: dict) -> ModelConfig:
+    # Qwen(1) (reference models/qwen.py): llama graph, fused c_attn with
+    # qkv-only bias, swiglu with gate=w2/up=w1 (families.py remap)
+    import dataclasses
+    nh = hf["num_attention_heads"]
+    cfg = ModelConfig.from_hf_config({
+        **hf, "model_type": "llama",
+        "num_key_value_heads": nh,
+        # HF Qwen-1 reports the DOUBLED ffn width (intermediate_size is
+        # 2*ffn in its config; modeling_qwen halves it)
+        "intermediate_size": hf["intermediate_size"] // 2,
+        "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-6),
+        "max_position_embeddings": hf.get("max_position_embeddings",
+                                          hf.get("seq_length", 8192))})
+    return dataclasses.replace(cfg, arch="qwen", qkv_bias=True)
+
+
+@register("ExaoneForCausalLM")
+@register("exaone")
+def _exaone(hf: dict) -> ModelConfig:
+    # EXAONE (reference models/exaone.py): llama graph under GPT-style
+    # key names (families.py remap)
+    import dataclasses
+    cfg = ModelConfig.from_hf_config({
+        **hf, "model_type": "llama",
+        "hidden_size": hf.get("hidden_size", hf.get("n_embd")),
+        "num_hidden_layers": hf.get("num_hidden_layers",
+                                    hf.get("num_layers")),
+        "num_attention_heads": hf.get("num_attention_heads",
+                                      hf.get("n_head")),
+        "rms_norm_eps": hf.get("layer_norm_epsilon", 1e-5)})
+    return dataclasses.replace(cfg, arch="exaone")
+
+
+@register("TeleChat2ForCausalLM")
+@register("telechat2")
+def _telechat2(hf: dict) -> ModelConfig:
+    # TeleChat2 (reference models/telechat2.py): llama graph, separate
+    # query + per-head-fused key_value, biased o/down only
+    import dataclasses
+    nh = hf.get("n_head", hf.get("num_attention_heads"))
+    cfg = ModelConfig.from_hf_config({
+        **hf, "model_type": "llama",
+        "num_attention_heads": nh,
+        "num_key_value_heads": nh,
+        "num_hidden_layers": hf.get("n_layer",
+                                    hf.get("num_hidden_layers")),
+        "intermediate_size": hf.get("ffn_hidden_size",
+                                    hf.get("intermediate_size")),
+        "max_position_embeddings": hf.get("seq_length", 8192)})
+    return dataclasses.replace(cfg, arch="telechat2")
+
+
+@register("ChatGLMModel")
+@register("ChatGLMForCausalLM")
+@register("ChatGLMForConditionalGeneration")
+@register("chatglm")
+@register("glm4")
+def _chatglm(hf: dict) -> ModelConfig:
+    # ChatGLM2/3 / GLM-4-chat (reference models/chatglm.py): MQA groups,
+    # straight-fused qkv with qkv-only bias, RMSNorm, fused swiglu
+    # dense_h_to_4h, rotary over HALF the head dim in interleaved (gptj)
+    # pairs (:278-285 is_neox_style = not original_rope), untied head
+    nh = hf["num_attention_heads"]
+    dh = hf.get("kv_channels", hf["hidden_size"] // nh)
+    nkv = (hf.get("multi_query_group_num", nh)
+           if hf.get("multi_query_attention") else nh)
+    if hf.get("apply_residual_connection_post_layernorm"):
+        raise ValueError("chatglm post-layernorm residual variant "
+                         "unsupported")
+    return ModelConfig(
+        arch="chatglm",
+        qkv_bias=bool(hf.get("add_qkv_bias", True)),
+        linear_bias=bool(hf.get("add_bias_linear", False)),
+        rotary_dim=dh // 2,
+        rope_style="gptj" if hf.get("original_rope", True) else "neox",
+        rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+        vocab_size=hf.get("padded_vocab_size", hf.get("vocab_size")),
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["ffn_hidden_size"],
+        num_layers=hf["num_layers"], num_heads=nh, num_kv_heads=nkv,
+        head_dim=dh,
+        rms_norm_eps=hf.get("layernorm_epsilon", 1e-5),
+        max_position_embeddings=hf.get("seq_length", 8192),
+        tie_word_embeddings=False,
+        quant="none", weightless_norm=False)
+
+
+@register("DeepseekV3ForCausalLM")
+@register("deepseek_v3")
+def _deepseek_v3(hf: dict) -> ModelConfig:
+    # DeepSeek-V3/R1 (reference deepseek_v2.py's V3 branch + HF
+    # DeepseekV3TopkRouter): the V2 MLA + shared-expert MoE graph with
+    # sigmoid scoring and noaux_tc group-limited expert selection
+    # (e_score_correction_bias biases SELECTION only)
+    import dataclasses
+    if hf.get("topk_method", "noaux_tc") not in ("noaux_tc", "greedy"):
+        raise ValueError(f"deepseek-v3 topk_method {hf['topk_method']!r} "
+                         "unsupported")
+    base = dict(hf, model_type="deepseek_v2", topk_method="greedy")
+    cfg = ModelConfig.from_hf_config(base)
+    return dataclasses.replace(
+        cfg, arch="deepseek_v3",
+        moe_routing="noaux_tc",
+        moe_n_group=hf.get("n_group", 1) or 1,
+        moe_topk_group=hf.get("topk_group", 1) or 1,
+        moe_norm_topk_prob=hf.get("norm_topk_prob", True),
+        moe_softmax_before_topk=False)
+
+
+@register("OlmoeForCausalLM")
+@register("olmoe")
+def _olmoe(hf: dict) -> ModelConfig:
+    # OLMoE (reference models/olmoe.py): llama attention with FULL-width
+    # q/k RMSNorms (olmo2-style) over a 64-expert top-8 MoE MLP
+    # (qwen2-moe checkpoint key naming, handled by the loader)
+    nh = hf["num_attention_heads"]
+    return ModelConfig(
+        arch="olmoe", qk_norm=True, qk_norm_style="full",
+        num_experts=hf.get("num_experts", 64),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 8),
+        moe_norm_topk_prob=hf.get("norm_topk_prob", False),
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=hf["hidden_size"] // nh,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False)
+
+
+@register("PhiMoEForCausalLM")
+@register("phimoe")
+def _phimoe(hf: dict) -> ModelConfig:
+    # Phi-3.5-MoE (reference models/phimoe.py): mixtral's sparse-MoE MLP
+    # and checkpoint naming under biased LayerNorm, attention bias, and a
+    # biased untied lm_head
+    nh = hf["num_attention_heads"]
+    return ModelConfig(
+        arch="phimoe", norm_type="layernorm", moe_routing="sparsemixer",
+        qkv_bias=bool(hf.get("attention_bias", True)),
+        lm_head_bias=bool(hf.get("lm_head_bias", True)),
+        num_experts=hf.get("num_local_experts", 16),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=hf["hidden_size"] // nh,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        sliding_window=hf.get("sliding_window"),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False)
+
+
+@register("Qwen2VLForConditionalGeneration")
+@register("qwen2_vl")
+def _qwen2vl(hf: dict) -> ModelConfig:
+    # Qwen2-VL (reference models/qwen2_vl.py:66-120 uses_mrope): qwen2
+    # text trunk under 3-channel M-RoPE + the native-resolution rope-2D
+    # vision tower with PatchMerger (models/qwen2vl_vit.py)
+    import dataclasses
+
+    from qspec_tpu.config import VisionConfig
+    rs = hf.get("rope_scaling") or {}
+    sect = rs.get("mrope_section")
+    # the mrope "type" is not a cache-shaping scaling — strip it
+    base = dict(hf)
+    base["rope_scaling"] = None
+    cfg = _qwen2(base)
+    v = dict(hf.get("vision_config") or {})
+    vc = VisionConfig(
+        hidden_size=hf["hidden_size"],            # merger output = LM H
+        intermediate_size=int(v.get("embed_dim", 1280)
+                              * v.get("mlp_ratio", 4)),
+        num_layers=v.get("depth", 32),
+        num_heads=v.get("num_heads", 16),
+        patch_size=v.get("patch_size", 14),
+        tower="qwen2vl",
+        spatial_merge=v.get("spatial_merge_size", 2),
+        temporal_patch=v.get("temporal_patch_size", 2),
+        hidden_act=v.get("hidden_act", "quick_gelu"))
+    return dataclasses.replace(
+        cfg, arch="qwen2vl",
+        mrope_section=tuple(sect) if sect else None,
+        vision=vc,
+        image_token_id=hf.get("image_token_id", 151655))
 
 
 def resolve(hf_config: dict) -> ModelConfig:

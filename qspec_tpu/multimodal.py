@@ -45,14 +45,16 @@ _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 _CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
-    """[H, W, C] -> [size, size, C] host-side bilinear (the processor's
-    resize+center-crop collapsed to a square resize; serving-quality)."""
+def _resize_bilinear(img: np.ndarray, size, size_w: Optional[int] = None
+                     ) -> np.ndarray:
+    """[H, W, C] -> [size, size_w or size, C] host-side bilinear (the
+    processor's resize+center-crop collapsed; serving-quality)."""
     H, W, C = img.shape
-    if H == size and W == size:
+    size_w = size if size_w is None else size_w
+    if H == size and W == size_w:
         return img
     ys = (np.arange(size) + 0.5) * H / size - 0.5
-    xs = (np.arange(size) + 0.5) * W / size - 0.5
+    xs = (np.arange(size_w) + 0.5) * W / size_w - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
     x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
     y1, x1 = np.minimum(y0 + 1, H - 1), np.minimum(x0 + 1, W - 1)
@@ -158,6 +160,74 @@ def splice_image_embeds(params, cfg, prompt_token_ids: List[int],
     if next(img_iter, None) is not None:
         raise ValueError("more images than image placeholders")
     return out_ids, np.concatenate(rows, axis=0)
+
+
+def qwen2vl_image_embeds(params, cfg, image: np.ndarray):
+    """Qwen2-VL native-resolution path: resize to the nearest multiple of
+    patch*merge per side (dynamic resolution — NO fixed square), patchify,
+    run the rope-2D tower, return (merged embeds [n, H], (t, gh, gw) grid).
+
+    Reference: models/qwen2_vl.py Qwen2VisionTransformer +
+    image processor smart_resize."""
+    import jax
+
+    from qspec_tpu.models.qwen2vl_vit import (_vision_rope_table,
+                                              image_to_patches,
+                                              qwen2vl_tower)
+    vc = cfg.vision
+    unit = vc.patch_size * vc.spatial_merge
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() <= 1.5:
+        img = img * 255.0
+    H, W, _ = img.shape
+    nh = max(unit, int(round(H / unit)) * unit)
+    nw = max(unit, int(round(W / unit)) * unit)
+    img = _resize_bilinear(img, nh, nw)
+    patches, grid = image_to_patches(img.astype(np.float32), vc)
+    rope = _vision_rope_table(grid[1], grid[2], vc.spatial_merge,
+                              (params["vision"]["patch_embed"].shape[1]
+                               // vc.num_heads))
+    import jax.numpy as jnp
+    out = qwen2vl_tower(params["vision"], jnp.asarray(patches),
+                        jnp.asarray(rope), vc=vc)
+    return np.asarray(jax.device_get(out), np.float32), grid
+
+
+def splice_image_embeds_qwen2vl(params, cfg, prompt_token_ids: List[int],
+                                images: List[np.ndarray],
+                                image_token_id: int):
+    """Qwen2-VL placeholder expansion + M-RoPE table.
+
+    Returns (token_ids, prompt_embeds, mrope_table [3, T], mrope_delta).
+    Reference: qwen2_vl.py merge_multimodal_embeddings + get_rope_index.
+    """
+    import jax
+
+    from qspec_tpu.models.qwen2vl_vit import mrope_positions
+    embed_table = np.asarray(jax.device_get(params["embed"]), np.float32)
+    out_ids: List[int] = []
+    rows: List[np.ndarray] = []
+    grids = []
+    img_iter = iter(images)
+    for t in prompt_token_ids:
+        if t == image_token_id:
+            img = next(img_iter, None)
+            if img is None:
+                raise ValueError("more image placeholders than images")
+            emb, grid = qwen2vl_image_embeds(params, cfg, img)
+            rows.append(emb)
+            grids.append(grid)
+            out_ids.extend([image_token_id] * emb.shape[0])
+        else:
+            rows.append(embed_table[t][None])
+            out_ids.append(t)
+    if next(img_iter, None) is not None:
+        raise ValueError("more images than image placeholders")
+    table, delta = mrope_positions(out_ids, image_token_id, grids,
+                                   cfg.vision.spatial_merge)
+    return out_ids, np.concatenate(rows, axis=0), table, delta
 
 
 def init_mm_projector(hidden_size: int, patch: int = 16, seed: int = 0,

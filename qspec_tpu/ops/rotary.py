@@ -111,3 +111,41 @@ def apply_rope(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
         return out.astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def apply_rope_mrope(q: jnp.ndarray, k: jnp.ndarray,
+                     positions3: jnp.ndarray, cache: jnp.ndarray,
+                     mrope_section, style: str = "neox"):
+    """Multimodal 3D rotary (M-RoPE, Qwen2-VL; reference
+    models/qwen2_vl.py:66 uses_mrope + HF apply_multimodal_rotary_pos_emb).
+
+    positions3: [3, T] (temporal, height, width) position ids per token.
+    ``mrope_section``: per-channel HALF-dim widths (e.g. (16, 24, 24) for
+    head_dim 128) — rotary dims 0..s0-1 rotate by the temporal stream,
+    s0..s0+s1-1 by height, the rest by width. Text tokens carry identical
+    channels, which makes this EXACTLY standard neox rope at that position.
+    """
+    cos3 = cache[0][positions3]          # [3, T, D/2]
+    sin3 = cache[1][positions3]
+    parts_c, parts_s = [], []
+    off = 0
+    for i, s in enumerate(mrope_section):
+        parts_c.append(cos3[i % 3, :, off:off + s])
+        parts_s.append(sin3[i % 3, :, off:off + s])
+        off += s
+    cos = jnp.concatenate(parts_c, axis=-1)[:, None, :]   # [T, 1, D/2]
+    sin = jnp.concatenate(parts_s, axis=-1)[:, None, :]
+    rd = 2 * cache.shape[-1]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        xr, xp = xf[..., :rd], xf[..., rd:]
+        half = rd // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        out = jnp.concatenate([x1 * cos - x2 * sin,
+                               x2 * cos + x1 * sin], axis=-1)
+        if rd < x.shape[-1]:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)
