@@ -642,18 +642,22 @@ def bench_eagle(args):
     prompt_len = args.prompt_len or min(512, train_seq // 2)
     max_tokens = args.max_tokens or (train_seq - prompt_len - 32)
     prompts = induction_prompts(n_prompts, prompt_len, cfg.vocab_size)
-    rounds = args.rounds or 8
+    # 16 fused rounds/call (vs 8): an eagle call covers at most
+    # rounds*(k+1) draft positions, so doubling rounds halves the tunnel
+    # dispatch share per emitted token (BENCH_NOTES "Medusa/EAGLE under
+    # tunnel dispatch")
+    rounds = args.rounds or 16
     k = args.spec_k or 8
     print(f"# model=induction-eagle prompts={n_prompts} "
           f"prompt_len={prompt_len} max_tokens={max_tokens} "
           f"platform={jax.default_backend()}", file=sys.stderr, flush=True)
     ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
-                  max_num_seqs=max_num_seqs, rounds=rounds)
+                  max_num_seqs=max_num_seqs, rounds=rounds, trials=args.trials)
     print(f"# [induction-eagle] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s",
           file=sys.stderr, flush=True)
     sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
                   max_num_seqs=max_num_seqs, rounds=rounds,
-                  method="eagle", spec_k=k)
+                  method="eagle", spec_k=k, trials=args.trials)
     mismatches = sum(1 for rid in sp["outputs"]
                      if sp["outputs"][rid] != ar["outputs"].get(rid))
     print(f"# [induction-eagle] eagle (k={k}): "
