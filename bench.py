@@ -531,9 +531,13 @@ def bench_8b_draft(args, calibrated_acceptance=None):
     max_num_seqs = args.max_num_seqs or 16
     n_prompts = args.prompts or max_num_seqs
     prompt_len = args.prompt_len or 1024
-    max_tokens = args.max_tokens or 256
+    # longer generation + 16 fused rounds/call: the fused round costs
+    # ~1.08x one AR step on device (exp46 same-window A/B), so the engine
+    # ratio is set by dispatch amortization — more rounds per call and a
+    # longer run shrink the per-call round trip and the chain-tail waste
+    max_tokens = args.max_tokens or 512
     k = args.spec_k or 8
-    rounds = args.rounds or 8
+    rounds = args.rounds or 16
     trials = args.trials
     rng = np.random.default_rng(0)
     prompts = [list(map(int, rng.integers(1, 30000, size=prompt_len)))

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 def _run_engine(cfg, params, prompts, spec_method=None, max_tokens=32,
                 spec_k=4, page_size=128, kv_cache_dtype="bfloat16",
-                lora_reqs=None, sp_overrides=None):
+                lora_reqs=None, sp_overrides=None, medusa_tree=None,
+                draft_kv_window=None):
     from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig,
                                   SpeculativeConfig)
     from qspec_tpu.engine.llm_engine import LLMEngine
@@ -30,7 +31,9 @@ def _run_engine(cfg, params, prompts, spec_method=None, max_tokens=32,
 
     max_len = max(len(p) for p in prompts) + max_tokens + 64
     spec = (SpeculativeConfig(num_speculative_tokens=spec_k,
-                              rounds_per_step=2, method=spec_method)
+                              rounds_per_step=2, method=spec_method,
+                              medusa_tree=medusa_tree,
+                              draft_kv_window=draft_kv_window)
             if spec_method else None)
     ec = EngineConfig(
         model=cfg,
@@ -402,3 +405,145 @@ def test_whisper_engine_on_chip():
             if o.finished:
                 outs[o.request_id] = o.output_token_ids
     assert all(len(v) == 8 for v in outs.values())
+
+
+# ---- round-5 features on hardware ------------------------------------
+
+def test_medusa_tree_on_chip():
+    """Candidate-tree medusa on the trained heads: bit-equal to the
+    same-executable oracle (medusa_null) and per-round emitted length >= 2
+    (the single chain measured ~1.5 at acceptance 0.32)."""
+    from bench import induction_prompts
+    from qspec_tpu.spec_decode.medusa_tree import DEFAULT_TREE
+    cfg, params = _load_regime("medusa")
+    k = int(np.asarray(params["medusa"]["head"]).shape[0])
+    tree = tuple(p for p in DEFAULT_TREE if len(p) <= k)
+    prompts = induction_prompts(4, 128, cfg.vocab_size, seed=13)
+    orc, _, _ = _run_engine(cfg, params, prompts, "medusa_null", spec_k=k,
+                            medusa_tree=tree)
+    sp, m, _ = _run_engine(cfg, params, prompts, "medusa", spec_k=k,
+                           medusa_tree=tree)
+    assert all(sp[r] == orc[r] for r in orc), \
+        "medusa tree diverged from its same-executable oracle on chip"
+    emitted_per_round = m["num_emitted_tokens"] / max(m["num_spec_rounds"], 1)
+    assert emitted_per_round >= 2.0, m
+
+
+def test_alibi_engine_on_chip():
+    """BLOOM-shaped ALiBi model through the Pallas kernel on hardware:
+    slopes != 0 and complete greedy transcripts."""
+    import dataclasses
+
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.models.llama import init_params
+    from qspec_tpu.ops.attention import alibi_slopes
+
+    cfg = ModelConfig(arch="bloom", vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=2, head_dim=128,
+                      norm_type="layernorm", mlp_gated=False,
+                      position_embedding="alibi", linear_bias=True,
+                      hidden_act="gelu_tanh", max_position_embeddings=256,
+                      quant="none", weightless_norm=False,
+                      lm_head_quant="bf16")
+    assert float(np.abs(alibi_slopes(cfg.num_heads)).min()) > 0
+    params = init_params(cfg, seed=0)
+    prompts = _prompts(cfg, n=2, plen=64)
+    outs, _, _ = _run_engine(cfg, params, prompts, None, max_tokens=16)
+    assert all(len(v) == 16 for v in outs.values())
+
+
+def test_mrope_qwen2vl_engine_on_chip():
+    """Qwen2-VL on hardware: the rope-2D tower + 3-channel M-RoPE prefill
+    + delta-shifted decode serve an image request end-to-end."""
+    import dataclasses
+
+    from qspec_tpu.config import ModelConfig, VisionConfig
+    from qspec_tpu.models.llama import init_params
+
+    vc = VisionConfig(hidden_size=256, intermediate_size=0, num_layers=2,
+                      num_heads=2, patch_size=14, tower="qwen2vl",
+                      spatial_merge=2, temporal_patch=2)
+    cfg = ModelConfig(arch="qwen2vl", vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=2, head_dim=128,
+                      mrope_section=(21, 21, 22), vision=vc,
+                      image_token_id=500, max_position_embeddings=256,
+                      quant="none", weightless_norm=False,
+                      lm_head_quant="bf16")
+    params = init_params(cfg, seed=0)
+    # random tower weights at HF geometry (embed_dim 64, 2 heads)
+    rng = np.random.default_rng(0)
+
+    def t(*shape, scale=0.05):
+        import jax.numpy as jnp
+        # converter emits bf16 projection weights (f32 only for LN)
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           * scale, jnp.bfloat16)
+    import jax.numpy as _jnp
+
+    def jnp0(n):
+        return _jnp.zeros((n,), _jnp.float32)
+    D = 64
+    blocks = []
+    for _ in range(vc.num_layers):
+        blocks.append({"qkv": t(D, 3 * D), "qkv_b": t(3 * D),
+                       "proj": t(D, D), "proj_b": t(D),
+                       "fc1": t(D, 2 * D), "fc1_b": t(2 * D),
+                       "fc2": t(2 * D, D), "fc2_b": t(D),
+                       "ln1": jnp0(D) + 1.0, "ln1_b": jnp0(D),
+                       "ln2": jnp0(D) + 1.0, "ln2_b": jnp0(D)})
+    import jax
+    import jax.numpy as jnp
+    params["vision"] = {
+        "patch_embed": t(3 * 2 * 14 * 14, D),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "merge_ln": jnp0(D) + 1.0, "merge_ln_b": jnp0(D),
+        "merge_fc1": t(4 * D, 4 * D), "merge_fc1_b": t(4 * D),
+        "merge_fc2": t(4 * D, cfg.hidden_size), "merge_fc2_b": t(cfg.hidden_size),
+    }
+    from qspec_tpu.config import (CacheConfig, EngineConfig, SchedulerConfig)
+    from qspec_tpu.engine.llm_engine import LLMEngine
+    from qspec_tpu.sampling_params import SamplingParams
+    ec = EngineConfig(
+        model=cfg, cache=CacheConfig(page_size=128),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=256,
+                                  prefill_chunk_size=128,
+                                  prefill_token_buckets=(128,),
+                                  decode_batch_buckets=(2,)))
+    eng = LLMEngine(ec, params)
+    img = rng.integers(0, 255, size=(56, 56, 3)).astype(np.uint8)
+    eng.add_request([3, 4, 500, 7, 9],
+                    SamplingParams(temperature=0.0, max_tokens=12,
+                                   ignore_eos=True),
+                    mm_images=[img], image_token_id=500)
+    out = None
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished:
+                out = o.output_token_ids
+    assert out is not None and len(out) == 12
+
+
+def test_ring_draft_bitexact_on_chip(monkeypatch):
+    """The ring-buffer draft-KV pool must be transcript- and counter-
+    identical to the full-pool windowed draft ON HARDWARE (the Pallas page
+    pipeline reads the same window through the wrap-around tables)."""
+    from qspec_tpu.config import ModelConfig
+    from qspec_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(quant="w4")
+    params = init_params(cfg, seed=0)
+    prompts = _prompts(cfg, n=2, plen=64, seed=9)
+    monkeypatch.setenv("QSPEC_RING_DRAFT", "0")
+    full, mf, _ = _run_engine(cfg, params, prompts, "qspec", spec_k=3,
+                              max_tokens=48, draft_kv_window=32,
+                              page_size=16)
+    monkeypatch.setenv("QSPEC_RING_DRAFT", "1")
+    ring, mr, eng = _run_engine(cfg, params, prompts, "qspec", spec_k=3,
+                                max_tokens=48, draft_kv_window=32,
+                                page_size=16)
+    assert eng.runner._ring_pages > 0
+    assert ring == full
+    assert mr["num_draft_tokens"] == mf["num_draft_tokens"]
+    assert mr["num_accepted_tokens"] == mf["num_accepted_tokens"]

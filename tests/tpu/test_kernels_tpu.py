@@ -303,3 +303,35 @@ def test_hadamard_transform_on_chip(rng):
     nx = np.linalg.norm(np.asarray(x, np.float32), axis=-1)
     ny = np.linalg.norm(np.asarray(y, np.float32), axis=-1)
     np.testing.assert_allclose(ny, nx, rtol=2e-2)
+
+
+def test_attention_tree_mask(rng):
+    """Medusa tree-structured causal mask on Mosaic (per-row ancestor
+    bits): pallas vs ref at production page sizes."""
+    from qspec_tpu.ops.attention import paged_attention_ref
+    from qspec_tpu.ops.attention_pallas import paged_attention_pallas
+    from qspec_tpu.spec_decode.medusa_tree import DEFAULT_TREE, build_tree
+
+    tspec = build_tree(DEFAULT_TREE)
+    prefix, T = 5, tspec.num_nodes
+    cache = make_cache(rng, P=40)
+    B, Hq, Q = 2, 16, prefix + T
+    S, D = cache.kv_pages.shape[4], cache.kv_pages.shape[5]
+    q = _bf16(rng, (B, Q, Hq, D))
+    ids = rng.permutation(np.arange(1, 33))[:B * 8]
+    tables = jnp.asarray(ids.reshape(B, 8).astype(np.int32))
+    pos = np.asarray([300, 700], np.int32)
+    depth = np.asarray(tspec.depth, np.int32)
+    positions = np.concatenate([
+        (pos - prefix + 1)[:, None] + np.arange(prefix)[None, :],
+        pos[:, None] + depth[None, :]], axis=1)
+    ctx = jnp.asarray(pos + 1 + T, jnp.int32)
+    tree = (prefix, tspec.ancestors)
+    ref = paged_attention_ref(q, cache, 1, tables, ctx, D ** -0.5,
+                              q_positions=jnp.asarray(positions), tree=tree)
+    out = paged_attention_pallas(q, cache.kv_pages, tables, ctx, D ** -0.5,
+                                 q_positions=jnp.asarray(positions),
+                                 layer=jnp.asarray(1, jnp.int32), tree=tree)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=4e-2, rtol=4e-2)
