@@ -1073,6 +1073,52 @@ def _chatglm(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False)
 
 
+@register("MantisForConditionalGeneration")
+def _mantis(hf: dict) -> ModelConfig:
+    # Mantis IS the llava architecture with its own processor (the
+    # reference maps it onto LlavaForConditionalGeneration,
+    # models/registry.py multimodal section)
+    return _llava_vlm(hf)
+
+
+@register("MedusaModel")
+@register("EAGLEModel")
+@register("MLPSpeculatorPreTrainedModel")
+def _speculator_arch(hf: dict) -> ModelConfig:
+    # these arch strings describe PROPOSER nets, not servable trunks; the
+    # reference instantiates them inside its spec-decode workers. Here the
+    # equivalents load through the spec_decode loaders and ride the fused
+    # rounds: spec_decode.medusa.load_medusa / eagle.load_eagle /
+    # mlp_speculator (SpeculativeConfig.method medusa|eagle|mlp_speculator)
+    raise ValueError(
+        "speculator architectures load as proposer nets, not engines: use "
+        "SpeculativeConfig(method='medusa'|'eagle'|'mlp_speculator') with "
+        "spec_decode.{medusa,eagle,mlp_speculator}.load_* on the target "
+        "engine (reference: vllm spec_decode workers)")
+
+
+@register("Phi3SmallForCausalLM")
+def _phi3_small(hf: dict) -> ModelConfig:
+    # reference models/phi3_small.py serves this with a dedicated
+    # blocksparse attention kernel (local-block + vertical-stride pattern);
+    # this build's paged kernel implements dense/sliding/tree masks only
+    raise ValueError(
+        "Phi-3-small's blocksparse attention (homo_head local+vertical "
+        "stride pattern) is not implemented; Phi-3 mini/medium "
+        "(Phi3ForCausalLM) serve via the llama graph")
+
+
+@register("ArcticForCausalLM")
+def _arctic(hf: dict) -> ModelConfig:
+    # reference models/arctic.py: dense-MoE hybrid whose MoE layers run a
+    # PARALLEL residual MLP behind its own layernorm — a second norm+branch
+    # per block this graph does not wire
+    raise ValueError(
+        "Snowflake Arctic's parallel residual-MLP MoE blocks are not "
+        "supported; Mixtral/DBRX/Qwen-MoE/DeepSeek/OLMoE/PhiMoE MoE "
+        "families are")
+
+
 @register("DeepseekV3ForCausalLM")
 @register("deepseek_v3")
 def _deepseek_v3(hf: dict) -> ModelConfig:

@@ -484,3 +484,21 @@ def test_reward_classifier_archs_resolve():
                  "Qwen2ForSequenceClassification"):
         cfg = resolve({**base, "architectures": [arch]})
         assert cfg.arch == "qwen2" and cfg.num_labels >= 1, arch
+
+
+def test_explicit_rejections_and_mantis():
+    with pytest.raises(ValueError, match="blocksparse"):
+        resolve({"architectures": ["Phi3SmallForCausalLM"]})
+    with pytest.raises(ValueError, match="residual"):
+        resolve({"architectures": ["ArcticForCausalLM"]})
+    with pytest.raises(ValueError, match="proposer"):
+        resolve({"architectures": ["MedusaModel"]})
+    cfg = resolve({
+        "architectures": ["MantisForConditionalGeneration"],
+        "text_config": {"architectures": ["LlamaForCausalLM"],
+                        "vocab_size": 256, "hidden_size": 64,
+                        "intermediate_size": 128, "num_hidden_layers": 2,
+                        "num_attention_heads": 4, "num_key_value_heads": 4,
+                        "max_position_embeddings": 64},
+        "vision_config": {"hidden_size": 32, "num_hidden_layers": 2}})
+    assert cfg.arch == "llava" and cfg.vision is not None
