@@ -54,6 +54,10 @@ class EngineArgs:
     spec_rounds_per_step: int = 1
     # MagicDec-style sliding window on the shared-weights draft KV reads
     spec_draft_kv_window: Optional[int] = None
+    # Medusa candidate tree: "default" for spec_decode/medusa_tree
+    # .DEFAULT_TREE (depth-capped to num_speculative_tokens), or a literal
+    # choices tuple like "((0,),(1,),(0,0))"; None = single top-1 chain
+    spec_medusa_tree: Optional[str] = None
     # reference --speculative-model: "[ngram]" selects prompt-lookup
     # proposals; "[medusa]" selects trained Medusa heads (params must carry
     # a "medusa" subtree, spec_decode/medusa.load_medusa); a directory path
@@ -111,6 +115,16 @@ class EngineArgs:
                     self.speculative_model.strip("[]").lower() in (
                         "ngram", "medusa", "eagle", "mlp_speculator"):
                 method = self.speculative_model.strip("[]").lower()
+            tree = None
+            if self.spec_medusa_tree:
+                if self.spec_medusa_tree.strip().lower() == "default":
+                    from qspec_tpu.spec_decode.medusa_tree import DEFAULT_TREE
+                    tree = tuple(p for p in DEFAULT_TREE
+                                 if len(p) <= self.num_speculative_tokens)
+                else:
+                    import ast
+                    tree = tuple(tuple(p) for p in
+                                 ast.literal_eval(self.spec_medusa_tree))
             spec = SpeculativeConfig(
                 num_speculative_tokens=self.num_speculative_tokens,
                 draft_scheme=self.speculative_draft_scheme,
@@ -119,6 +133,7 @@ class EngineArgs:
                 acceptance_method=self.spec_acceptance_method,
                 rounds_per_step=self.spec_rounds_per_step,
                 draft_kv_window=self.spec_draft_kv_window,
+                medusa_tree=tree,
                 ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min)
         return EngineConfig(
