@@ -241,11 +241,20 @@ def run_mode(cfg, params, prompts, spec, *, max_tokens, max_num_seqs,
             outs.extend(o for o in res if o.finished)
         return outs
 
+    import gc
     if warmup:
         drive(LLMEngine(ec, params, draft_params=draft_params), max_tokens)
+        # the warmup engine's page pools must be GONE before the next
+        # engine allocates (two 8B-scale pools + weights exceed HBM)
+        gc.collect()
 
     runs = []
+    eng = None
     for _ in range(max(1, trials)):
+        # drop the previous trial's engine BEFORE constructing the next
+        # (same two-pools-alive hazard as the warmup)
+        eng = None
+        gc.collect()
         eng = LLMEngine(ec, params, draft_params=draft_params)
         t0 = time.perf_counter()
         outs = drive(eng, max_tokens)
