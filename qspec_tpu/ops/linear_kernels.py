@@ -197,6 +197,23 @@ def _choose_bn(m: int, k_half: int, n: int, x_bytes: int):
     return bn
 
 
+def _choose_bm(m_pad: int, x_row_bytes: int):
+    """M tiling: ONE M tile whenever the whole (padded) activation block
+    fits VMEM comfortably. The weight-side BlockSpecs ignore the M grid
+    index, so every ADDITIONAL M tile re-streams the full weight array
+    from HBM — catastrophic at spec-verify widths (M=144 degenerated to
+    bm=16 and streamed an 8B layer's weights 9x per call, measured ~30
+    AR-steps per verify). When the activation is too large (prefill
+    rectangles), fall back to 128-row tiles with m_pad rounded up so bm
+    never drops below 128 (at bm=128 each weight stream amortizes over
+    128 rows and the kernel is MXU-bound, not HBM-bound).
+
+    Returns (m_pad, bm)."""
+    if m_pad * x_row_bytes <= 5 * 1024 * 1024:
+        return m_pad, m_pad
+    return round_up(m_pad, 128), 128
+
+
 def _stacked_kernel(kernel):
     """Wrap a 2-D-weight kernel so weight/scale refs carry a leading
     layer-block dim of 1 (stacked mode); the scalar-prefetch ref holding the
@@ -269,11 +286,8 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
     k_half = 4 * k_words
     assert k == 2 * k_half, (x.shape, w_packed.shape)
 
-    m_pad = round_up(max(m, 16), 16)
+    m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 4 * k_half)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
-    bm = min(m_pad, 128)
-    while m_pad % bm:
-        bm //= 2
     bn = _choose_bn(bm, k_half, n, 2)
     grid = (m_pad // bm, cdiv(n, bn))
 
@@ -351,11 +365,8 @@ def matmul_w4a16_g(x: jnp.ndarray, w_packed: jnp.ndarray,
     assert k == 2 * k_half, (x.shape, w_packed.shape)
     assert G % 2 == 0 and k_half % (G // 2) == 0, (k, G)
 
-    m_pad = round_up(max(m, 16), 16)
+    m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 4 * k_half)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
-    bm = min(m_pad, 128)
-    while m_pad % bm:
-        bm //= 2
     bn = _choose_bn(bm, k_half, n, 2)
     grid = (m_pad // bm, cdiv(n, bn))
 
@@ -447,11 +458,8 @@ def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
     else:
         kw, n = w_q.shape
     assert k == kw, (x.shape, w_q.shape)
-    m_pad = round_up(max(m, 16), 16)
+    m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 2 * k)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
-    bm = min(m_pad, 128)
-    while m_pad % bm:
-        bm //= 2
     bn = _choose_bn_w8(k, n)
     grid = (m_pad // bm, cdiv(n, bn))
     cost = pl.CostEstimate(
@@ -521,12 +529,9 @@ def matmul_w4a4(x_q: jnp.ndarray, x_scales: jnp.ndarray, w_packed: jnp.ndarray,
     k_half = 4 * k_words
     assert k == 2 * k_half, (x_q.shape, w_packed.shape)
 
-    m_pad = round_up(max(m, 32), 32)  # int8 sublane multiple
+    m_pad, bm = _choose_bm(round_up(max(m, 32), 32), 2 * k_half)
     x_q = pad_dim(x_q, 0, m_pad)
     x_scales = pad_dim(x_scales.reshape(-1, 1).astype(jnp.float32), 0, m_pad)
-    bm = min(m_pad, 128)
-    while m_pad % bm:
-        bm //= 2
     bn = _choose_bn(bm, k_half, n, 1)
     grid = (m_pad // bm, cdiv(n, bn))
 
