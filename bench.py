@@ -372,9 +372,11 @@ def bench_model(model: str, args, *, ngram_default_k=4):
           file=sys.stderr, flush=True)
 
     ar = run_mode(cfg, params, prompts, spec=False, max_tokens=max_tokens,
-                  max_num_seqs=max_num_seqs, rounds=rounds)
+                  max_num_seqs=max_num_seqs, rounds=rounds,
+                  trials=args.trials)
     print(f"# [{model}] w4a16 AR: {ar['tokens_per_sec']:.2f} tok/s "
-          f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s)",
+          f"({ar['output_tokens']} tokens in {ar['wall_s']:.1f}s, median of "
+          f"{ar['trials']}, spread {ar['tps_spread']:.1%})",
           file=sys.stderr, flush=True)
 
     runs = []
@@ -392,7 +394,8 @@ def bench_model(model: str, args, *, ngram_default_k=4):
         sp = run_mode(cfg, params, prompts, spec=True, max_tokens=max_tokens,
                       max_num_seqs=max_num_seqs, rounds=rounds,
                       draft_scheme=args.draft_scheme, method=method, spec_k=k,
-                      draft_kv_window=window if method == "qspec" else None)
+                      draft_kv_window=window if method == "qspec" else None,
+                      trials=args.trials)
         print(f"# [{model}] {label} (k={k}): {sp['tokens_per_sec']:.2f} tok/s "
               f"({sp['output_tokens']} tokens in {sp['wall_s']:.1f}s) "
               f"metrics={sp['spec_metrics']}", file=sys.stderr, flush=True)
