@@ -756,8 +756,10 @@ def main():
 
     special = {"medium-draft", "8b-draft"}
     if args.proposer in ("medusa", "eagle"):
-        # trained-net regimes run standalone (their own base pairing)
+        # trained-net regimes run standalone (their own base pairing);
+        # skip the default-sweep regimes entirely
         reports = []
+        models = []
     else:
         reports = [r for m in models if m not in special
                    if (r := bench_model(m, args)) is not None]
