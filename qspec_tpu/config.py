@@ -42,6 +42,12 @@ class VisionConfig:
     # qwen2vl tower geometry (HF Qwen2VLVisionConfig)
     spatial_merge: int = 2
     temporal_patch: int = 2
+    # apply the tower's final post_layernorm to the selected features —
+    # last_hidden_state semantics (PaliGemma feeds the SigLIP tower's
+    # last_hidden_state into its projector, transformers
+    # modeling_paligemma.get_image_features), vs LLaVA's hidden_states[-2]
+    # which post_layernorm never touches
+    post_norm: bool = False
 
     @property
     def num_patches(self) -> int:

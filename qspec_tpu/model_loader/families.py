@@ -1295,8 +1295,36 @@ def convert_persimmon(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
     return _finish(params, cfg, dtype)
 
 
+def convert_fuyu(sd: Dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Fuyu (reference models/fuyu.py): the persimmon trunk under a
+    model.language_model.* prefix plus ``vision_embed_tokens`` — a LINEAR
+    patch projector straight into LM hidden space (no vision tower); it
+    lands at params["mm_projector"] for the generic patch mapper."""
+    lm = {}
+    for k, v in sd.items():
+        if k.startswith("model.language_model."):
+            lm["model." + k[len("model.language_model."):]] = v
+        elif k.startswith("language_model.model."):       # classic layout
+            lm["model." + k[len("language_model.model."):]] = v
+        elif k in ("lm_head.weight", "language_model.lm_head.weight"):
+            lm["lm_head.weight"] = v
+    params = convert_persimmon(lm, cfg, dtype)
+    vw = sd.get("model.vision_embed_tokens.weight",
+                sd.get("vision_embed_tokens.weight"))
+    if vw is not None:
+        params["mm_projector"] = {
+            "w": jnp.asarray(np.asarray(vw, np.float32).T, jnp.float32)}
+        vb = sd.get("model.vision_embed_tokens.bias",
+                    sd.get("vision_embed_tokens.bias"))
+        if vb is not None:
+            params["mm_projector"]["b"] = jnp.asarray(
+                np.asarray(vb, np.float32))
+    return params
+
+
 CONVERTERS = {
     "nemotron": convert_nemotron,
+    "fuyu": convert_fuyu,
     "olmo2": convert_olmo2,
     "granitemoe": convert_granitemoe,
     "dbrx": convert_dbrx,

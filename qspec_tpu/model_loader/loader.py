@@ -117,11 +117,13 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
         params.update(tower)
         return params, dataclasses.replace(inner, vision=cfg.vision)
-    if cfg.arch == "llava" and cfg.vision is not None:
-        # LLaVA checkpoint: language_model.* prefixed LM keys (classic) or
-        # model.language_model.* (transformers >= 4.52) + vision tower +
-        # projector (models/vit.convert_llava_tower). Reference:
-        # vllm/model_executor/models/llava.py load_weights.
+    if cfg.arch in ("llava", "paligemma") and cfg.vision is not None:
+        # LLaVA/PaliGemma checkpoint: language_model.* prefixed LM keys
+        # (classic) or model.language_model.* (transformers >= 4.52) +
+        # vision tower + projector (models/vit.convert_llava_tower; the
+        # paligemma branch loads post_layernorm + the single-linear
+        # projector). Reference: vllm/model_executor/models/llava.py +
+        # paligemma.py load_weights.
         from qspec_tpu.models.vit import convert_llava_tower
         lm_sd = {}
         for k, v in sd.items():
@@ -243,9 +245,19 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
             layer["down"]["b"] = jnp.asarray(sd[p + "mlp.down_proj.bias"],
                                              dtype)
         if cfg.qk_norm:
-            # qwen3 per-head q/k norms ([head_dim] gammas)
+            # qwen3 per-head q/k norms ([head_dim] gammas); chameleon's
+            # head_ln carries per-head [num_heads, head_dim] affine+bias
             layer["q_norm"] = norm_w(p + "self_attn.q_norm.weight")
             layer["k_norm"] = norm_w(p + "self_attn.k_norm.weight")
+            if cfg.qk_norm_style == "head_ln":
+                def _nb(name, like):
+                    if name in sd:
+                        return jnp.asarray(sd[name], dtype)
+                    return jnp.zeros_like(like)
+                layer["q_norm_b"] = _nb(p + "self_attn.q_norm.bias",
+                                        layer["q_norm"])
+                layer["k_norm_b"] = _nb(p + "self_attn.k_norm.bias",
+                                        layer["k_norm"])
         layers.append(layer)
 
     lm_head = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])

@@ -180,6 +180,60 @@ def _persimmon(hf: dict) -> ModelConfig:
         quant="none", weightless_norm=False, lm_head_quant="bf16")
 
 
+@register("ChameleonForConditionalGeneration")
+@register("ChameleonForCausalLM")
+@register("chameleon")
+def _chameleon(hf: dict) -> ModelConfig:
+    # Chameleon (reference models/chameleon.py): EARLY-FUSION multimodal —
+    # images are VQ-VAE codebook tokens in the same vocab, so the text
+    # trunk is the llama graph + per-head q/k LayerNorm with bias
+    # ([num_heads, head_dim] affine, applied before rope — the same
+    # head_ln style as persimmon but with per-head gammas). swin_norm
+    # (30B) moves ALL norms after the blocks (OLMo2's layout). Text
+    # serving is complete; image INPUT needs the VQ-VAE encoder the
+    # reference embeds (ChameleonVQVAE) — not implemented, so prompts are
+    # token-level (pre-quantized image tokens work verbatim).
+    H = hf["hidden_size"]
+    nh = hf["num_attention_heads"]
+    swin = bool(hf.get("swin_norm", False))
+    return ModelConfig(
+        arch="chameleon",
+        vocab_size=hf["vocab_size"], hidden_size=H,
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=H // nh,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        qk_norm=True, qk_norm_style="head_ln",
+        pre_norms=not swin, post_norms=swin,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        quant="none", weightless_norm=False)
+
+
+@register("FuyuForCausalLM")
+@register("fuyu")
+def _fuyu(hf: dict) -> ModelConfig:
+    # Fuyu-8b (reference models/fuyu.py): NO vision tower — raw
+    # patch_size^2*3 pixel patches project through ONE linear
+    # (vision_embed_tokens) straight into the persimmon trunk's embedding
+    # space (the decoder-only VLM convention). Patch flatten order is
+    # (py, px, c), exactly multimodal.patch_projector_mapper's layout.
+    import dataclasses
+
+    from qspec_tpu.config import VisionConfig
+    # classic checkpoints keep the persimmon fields top-level; newer
+    # transformers nests them under text_config
+    base = _persimmon({**hf, **(hf.get("text_config") or {})})
+    vc = VisionConfig(image_size=hf.get("image_size", 300),
+                      patch_size=hf.get("patch_size", 30),
+                      tower="linear")
+    return dataclasses.replace(
+        base, arch="fuyu", vision=vc,
+        image_token_id=hf.get("image_token_id", 71011))
+
+
 @register("DbrxForCausalLM")
 @register("dbrx")
 def _dbrx(hf: dict) -> ModelConfig:
@@ -318,6 +372,11 @@ def _baichuan13(hf: dict) -> ModelConfig:
 
 
 @register("InternLM2ForCausalLM")
+@register("InternLM2VEForCausalLM")   # vision-enhanced variant: same text
+                                      # trunk (reference models/internlm2_ve.py
+                                      # routes its LM through the InternLM2
+                                      # modules; the "ve" partial-rotary vision
+                                      # experts only fire on image tokens)
 @register("internlm2")
 def _internlm2(hf: dict) -> ModelConfig:
     # internlm2: llama graph; checkpoint uses tok_embeddings/output naming,
@@ -569,6 +628,9 @@ def _bert_classify(hf: dict) -> ModelConfig:
 
 @register("RobertaModel")
 @register("RobertaEmbeddingModel")
+@register("RobertaForMaskedLM")    # MLM checkpoints served as embedders,
+                                   # like BertForMaskedLM above (reference
+                                   # models/roberta.py registration)
 @register("XLMRobertaModel")
 @register("roberta")
 @register("xlm-roberta")
@@ -653,6 +715,9 @@ def _whisper(hf: dict) -> ModelConfig:
 
 @register("BartForConditionalGeneration")
 @register("MBartForConditionalGeneration")
+@register("BartModel")   # bare-encoder-decoder checkpoints; the reference
+                         # maps BartModel onto the same conditional-generation
+                         # graph (models/registry.py _TEXT_GENERATION_MODELS)
 @register("bart")
 def _bart(hf: dict) -> ModelConfig:
     # BART/mBART encoder-decoder (reference models/bart.py +
@@ -808,6 +873,40 @@ def _llava_vlm(hf: dict) -> ModelConfig:
         image_token_id=hf.get("image_token_index", 32000))
 
 
+@register("PaliGemmaForConditionalGeneration")
+@register("paligemma")
+def _paligemma(hf: dict) -> ModelConfig:
+    # PaliGemma / PaliGemma2 (reference models/paligemma.py): SigLIP tower
+    # whose post_layernorm'd last_hidden_state feeds a SINGLE-linear
+    # projector into a gemma/gemma2 trunk; pixels normalized to [-1, 1].
+    # Feature scaling (HF divides by sqrt(text_H), the gemma normalizer
+    # multiplies it back) nets out — see multimodal.paligemma_tower_mapper.
+    import dataclasses
+
+    from qspec_tpu.config import VisionConfig
+    text = dict(hf.get("text_config") or {})
+    if text.get("architectures"):
+        base = resolve(text)
+    else:
+        base = ModelConfig.from_hf_config(text)
+    v = dict(hf.get("vision_config") or {})
+    vc = VisionConfig(
+        hidden_size=v.get("hidden_size", 1152),
+        intermediate_size=v.get("intermediate_size", 4304),
+        num_layers=v.get("num_hidden_layers", 27),
+        num_heads=v.get("num_attention_heads", 16),
+        image_size=v.get("image_size", 224),
+        patch_size=v.get("patch_size", 14),
+        layer_norm_eps=v.get("layer_norm_eps", 1e-6),
+        feature_layer=-1,             # last_hidden_state, not -2
+        drop_cls=False,               # siglip has no CLS row
+        hidden_act=v.get("hidden_act", "gelu_pytorch_tanh"),
+        tower="siglip", post_norm=True)
+    return dataclasses.replace(
+        base, arch="paligemma", vision=vc,
+        image_token_id=hf.get("image_token_index", 257152))
+
+
 # ---------------------------------------------------------------------------
 # llama-graph lineage (reference models/registry.py:30-109): these archs ARE
 # the llama compute graph — per-arch differences are config knobs and/or
@@ -834,6 +933,18 @@ def _llama_aliases(hf: dict) -> ModelConfig:
 
 @register("MistralModel")          # e5-mistral-style embedder
 def _mistral_embed(hf: dict) -> ModelConfig:
+    return ModelConfig.from_hf_config(hf)
+
+
+@register("GritLM")
+def _gritlm(hf: dict) -> ModelConfig:
+    # GritLM (reference models/gritlm.py): a mistral/llama trunk serving
+    # BOTH generation and embedding — the reference subclasses
+    # LlamaForCausalLM and adds an instruction-masked mean pooler for
+    # embed requests. Here the trunk is the llama graph; generation is
+    # exact, and /v1/embeddings rides the decoder-as-embedder path
+    # (last-token pooling — a pooling-convention delta vs the reference's
+    # masked mean, as with the e5-mistral embedder above).
     return ModelConfig.from_hf_config(hf)
 
 

@@ -115,6 +115,11 @@ def vit_forward(vp: dict, vcfg: VisionConfig, pixels: jnp.ndarray,
     n_run = min(n_keep, vcfg.num_layers)
     for i in range(n_run):
         x = block(x, jax.tree.map(lambda a: a[i], vp["layers"]))
+    if vcfg.post_norm and n_run == vcfg.num_layers and "post_norm" in vp:
+        # last_hidden_state semantics (SigLipVisionTransformer applies
+        # post_layernorm before returning; PaliGemma projects THAT)
+        x = _layernorm(x, vp["post_norm"]["w"], vp["post_norm"]["b"],
+                       vcfg.layer_norm_eps)
     return x
 
 
@@ -241,7 +246,9 @@ def convert_llava_tower(sd: dict, vcfg: VisionConfig) -> dict:
             "fc2": lin_t(p + "mlp.fc2"),
         })
     mp = "multi_modal_projector."
-    if mp + "linear_1.weight" not in sd and "model." + mp + "linear_1.weight" in sd:
+    if (mp + "linear_1.weight" not in sd and mp + "linear.weight" not in sd
+            and ("model." + mp + "linear_1.weight" in sd
+                 or "model." + mp + "linear.weight" in sd)):
         mp = "model." + mp
     vision = {
         "patch_embed": jnp.asarray(patch_embed),
@@ -257,12 +264,17 @@ def convert_llava_tower(sd: dict, vcfg: VisionConfig) -> dict:
             a(vt + "embeddings.class_embedding"))
         pre = find(vt + "pre_layrnorm.weight", vt + "pre_layernorm.weight")
         vision["pre_norm"] = ln(pre[:-len(".weight")])
-    return {
-        "vision": vision,
-        "mm_projector": {
+    if vcfg.post_norm and vt + "post_layernorm.weight" in sd:
+        vision["post_norm"] = ln(vt + "post_layernorm")
+    if mp + "linear.weight" in sd:
+        # single-linear projector (PaliGemmaMultiModalProjector)
+        projector = {"w": jnp.asarray(a(mp + "linear.weight").T),
+                     "b": jnp.asarray(a(mp + "linear.bias"))}
+    else:
+        projector = {
             "w1": jnp.asarray(a(mp + "linear_1.weight").T),
             "b1": jnp.asarray(a(mp + "linear_1.bias")),
             "w2": jnp.asarray(a(mp + "linear_2.weight").T),
             "b2": jnp.asarray(a(mp + "linear_2.bias")),
-        },
-    }
+        }
+    return {"vision": vision, "mm_projector": projector}

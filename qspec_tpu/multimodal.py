@@ -94,6 +94,68 @@ def llava_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(out[0]), np.float32)
 
 
+@register_image_mapper("fuyu")
+def fuyu_patch_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
+    """Fuyu: no tower — pixels normalized to [-1, 1] (FuyuImageProcessor
+    mean=std=0.5), split into patch_size^2*3 raw patches in (py, px, c)
+    order and projected by the single vision_embed_tokens linear
+    (params["mm_projector"]). Row-structure |NEWLINE| tokens are a
+    processor-level concern (the reference inserts them between patch
+    rows); prompts may carry them as ordinary text tokens.
+
+    Reference: vllm/model_executor/models/fuyu.py vision_embed_tokens +
+    transformers FuyuImageProcessor.patchify_image."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() > 1.5:
+        img = img / 255.0
+    patch = cfg.vision.patch_size if cfg.vision is not None else 30
+    H, W, _ = img.shape
+    ph = max(patch, ((H + patch - 1) // patch) * patch)
+    pw = max(patch, ((W + patch - 1) // patch) * patch)
+    if (ph, pw) != (H, W):
+        # the HF processor pads with constant 1.0 on the 0..255 scale
+        # BEFORE rescale+normalize
+        pad = np.full((ph, pw, 3), 1.0 / 255.0, np.float32)
+        pad[:H, :W] = img
+        img = pad
+    img = (img - 0.5) / 0.5
+    return patch_projector_mapper(params, cfg, img, patch=patch)
+
+
+@register_image_mapper("paligemma")
+def paligemma_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
+    """PaliGemma: SigLIP tower (post_layernorm'd last_hidden_state) +
+    single-linear projector; pixels normalized to [-1, 1] (SigLIP
+    mean=std=0.5, not the CLIP stats).
+
+    The HF forward divides projected features by sqrt(text_hidden) and the
+    Gemma trunk multiplies ALL inputs_embeds back by sqrt(text_hidden)
+    (GemmaModel normalizer) — net identity on image rows, so the raw
+    projector output is the correct splice row here (text rows carry
+    cfg.embed_scale in splice_image_embeds).
+
+    Reference: vllm/model_executor/models/paligemma.py +
+    transformers modeling_paligemma.get_image_features."""
+    if "vision" not in params or cfg.vision is None:
+        return patch_projector_mapper(params, cfg, image)
+    import jax
+
+    from qspec_tpu.models.vit import llava_image_features
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() > 1.5:
+        img = img / 255.0
+    img = _resize_bilinear(img, cfg.vision.image_size)
+    img = (img - 0.5) / 0.5
+    out = jax.jit(llava_image_features, static_argnums=1)(
+        {"vision": params["vision"], "mm_projector": params["mm_projector"]},
+        cfg.vision, img[None])
+    return np.asarray(jax.device_get(out[0]), np.float32)
+
+
 def patch_projector_mapper(params, cfg, image: np.ndarray,
                            patch: int = 16) -> np.ndarray:
     """Generic ViT-free image mapper: non-overlapping patches -> linear

@@ -96,6 +96,12 @@ def _prefill_process(addr: str, prompts, ready):
     """Child: build the prefill engine, push every handoff over the pipe."""
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # this image's sitecustomize pre-imports jax on the TPU platform before
+    # this function runs (spawn re-runs site init), so the env var alone is
+    # too late — without the post-import override the child contends for
+    # the one real chip and hangs whenever another process holds it
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
     from qspec_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                                   SchedulerConfig)
