@@ -283,6 +283,12 @@ class ModelConfig:
     # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
     # a CLIP-style vision tower (params["vision"]) feeds patch features
     # through the mm projector into the LM's embedding space; prompts
+    # LLaVA-NeXT anyres tiling grid: candidate (h, w) canvas resolutions
+    # (HF image_grid_pinpoints); the mapper picks the best fit, tiles the
+    # canvas into vision.image_size squares, and packs tile features
+    # spatially with unpadding + per-row image_newline
+    # (multimodal.llava_next_mapper)
+    image_grid_pinpoints: Optional[tuple] = None
     # expand each `image_token_id` placeholder into that image's rows
     # (multimodal.splice_image_embeds)
     vision: Optional["VisionConfig"] = None

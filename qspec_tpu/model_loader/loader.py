@@ -117,7 +117,8 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
         params.update(tower)
         return params, dataclasses.replace(inner, vision=cfg.vision)
-    if cfg.arch in ("llava", "paligemma") and cfg.vision is not None:
+    if cfg.arch in ("llava", "llava_next", "paligemma") \
+            and cfg.vision is not None:
         # LLaVA/PaliGemma checkpoint: language_model.* prefixed LM keys
         # (classic) or model.language_model.* (transformers >= 4.52) +
         # vision tower + projector (models/vit.convert_llava_tower; the
@@ -138,6 +139,10 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         inner = dataclasses.replace(cfg, vision=None)  # break the recursion
         params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
         params.update(tower)
+        nl = sd.get("image_newline", sd.get("model.image_newline"))
+        if nl is not None:
+            # llava-next per-row newline embedding (pack_image_features)
+            params["image_newline"] = jnp.asarray(np.asarray(nl, np.float32))
         return params, dataclasses.replace(inner, vision=cfg.vision)
 
     def t(name):

@@ -873,6 +873,23 @@ def _llava_vlm(hf: dict) -> ModelConfig:
         image_token_id=hf.get("image_token_index", 32000))
 
 
+@register("LlavaNextForConditionalGeneration")
+@register("llava_next")
+def _llava_next(hf: dict) -> ModelConfig:
+    # LLaVA-NeXT / v1.6 (reference models/llava_next.py): the llava tower +
+    # projector over ANYRES tiling — the image resizes onto the best-fit
+    # canvas from image_grid_pinpoints, splits into image_size tiles, and
+    # tile features pack spatially with aspect-ratio unpadding and a
+    # per-row image_newline embedding (multimodal.llava_next_mapper).
+    import dataclasses
+    base = _llava_vlm(hf)
+    pins = tuple(tuple(p) for p in (hf.get("image_grid_pinpoints") or
+                                    [[336, 672], [672, 336], [672, 672],
+                                     [1008, 336], [336, 1008]]))
+    return dataclasses.replace(base, arch="llava_next",
+                               image_grid_pinpoints=pins)
+
+
 @register("PaliGemmaForConditionalGeneration")
 @register("paligemma")
 def _paligemma(hf: dict) -> ModelConfig:

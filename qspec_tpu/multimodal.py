@@ -94,6 +94,94 @@ def llava_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(out[0]), np.float32)
 
 
+def _select_best_resolution(orig_hw, pinpoints):
+    """HF select_best_resolution: maximize effective (downscaled-to-fit)
+    pixels, tie-break on least wasted canvas."""
+    oh, ow = orig_hw
+    best, best_eff, best_waste = None, 0, float("inf")
+    for h, w in pinpoints:
+        scale = min(w / ow, h / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = h * w - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best_eff, best_waste, best = eff, waste, (h, w)
+    return best
+
+
+@register_image_mapper("llava_next")
+def llava_next_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
+    """LLaVA-NeXT anyres: best-fit canvas from image_grid_pinpoints,
+    aspect-preserving resize + centered pad, image_size tiles (plus the
+    distorted-square base view as tile 0), tower+projector over the tile
+    batch, then spatial packing — tiles rearranged to the full feature
+    map, unpadded back to the original aspect, one image_newline embedding
+    appended per row, base-view features first.
+
+    Reference: vllm/model_executor/models/llava_next.py +
+    transformers modeling_llava_next.pack_image_features /
+    image_processing_llava_next.get_image_patches."""
+    import math
+
+    if "vision" not in params or cfg.vision is None:
+        return patch_projector_mapper(params, cfg, image)
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.models.vit import llava_image_features
+    vc = cfg.vision
+    sz = vc.image_size
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() > 1.5:
+        img = img / 255.0
+    oh, ow = img.shape[:2]
+    th, tw = _select_best_resolution(
+        (oh, ow), cfg.image_grid_pinpoints or ((2 * sz, 2 * sz),))
+    # aspect-preserving resize to fit the canvas (HF get_patch_output_size)
+    scale_w, scale_h = tw / ow, th / oh
+    if scale_w < scale_h:
+        nw, nh = tw, min(math.ceil(oh * scale_w), th)
+    else:
+        nh, nw = th, min(math.ceil(ow * scale_h), tw)
+    resized = _resize_bilinear(img, nh, nw)
+    py = (th - nh) // 2
+    px = (tw - nw) // 2
+    canvas = np.zeros((th, tw, 3), np.float32)
+    canvas[py:py + nh, px:px + nw] = resized
+    nph, npw = th // sz, tw // sz
+    tiles = [_resize_bilinear(img, sz)]            # base view, distorted
+    for i in range(nph):
+        for j in range(npw):
+            tiles.append(canvas[i * sz:(i + 1) * sz, j * sz:(j + 1) * sz])
+    batch = (np.stack(tiles) - _CLIP_MEAN) / _CLIP_STD
+    feats = jax.jit(llava_image_features, static_argnums=1)(
+        {"vision": params["vision"], "mm_projector": params["mm_projector"]},
+        vc, jnp.asarray(batch))
+    feats = np.asarray(jax.device_get(feats), np.float32)  # [1+T, h*w, D]
+    D = feats.shape[-1]
+    h = w = sz // vc.patch_size
+    base = feats[0]
+    gf = feats[1:].reshape(nph, npw, h, w, D)
+    gf = gf.transpose(0, 2, 1, 3, 4).reshape(nph * h, npw * w, D)
+    # unpad back to the original aspect (HF unpad_image)
+    rows, cols = gf.shape[:2]
+    if ow / oh > cols / rows:
+        new_rows = int(round(oh * (cols / ow), 7))
+        pad = (rows - new_rows) // 2
+        gf = gf[pad:rows - pad]
+    else:
+        new_cols = int(round(ow * (rows / oh), 7))
+        pad = (cols - new_cols) // 2
+        gf = gf[:, pad:cols - pad]
+    nl = params.get("image_newline")
+    if nl is not None:
+        nlrow = np.broadcast_to(np.asarray(nl, np.float32)[None, None],
+                                (gf.shape[0], 1, D))
+        gf = np.concatenate([gf, nlrow], axis=1)
+    return np.concatenate([base, gf.reshape(-1, D)], axis=0)
+
+
 @register_image_mapper("fuyu")
 def fuyu_patch_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
     """Fuyu: no tower — pixels normalized to [-1, 1] (FuyuImageProcessor
