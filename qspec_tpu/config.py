@@ -59,6 +59,20 @@ class VisionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Whisper-style audio ENCODER feeding an LM trunk (the Qwen2-Audio
+    audio_tower; reference vllm/model_executor/models/qwen2_audio.py).
+    All-scalar so ModelConfig stays hashable as a jit static arg."""
+
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_layers: int = 32
+    num_heads: int = 20
+    num_mel: int = 128
+    max_source_positions: int = 1500
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture hyperparameters for one model."""
 
@@ -283,6 +297,10 @@ class ModelConfig:
     # LLaVA-style VLM (reference vllm/model_executor/models/llava.py):
     # a CLIP-style vision tower (params["vision"]) feeds patch features
     # through the mm projector into the LM's embedding space; prompts
+    # Qwen2-Audio-style audio tower (encoder + avg-pool + linear projector
+    # into the trunk's embedding space); audio placeholders expand through
+    # the same prompt-embeds path as images (multimodal.py)
+    audio: Optional[AudioConfig] = None
     # LLaVA-NeXT anyres tiling grid: candidate (h, w) canvas resolutions
     # (HF image_grid_pinpoints); the mapper picks the best fit, tiles the
     # canvas into vision.image_size squares, and packs tile features

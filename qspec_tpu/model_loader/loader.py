@@ -117,6 +117,31 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
         params.update(tower)
         return params, dataclasses.replace(inner, vision=cfg.vision)
+    if cfg.arch == "qwen2_audio" and cfg.audio is not None:
+        # Qwen2-Audio: audio_tower.* (whisper-encoder layout) + one-linear
+        # multi_modal_projector + language_model.* qwen2 trunk. Reference:
+        # vllm/model_executor/models/qwen2_audio.py load_weights.
+        from qspec_tpu.models.whisper import convert_audio_tower
+        lm_sd = {}
+        for k, v in sd.items():
+            if k.startswith("language_model."):
+                lm_sd[k[len("language_model."):]] = v
+            elif k.startswith("model.language_model."):
+                lm_sd["model." + k[len("model.language_model."):]] = v
+            elif k == "lm_head.weight":
+                lm_sd[k] = v
+        tower = convert_audio_tower(sd, cfg.audio)
+        mp = "multi_modal_projector.linear." \
+            if "multi_modal_projector.linear.weight" in sd \
+            else "model.multi_modal_projector.linear."
+        import dataclasses
+        inner = dataclasses.replace(cfg, audio=None)
+        params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
+        params["audio_tower"] = tower
+        params["mm_projector"] = {
+            "w": jnp.asarray(np.asarray(sd[mp + "weight"], np.float32).T),
+            "b": jnp.asarray(np.asarray(sd[mp + "bias"], np.float32))}
+        return params, dataclasses.replace(inner, audio=cfg.audio)
     if cfg.arch in ("llava", "llava_next", "paligemma") \
             and cfg.vision is not None:
         # LLaVA/PaliGemma checkpoint: language_model.* prefixed LM keys

@@ -873,6 +873,34 @@ def _llava_vlm(hf: dict) -> ModelConfig:
         image_token_id=hf.get("image_token_index", 32000))
 
 
+@register("Qwen2AudioForConditionalGeneration")
+@register("qwen2_audio")
+def _qwen2_audio(hf: dict) -> ModelConfig:
+    # Qwen2-Audio (reference models/qwen2_audio.py): a whisper-encoder
+    # audio tower + AvgPool1d(2) + single-linear projector into the qwen2
+    # trunk — the audio-tower-into-LM convention (Ultravox shares it).
+    # Audio placeholders ride the SAME placeholder-expansion machinery as
+    # images: image_token_id holds audio_token_index and the arch's
+    # registered mapper interprets the attached array as audio
+    # (multimodal.qwen2_audio_mapper).
+    import dataclasses
+
+    from qspec_tpu.config import AudioConfig
+    text = dict(hf.get("text_config") or {})
+    base = resolve(text) if text.get("architectures") else _qwen2(text)
+    a = dict(hf.get("audio_config") or {})
+    ac = AudioConfig(
+        hidden_size=a.get("d_model", 1280),
+        intermediate_size=a.get("encoder_ffn_dim", 5120),
+        num_layers=a.get("encoder_layers", 32),
+        num_heads=a.get("encoder_attention_heads", 20),
+        num_mel=a.get("num_mel_bins", 128),
+        max_source_positions=a.get("max_source_positions", 1500))
+    return dataclasses.replace(
+        base, arch="qwen2_audio", audio=ac,
+        image_token_id=hf.get("audio_token_index", 151646))
+
+
 @register("LlavaNextForConditionalGeneration")
 @register("llava_next")
 def _llava_next(hf: dict) -> ModelConfig:
@@ -1223,6 +1251,20 @@ def _speculator_arch(hf: dict) -> ModelConfig:
         "SpeculativeConfig(method='medusa'|'eagle'|'mlp_speculator') with "
         "spec_decode.{medusa,eagle,mlp_speculator}.load_* on the target "
         "engine (reference: vllm spec_decode workers)")
+
+
+@register("UltravoxModel")
+def _ultravox(hf: dict) -> ModelConfig:
+    # reference models/ultravox.py: the same whisper-encoder-into-LM
+    # convention as Qwen2-Audio but with a frame-STACKING SwiGLU projector
+    # (stack_factor consecutive frames concatenated before projection) and
+    # trust_remote_code HF weights. The audio-tower path this build ships
+    # (qwen2_audio) covers the structural convention; ultravox's stacking
+    # projector is not wired
+    raise ValueError(
+        "Ultravox's stack-factor SwiGLU audio projector is not "
+        "implemented; Qwen2AudioForConditionalGeneration serves the "
+        "whisper-tower-into-LM convention")
 
 
 @register("Phi3SmallForCausalLM")

@@ -67,8 +67,14 @@ def _conv1d(x, w, b, stride=1):
 
 
 def whisper_encode(params, cfg: ModelConfig, mel: jnp.ndarray,
-                   mel_valid: jnp.ndarray) -> jnp.ndarray:
-    """mel [B, T_mel, num_mel] -> encoder states [B, T_mel//2, H]."""
+                   mel_valid: jnp.ndarray, *,
+                   avg_pool: bool = False) -> jnp.ndarray:
+    """mel [B, T_mel, num_mel] -> encoder states [B, T_mel//2, H].
+
+    ``avg_pool``: Qwen2-Audio's tower is this exact encoder plus an
+    AvgPool1d(2) between the layer stack and the final LayerNorm
+    (transformers Qwen2AudioEncoder.forward) — output [B, T_mel//4, H].
+    """
     x = jax.nn.gelu(_conv1d(mel, params["conv1_w"], params["conv1_b"])
                     .astype(jnp.float32), approximate=False)
     x = jax.nn.gelu(_conv1d(x.astype(jnp.bfloat16), params["conv2_w"],
@@ -94,6 +100,10 @@ def whisper_encode(params, cfg: ModelConfig, mel: jnp.ndarray,
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["enc_layers"])
+    if avg_pool:
+        T2 = (x.shape[1] // 2) * 2   # AvgPool1d(2): trailing odd frame drops
+        x = x[:, :T2].reshape(x.shape[0], T2 // 2, 2, x.shape[-1]) \
+            .astype(jnp.float32).mean(axis=2).astype(x.dtype)
     return _ln(x, params["enc_final_ln"])
 
 
@@ -271,6 +281,61 @@ def convert_whisper(sd: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
         "dec_final_ln": ln(root + "decoder.layer_norm"),
         "enc_layers": jax.tree.map(lambda *xs: jnp.stack(xs), *enc_layers),
         "dec_layers": jax.tree.map(lambda *xs: jnp.stack(xs), *dec_layers),
+    }
+
+
+def convert_audio_tower(sd: dict, acfg, dtype=jnp.bfloat16) -> dict:
+    """Qwen2-Audio ``audio_tower.*`` keys -> the whisper_encode param
+    layout (the tower IS the whisper encoder: conv1/conv2 + sinusoid-free
+    learned positions + pre-LN blocks + final layer_norm; reference
+    vllm/model_executor/models/qwen2_audio.py Qwen2AudioEncoder)."""
+    root = "audio_tower." if "audio_tower.conv1.weight" in sd \
+        else "model.audio_tower."
+
+    def a(name):
+        return np.asarray(sd[name], np.float32)
+
+    def lin_t(prefix, bias=True):
+        p = {"w": jnp.asarray(a(prefix + ".weight").T, dtype)}
+        if bias and prefix + ".bias" in sd:
+            p["b"] = jnp.asarray(a(prefix + ".bias"), jnp.float32)
+        return p
+
+    def ln(prefix):
+        return {"w": jnp.asarray(a(prefix + ".weight"), jnp.float32),
+                "b": jnp.asarray(a(prefix + ".bias"), jnp.float32)}
+
+    def qkv_fused(prefix):
+        w = np.concatenate([a(prefix + ".q_proj.weight").T,
+                            a(prefix + ".k_proj.weight").T,
+                            a(prefix + ".v_proj.weight").T], axis=1)
+        b = np.concatenate([a(prefix + ".q_proj.bias"),
+                            np.zeros(a(prefix + ".k_proj.weight").shape[0],
+                                     np.float32),
+                            a(prefix + ".v_proj.bias")])
+        return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, jnp.float32)}
+
+    layers = []
+    for i in range(acfg.num_layers):
+        p = f"{root}layers.{i}."
+        layers.append({
+            "ln1": ln(p + "self_attn_layer_norm"),
+            "qkv": qkv_fused(p + "self_attn"),
+            "out": lin_t(p + "self_attn.out_proj"),
+            "ln2": ln(p + "final_layer_norm"),
+            "fc1": lin_t(p + "fc1"),
+            "fc2": lin_t(p + "fc2"),
+        })
+    conv1 = a(root + "conv1.weight")
+    conv2 = a(root + "conv2.weight")
+    return {
+        "conv1_w": jnp.asarray(conv1.transpose(2, 1, 0), dtype),
+        "conv1_b": jnp.asarray(a(root + "conv1.bias"), jnp.float32),
+        "conv2_w": jnp.asarray(conv2.transpose(2, 1, 0), dtype),
+        "conv2_b": jnp.asarray(a(root + "conv2.bias"), jnp.float32),
+        "enc_pos": jnp.asarray(a(root + "embed_positions.weight"), dtype),
+        "enc_final_ln": ln(root + "layer_norm"),
+        "enc_layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
     }
 
 

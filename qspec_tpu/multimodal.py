@@ -94,6 +94,47 @@ def llava_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(out[0]), np.float32)
 
 
+@register_image_mapper("qwen2_audio")
+def qwen2_audio_mapper(params, cfg, audio: np.ndarray) -> np.ndarray:
+    """Qwen2-Audio: the attached array is AUDIO, not pixels — either a
+    log-mel spectrogram ([n_mels, T] HF feature-extractor orientation or
+    [T, n_mels]) or a raw mono waveform [n] (converted through the same
+    log-mel frontend the whisper family serves with). The whisper-encoder
+    tower runs with AvgPool1d(2) before its final LayerNorm, then the
+    single-linear projector maps pooled frames into the trunk's embedding
+    space; rows splice at the audio placeholder exactly like image rows.
+
+    Reference: vllm/model_executor/models/qwen2_audio.py
+    get_audio_features."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.models.whisper import whisper_encode
+    ac = cfg.audio
+    arr = np.asarray(audio, np.float32)
+    if arr.ndim == 1:                       # raw waveform
+        from qspec_tpu.audio import log_mel_spectrogram
+        arr = log_mel_spectrogram(arr, n_mels=ac.num_mel)   # [T, n_mels]
+    elif arr.shape[0] == ac.num_mel and arr.shape[1] != ac.num_mel:
+        arr = arr.T                          # HF [n_mels, T] -> [T, n_mels]
+    T = min(arr.shape[0], 2 * ac.max_source_positions)
+    arr = arr[:T]
+    enc_cfg = dataclasses.replace(cfg, num_heads=ac.num_heads)
+    mel = jnp.asarray(arr[None], jnp.float32)
+    valid = jnp.ones((1, T), bool)
+    states = jax.jit(whisper_encode, static_argnums=(1,),
+                     static_argnames=("avg_pool",))(
+        params["audio_tower"], enc_cfg, mel, valid, avg_pool=True)
+    out = (np.asarray(jax.device_get(states[0]), np.float32)
+           @ np.asarray(jax.device_get(params["mm_projector"]["w"]),
+                        np.float32))
+    out = out + np.asarray(jax.device_get(params["mm_projector"]["b"]),
+                           np.float32)
+    return out.astype(np.float32)
+
+
 def _select_best_resolution(orig_hw, pinpoints):
     """HF select_best_resolution: maximize effective (downscaled-to-fit)
     pixels, tie-break on least wasted canvas."""
