@@ -42,6 +42,10 @@ class VisionConfig:
     # qwen2vl tower geometry (HF Qwen2VLVisionConfig)
     spatial_merge: int = 2
     temporal_patch: int = 2
+    # Idefics3/SmolVLM-style pixel-shuffle connector: fold sf x sf feature
+    # patches into one row of sf^2 * hidden channels before the projector
+    # (transformers Idefics3Connector.pixel_shuffle); 1 = no shuffle
+    pixel_shuffle: int = 1
     # apply the tower's final post_layernorm to the selected features —
     # last_hidden_state semantics (PaliGemma feeds the SigLIP tower's
     # last_hidden_state into its projector, transformers

